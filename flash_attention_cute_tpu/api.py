@@ -1,0 +1,112 @@
+"""User-facing attention API.
+
+`flash_attn_func(q, k, v, softmax_scale=None, causal=False)` mirrors the
+reference's Python entry point (reference: flash_attention/flash_attention.py:46-53)
+including the default-scale rule, the [B, H, S, D] layout, and the device
+routing (Pallas kernel on TPU, XLA reference elsewhere — the analog of the
+CUDA-kernel / CPU-SDPA split at reference: flash_attention.py:6-43).
+
+Routing rules:
+  * seqlen_q == 1 (decode)  -> split-KV decode kernel with GQA q-head packing
+    (the reference's pack-head-q fast path, csrc/flash_attention_api.cpp:72-83).
+  * otherwise (prefill)     -> fused flash-attention forward kernel.
+  * non-TPU backend         -> fp32 XLA reference (unless interpret=True runs
+    the Pallas kernels in interpreter mode, used by the test suite).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from flash_attention_cute_tpu import dispatch
+from flash_attention_cute_tpu.ops.flash_decode import flash_attention_decode
+from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
+from flash_attention_cute_tpu.ops.reference import attention_reference
+
+
+def flash_attention_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    softmax_scale: float | None = None,
+    causal: bool = False,
+    kv_length: jax.Array | None = None,
+    *,
+    block_config: dispatch.BlockConfig | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Dispatching attention forward. See `flash_attn_func`.
+
+    `kv_length` ([B] int32) optionally marks the valid prefix of k/v — used by
+    the decode path over a preallocated cache.
+    """
+    dispatch.validate_inputs(q, k, v)
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+
+    use_pallas = dispatch.on_tpu() or bool(interpret)
+    if not use_pallas:
+        return attention_reference(
+            q, k, v, softmax_scale=softmax_scale, causal=causal,
+            kv_length=kv_length,
+        )
+
+    interp = bool(interpret)
+    cfg = block_config or dispatch.select_block_config(
+        dtype=q.dtype, head_dim=d, q_len=sq, kv_len=skv, causal=causal,
+    )
+
+    if sq == 1:
+        # Decode: causal is vacuous under bottom-right alignment
+        # (reference: csrc/flash_attention_api.cpp:99 drops it too).
+        return flash_attention_decode(
+            q, k, v,
+            kv_length=kv_length,
+            sm_scale=softmax_scale,
+            num_splits=cfg.decode_num_splits,
+            block_kv=cfg.decode_block_kv,
+            interpret=interp,
+        )
+
+    if kv_length is not None:
+        # Chunked-prefill over a partially filled cache: serve via the
+        # reference path for now (kernel support tracked for the runtime).
+        return attention_reference(
+            q, k, v, softmax_scale=softmax_scale, causal=causal,
+            kv_length=kv_length,
+        )
+
+    return flash_attention_fwd(
+        q, k, v,
+        sm_scale=softmax_scale,
+        causal=causal,
+        block_q=cfg.block_q,
+        block_kv=cfg.block_kv,
+        interpret=interp,
+    )
+
+
+def flash_attn_func(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    softmax_scale: float | None = None,
+    causal: bool = False,
+    **kwargs,
+) -> jax.Array:
+    """Drop-in analog of the reference `flash_attn_func`.
+
+    Args:
+      q: [batch, n_q_heads, q_seq_len, head_dim]
+      k: [batch, n_kv_heads, kv_seq_len, head_dim]
+      v: [batch, n_kv_heads, kv_seq_len, head_dim]
+      softmax_scale: defaults to head_dim ** -0.5
+      causal: bottom-right-aligned causal masking
+
+    Returns: [batch, n_q_heads, q_seq_len, head_dim] in q's dtype.
+    """
+    if softmax_scale is None:
+        softmax_scale = q.shape[-1] ** -0.5
+    return flash_attention_forward(
+        q, k, v, softmax_scale=softmax_scale, causal=causal, **kwargs
+    )

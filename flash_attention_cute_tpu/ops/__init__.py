@@ -1,0 +1,15 @@
+"""Pallas TPU kernels and their XLA reference implementations.
+
+Layout convention throughout: q [B, Hq, Sq, D], k/v [B, Hkv, Skv, D]
+(matches the reference custom op, reference: csrc/flash_attention_api.cpp:14-135).
+"""
+
+from flash_attention_cute_tpu.ops.reference import attention_reference
+from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
+from flash_attention_cute_tpu.ops.flash_decode import flash_attention_decode
+
+__all__ = [
+    "attention_reference",
+    "flash_attention_fwd",
+    "flash_attention_decode",
+]

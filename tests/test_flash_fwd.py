@@ -1,0 +1,142 @@
+"""Prefill flash-attention kernel vs fp32 XLA reference.
+
+Config matrix modeled on the reference's documented sweep
+(reference: scripts/benchmark_kernel.py:174-194): MHA/GQA/MQA x causal x
+dtype x head_dim 64/128, plus ragged (non-multiple-of-block) shapes and
+cross-seqlen (Sq != Skv) bottom-right-causal cases the reference kernel
+supports (csrc/mask.cuh:37-39).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
+from flash_attention_cute_tpu.ops.reference import attention_reference
+
+
+def make_qkv(key, b, hq, hkv, sq, skv, d, dtype):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, hkv, skv, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, hkv, skv, d), dtype=jnp.float32)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+def tol_for(dtype):
+    # Reference accepts atol=1e-3 for fp16 vs an independent oracle
+    # (scripts/benchmark_kernel.py:114-123); bf16 has 3 fewer mantissa bits.
+    return {
+        jnp.float32.dtype: 2e-5,
+        jnp.float16.dtype: 2e-3,
+        jnp.bfloat16.dtype: 2e-2,
+    }[jnp.dtype(dtype)]
+
+
+def check(q, k, v, causal, **kw):
+    out = flash_attention_fwd(q, k, v, causal=causal, interpret=True, **kw)
+    ref = attention_reference(q, k, v, causal=causal)
+    assert out.shape == q.shape
+    assert out.dtype == q.dtype
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        atol=tol_for(q.dtype),
+        rtol=2e-2,
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "hq,hkv",
+    [(4, 4), (8, 2), (8, 1)],  # MHA, GQA, MQA
+    ids=["mha", "gqa", "mqa"],
+)
+def test_head_configs(causal, hq, hkv):
+    q, k, v = make_qkv(jax.random.key(0), 2, hq, hkv, 256, 256, 64, jnp.float32)
+    check(q, k, v, causal, block_q=128, block_kv=128)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16, jnp.float32])
+def test_dtypes(dtype):
+    q, k, v = make_qkv(jax.random.key(1), 1, 4, 2, 256, 256, 64, dtype)
+    check(q, k, v, True, block_q=128, block_kv=128)
+
+
+@pytest.mark.parametrize("d", [64, 128, 96, 80])
+def test_head_dims(d):
+    # 96/80 exercise the lane-padding path (reference pads headdim to %8,
+    # flash_attention/flash_attention.py:26-31; TPU pads to the 128-lane tile).
+    q, k, v = make_qkv(jax.random.key(2), 1, 4, 4, 128, 128, d, jnp.float32)
+    check(q, k, v, True, block_q=128, block_kv=128)
+
+
+def test_fully_masked_rows_inside_visited_block():
+    """Sq > Skv with a block that MIXES fully-masked and valid rows: the
+    masked rows' l gets polluted by exp(mask - mask) == 1 terms unless the
+    kernel zeroes them at store time. Caught on hardware; keep covered."""
+    q, k, v = make_qkv(jax.random.key(8), 1, 2, 2, 300, 100, 64, jnp.float32)
+    out = flash_attention_fwd(
+        q, k, v, causal=True, block_q=256, block_kv=128, interpret=True
+    )
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_array_equal(np.asarray(out[:, :, :200]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-2
+    )
+
+
+@pytest.mark.parametrize(
+    "sq,skv",
+    [(256, 512), (512, 256), (128, 1024), (384, 384)],
+)
+def test_cross_seqlen_bottom_right_causal(sq, skv):
+    """Bottom-right alignment: with Skv > Sq the last q row sees all keys;
+    with Sq > Skv the first (Sq - Skv) rows are fully masked -> zero output."""
+    q, k, v = make_qkv(jax.random.key(3), 1, 2, 2, sq, skv, 64, jnp.float32)
+    check(q, k, v, True, block_q=128, block_kv=128)
+    if sq > skv:
+        out = flash_attention_fwd(
+            q, k, v, causal=True, block_q=128, block_kv=128, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[:, :, : sq - skv]), 0.0
+        )
+
+
+@pytest.mark.parametrize(
+    "sq,skv",
+    [(200, 200), (130, 390), (333, 77)],
+)
+def test_ragged_seqlens(sq, skv):
+    """Sequence lengths that are not multiples of the block sizes."""
+    q, k, v = make_qkv(jax.random.key(4), 1, 2, 2, sq, skv, 64, jnp.float32)
+    check(q, k, v, True, block_q=128, block_kv=128)
+    check(q, k, v, False, block_q=128, block_kv=128)
+
+
+def test_custom_scale():
+    q, k, v = make_qkv(jax.random.key(5), 1, 2, 2, 128, 128, 64, jnp.float32)
+    out = flash_attention_fwd(
+        q, k, v, sm_scale=0.25, causal=False,
+        block_q=128, block_kv=128, interpret=True,
+    )
+    ref = attention_reference(q, k, v, softmax_scale=0.25, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-2)
+
+
+def test_block_size_invariance():
+    """Numerics must not depend on tiling (same guarantee the two CUDA block
+    configs give, reference: csrc/flash_attention_impl.cu:14-25)."""
+    q, k, v = make_qkv(jax.random.key(6), 1, 2, 2, 512, 512, 64, jnp.float32)
+    o1 = flash_attention_fwd(q, k, v, causal=True, block_q=128, block_kv=128, interpret=True)
+    o2 = flash_attention_fwd(q, k, v, causal=True, block_q=256, block_kv=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5, rtol=1e-5)
+
+
+def test_llama2_7b_prefill_shape():
+    """The reference's default benchmark config, scaled down in batch
+    (reference: scripts/benchmark_kernel.py:127-136: B=16 Hq=64 Hkv=8 S=1024 D=128)."""
+    q, k, v = make_qkv(jax.random.key(7), 1, 8, 2, 1024, 1024, 128, jnp.bfloat16)
+    check(q, k, v, True, block_q=256, block_kv=256)
