@@ -31,6 +31,7 @@ def flash_attention_forward(
     softmax_scale: float | None = None,
     causal: bool = False,
     kv_length: jax.Array | None = None,
+    q_offset: jax.Array | None = None,
     *,
     block_config: dispatch.BlockConfig | None = None,
     interpret: bool | None = None,
@@ -38,7 +39,9 @@ def flash_attention_forward(
     """Dispatching attention forward. See `flash_attn_func`.
 
     `kv_length` ([B] int32) optionally marks the valid prefix of k/v — used by
-    the decode path over a preallocated cache.
+    the decode path over a preallocated cache. `q_offset` ([B] int32) is the
+    global position of q row 0 for chunked prefill (causality becomes
+    `col <= q_offset + row`).
     """
     dispatch.validate_inputs(q, k, v)
     b, hq, sq, d = q.shape
@@ -48,7 +51,7 @@ def flash_attention_forward(
     if not use_pallas:
         return attention_reference(
             q, k, v, softmax_scale=softmax_scale, causal=causal,
-            kv_length=kv_length,
+            kv_length=kv_length, q_offset=q_offset,
         )
 
     interp = bool(interpret)
@@ -68,12 +71,12 @@ def flash_attention_forward(
             interpret=interp,
         )
 
-    if kv_length is not None:
+    if kv_length is not None or q_offset is not None:
         # Chunked-prefill over a partially filled cache: serve via the
         # reference path for now (kernel support tracked for the runtime).
         return attention_reference(
             q, k, v, softmax_scale=softmax_scale, causal=causal,
-            kv_length=kv_length,
+            kv_length=kv_length, q_offset=q_offset,
         )
 
     return flash_attention_fwd(

@@ -1,0 +1,71 @@
+"""Model configuration.
+
+One dataclass covers both families the reference integrates (Llama and
+Qwen2 — reference: models/modeling_llama.py, models/modeling_qwen2.py);
+the architectural deltas are all config bits:
+  * Qwen2 adds QKV projection biases (reference: modeling_qwen2.py:211-214)
+  * Qwen2 may tie word embeddings
+  * RoPE scaling variants come from the Llama fork
+    (reference: modeling_llama.py:75-151: default / linear / dynamic-NTK)
+    plus the llama3 scheme used by Llama-3.x checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    rope_type: str = "default"  # default | linear | dynamic | llama3
+    factor: float = 1.0
+    # llama3-specific
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: RopeScaling | None = None
+    attention_bias: bool = False  # Qwen2: True
+    tie_word_embeddings: bool = False
+    sliding_window: int | None = None  # informational; see qwen2.py
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+    def __post_init__(self):
+        assert self.num_q_heads % self.num_kv_heads == 0
+
+
+def tiny_test_config(**overrides) -> ModelConfig:
+    """A small config for unit tests (Llama-shaped GQA)."""
+    base = dict(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_q_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        dtype=jnp.float32,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)

@@ -1,0 +1,118 @@
+"""HF checkpoint -> JAX parameter conversion.
+
+The reference loads weights through HF `from_pretrained`
+(reference: scripts/benchmark_llm.py:142-147); here the equivalent is an
+explicit converter from an HF torch state dict (or a transformers model /
+local checkpoint dir) into the stacked-layer pytree `transformer.forward`
+consumes. Linear weights are transposed once at load time ([out,in] ->
+[in,out]) so the forward pass is plain `x @ W` with no per-step transposes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_cute_tpu.models.config import ModelConfig
+
+
+def _to_np(t) -> np.ndarray:
+    """torch tensor / np array -> np.ndarray (fp32 staging)."""
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if t.dtype.__str__() == "torch.bfloat16":
+            t = t.float()
+        t = t.cpu().numpy()
+    return np.asarray(t)
+
+
+_PREFIX = re.compile(r"^(model\.|transformer\.)")
+
+
+def _normalize_key(k: str) -> str:
+    return _PREFIX.sub("", k)
+
+
+def params_from_state_dict(state_dict: dict, cfg: ModelConfig) -> dict:
+    """Convert an HF Llama/Qwen2-style state dict to the stacked pytree.
+
+    Accepts both `model.layers.N....` and `layers.N....` key styles and
+    torch tensors or numpy arrays as values.
+    """
+    sd = {_normalize_key(k): v for k, v in state_dict.items()}
+    dt = cfg.dtype
+
+    def get(k):
+        if k not in sd:
+            raise KeyError(f"missing weight {k!r}; have e.g. {list(sd)[:5]}")
+        return _to_np(sd[k])
+
+    def linear(k):  # [out, in] -> [in, out]
+        return jnp.asarray(get(k).T, dt)
+
+    def stack(fmt, conv):
+        return jnp.stack([conv(fmt.format(i)) for i in range(cfg.num_layers)])
+
+    layers = {
+        "input_ln": stack("layers.{}.input_layernorm.weight",
+                          lambda k: jnp.asarray(get(k), dt)),
+        "post_ln": stack("layers.{}.post_attention_layernorm.weight",
+                         lambda k: jnp.asarray(get(k), dt)),
+        "q_proj": stack("layers.{}.self_attn.q_proj.weight", linear),
+        "k_proj": stack("layers.{}.self_attn.k_proj.weight", linear),
+        "v_proj": stack("layers.{}.self_attn.v_proj.weight", linear),
+        "o_proj": stack("layers.{}.self_attn.o_proj.weight", linear),
+        "gate_proj": stack("layers.{}.mlp.gate_proj.weight", linear),
+        "up_proj": stack("layers.{}.mlp.up_proj.weight", linear),
+        "down_proj": stack("layers.{}.mlp.down_proj.weight", linear),
+    }
+    if cfg.attention_bias:
+        for name in ("q", "k", "v"):
+            layers[f"{name}_bias"] = stack(
+                "layers.{}.self_attn." + name + "_proj.bias",
+                lambda k: jnp.asarray(get(k), dt),
+            )
+
+    params = {
+        "embed": jnp.asarray(get("embed_tokens.weight"), dt),
+        "layers": layers,
+        "final_ln": jnp.asarray(get("norm.weight"), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        # lm_head lives outside the model.* prefix in HF checkpoints.
+        head = sd.get("lm_head.weight")
+        if head is None:
+            raise KeyError("lm_head.weight missing and embeddings not tied")
+        params["lm_head"] = jnp.asarray(_to_np(head).T, dt)
+    return params
+
+
+def load_hf_model(model_name_or_path: str, dtype=jnp.bfloat16):
+    """Load config + weights from a local HF checkout via transformers.
+
+    Returns (cfg, params). Network access is not assumed — pass a local
+    directory (the reference equally assumes a resolvable HF model id,
+    scripts/benchmark_llm.py:142-147).
+    """
+    import transformers
+
+    hf_cfg = transformers.AutoConfig.from_pretrained(model_name_or_path)
+    model_type = getattr(hf_cfg, "model_type", "llama")
+    if model_type == "qwen2":
+        from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
+        cfg = qwen2_config_from_hf(hf_cfg, dtype=dtype)
+    else:
+        from flash_attention_cute_tpu.models.llama import llama_config_from_hf
+        cfg = llama_config_from_hf(hf_cfg, dtype=dtype)
+
+    import torch
+
+    with torch.device("cpu"):
+        model = transformers.AutoModelForCausalLM.from_pretrained(
+            model_name_or_path, torch_dtype=torch.float32
+        )
+    params = params_from_state_dict(model.state_dict(), cfg)
+    del model
+    return cfg, params

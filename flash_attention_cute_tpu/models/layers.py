@@ -1,0 +1,123 @@
+"""Transformer building blocks (functional, dtype-polymorphic).
+
+TPU-native re-creations of the layers in the reference's vendored models:
+  * RMSNorm       (reference: models/modeling_llama.py:55-72)
+  * RoPE + scaling variants (reference: modeling_llama.py:75-151,
+    rotate_half/apply at models/rope_attn_fwd.py:8-38)
+  * SwiGLU MLP    (reference: modeling_llama.py:188-219, without the
+    vestigial pretraining_tp slicing — tensor parallelism is real here and
+    lives in parallel/, not in a local loop)
+  * attention     (reference: models/rope_attn_fwd.py:66-120) calling the
+    Pallas flash kernels through the dispatching API.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_cute_tpu.api import flash_attention_forward
+from flash_attention_cute_tpu.models.config import ModelConfig, RopeScaling
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in fp32, cast back (reference: modeling_llama.py:60-66)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
+    """Inverse frequencies with scaling variants.
+
+    default/linear/dynamic mirror the reference fork
+    (reference: modeling_llama.py:75-151); llama3 implements the
+    frequency-banded scaling used by Llama-3.x checkpoints. "dynamic" NTK is
+    evaluated at max_position_embeddings (static shapes under jit; the
+    reference recomputes per observed length, which recompiles per shape on
+    TPU — an explicit design change).
+    """
+    d = cfg.head_dim
+    inv = 1.0 / (
+        cfg.rope_theta
+        ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    sc = cfg.rope_scaling
+    if sc is None or sc.rope_type == "default":
+        return inv
+    if sc.rope_type == "linear":
+        return inv / sc.factor
+    if sc.rope_type == "dynamic":
+        seq = cfg.max_position_embeddings
+        orig = sc.original_max_position_embeddings or seq
+        alpha = (sc.factor * seq / orig) - (sc.factor - 1)
+        base = cfg.rope_theta * alpha ** (d / (d - 2))
+        return 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if sc.rope_type == "llama3":
+        low = sc.original_max_position_embeddings / sc.low_freq_factor
+        high = sc.original_max_position_embeddings / sc.high_freq_factor
+        wavelen = 2 * jnp.pi / inv
+        smooth = (sc.original_max_position_embeddings / wavelen - sc.low_freq_factor) / (
+            sc.high_freq_factor - sc.low_freq_factor
+        )
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = (1 - smooth) * inv / sc.factor + smooth * inv
+        return jnp.where(
+            wavelen > low, inv / sc.factor, jnp.where(wavelen < high, inv, scaled)
+        )
+    raise ValueError(f"unknown rope_type {sc.rope_type}")
+
+
+def rope_cos_sin(
+    positions: jax.Array, inv_freq: jax.Array, dtype
+) -> tuple[jax.Array, jax.Array]:
+    """positions [B, S] -> cos/sin [B, S, D] (half-dim frequencies tiled)."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, H, S, D]; cos/sin [B, S, D]
+    (reference: models/rope_attn_fwd.py:8-38 rotate_half convention)."""
+    c = cos[:, None]
+    s = sin[:, None]
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * c + rotated * s
+
+
+def mlp(x: jax.Array, p: dict) -> jax.Array:
+    """SwiGLU: down(silu(gate(x)) * up(x))."""
+    gate = jnp.dot(x, p["gate_proj"])
+    up = jnp.dot(x, p["up_proj"])
+    return jnp.dot(jax.nn.silu(gate) * up, p["down_proj"])
+
+
+def qkv_project(
+    x: jax.Array, p: dict, cfg: ModelConfig
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x [B, S, E] -> q [B, Hq, S, D], k/v [B, Hkv, S, D]."""
+    b, s, _ = x.shape
+    q = jnp.dot(x, p["q_proj"])
+    k = jnp.dot(x, p["k_proj"])
+    v = jnp.dot(x, p["v_proj"])
+    if cfg.attention_bias:
+        q = q + p["q_bias"]
+        k = k + p["k_bias"]
+        v = v + p["v_bias"]
+    q = q.reshape(b, s, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def attention_output(
+    attn: jax.Array, p: dict, cfg: ModelConfig
+) -> jax.Array:
+    """attn [B, Hq, S, D] -> o_proj output [B, S, E]."""
+    b, _, s, _ = attn.shape
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_q_heads * cfg.head_dim)
+    return jnp.dot(attn, p["o_proj"])

@@ -1,0 +1,209 @@
+"""The shared transformer core (Llama / Qwen2 architecture family).
+
+One functional forward replaces both vendored stacks
+(reference: models/modeling_llama.py:598-746 `LlamaModel.forward` and
+models/modeling_qwen2.py equivalents). TPU-first design choices:
+
+  * Layers run under `lax.scan` over stacked parameters: one layer is traced
+    once regardless of depth, and per-layer KV cache slices stream through
+    scan xs/ys instead of indexed updates on the stacked cache.
+  * The KV cache is fixed-capacity with explicit length scalars (see
+    cache.py) so prefill and every decode step are exactly two compiled
+    programs.
+  * Attention modes are static:
+      - mode="prefill": causal flash attention over the fresh K/V, then the
+        cache is written (cheapest: no wasted compute on empty cache tail).
+      - mode="decode":  seqlen 1; cache updated first, split-KV decode
+        kernel masked by lengths.
+      - mode="extend":  chunked prefill into a partially filled cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_cute_tpu.api import flash_attention_forward
+from flash_attention_cute_tpu.models.cache import KVCache
+from flash_attention_cute_tpu.models.config import ModelConfig
+from flash_attention_cute_tpu.models import layers as L
+
+
+def _layer_forward(
+    x: jax.Array,
+    lp: dict,
+    cfg: ModelConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache_l: jax.Array | None,
+    v_cache_l: jax.Array | None,
+    lengths: jax.Array | None,
+    mode: str,
+    interpret: bool | None,
+):
+    """One decoder layer (reference: modeling_llama.py:385-449).
+
+    Returns (x_out, new_k_cache_l, new_v_cache_l).
+    """
+    h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+    q, k, v = L.qkv_project(h, lp, cfg)
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+
+    if mode == "prefill":
+        attn = flash_attention_forward(q, k, v, causal=True, interpret=interpret)
+        if k_cache_l is not None:
+            s = k.shape[2]
+            k_cache_l = jax.lax.dynamic_update_slice(
+                k_cache_l, k.astype(k_cache_l.dtype), (0, 0, 0, 0)
+            )
+            v_cache_l = jax.lax.dynamic_update_slice(
+                v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
+            )
+    else:
+        # decode / extend: write new K/V at each sequence's offset, then
+        # attend over the cache masked by the advanced lengths.
+        def upd(buf_b, new_b, start):  # [Hkv, C, D], [Hkv, S, D]
+            return jax.lax.dynamic_update_slice(
+                buf_b, new_b.astype(buf_b.dtype), (0, start, 0)
+            )
+
+        k_cache_l = jax.vmap(upd)(k_cache_l, k, lengths)
+        v_cache_l = jax.vmap(upd)(v_cache_l, v, lengths)
+        new_len = lengths + q.shape[2]
+        attn = flash_attention_forward(
+            q,
+            k_cache_l.astype(q.dtype),
+            v_cache_l.astype(q.dtype),
+            causal=(mode == "extend"),
+            kv_length=new_len,
+            # Chunked prefill: causality is relative to each sequence's
+            # previous length, not the cache capacity.
+            q_offset=lengths if mode == "extend" else None,
+            interpret=interpret,
+        )
+
+    x = x + L.attention_output(attn, lp, cfg)
+    h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+    x = x + L.mlp(h, lp)
+    return x, k_cache_l, v_cache_l
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "interpret", "return_hidden"),
+)
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    cache: KVCache | None = None,
+    mode: str = "prefill",
+    interpret: bool | None = None,
+    return_hidden: bool = False,
+) -> tuple[jax.Array, KVCache | None]:
+    """Full causal-LM forward.
+
+    Args:
+      params: parameter pytree from init_params / convert.load_hf_params.
+      input_ids: [B, S] int32.
+      cache: optional KVCache; required for mode "decode"/"extend".
+      mode: "prefill" | "decode" | "extend" (static).
+
+    Returns (logits [B, S, vocab] fp32, updated cache or None).
+    (reference: modeling_llama.py:781-872 LlamaForCausalLM.forward,
+    logits upcast at :846-847.)
+    """
+    assert mode in ("prefill", "decode", "extend"), mode
+    if mode != "prefill":
+        assert cache is not None, f"mode={mode} requires a cache"
+
+    b, s = input_ids.shape
+    if mode == "decode":
+        assert s == 1, f"decode mode requires seqlen 1, got {s}"
+    x = params["embed"][input_ids].astype(cfg.dtype)
+
+    if cache is None or mode == "prefill":
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        lengths = None if cache is None else cache.lengths
+    else:
+        positions = cache.lengths[:, None] + jnp.arange(s, dtype=jnp.int32)
+        lengths = cache.lengths
+
+    inv_freq = L.rope_inv_freq(cfg)
+    cos, sin = L.rope_cos_sin(positions, inv_freq, cfg.dtype)
+
+    lp_stacked = params["layers"]
+
+    if cache is not None:
+        xs = (lp_stacked, cache.k, cache.v)
+    else:
+        xs = (lp_stacked, None, None)
+
+    def scan_body(x, xs_l):
+        lp, k_l, v_l = xs_l
+        x, new_k, new_v = _layer_forward(
+            x, lp, cfg, cos, sin, k_l, v_l, lengths, mode, interpret
+        )
+        if new_k is None:
+            return x, None
+        return x, (new_k, new_v)
+
+    if cache is not None:
+        x, (new_k, new_v) = jax.lax.scan(scan_body, x, xs)
+        new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + s)
+    else:
+        x, _ = jax.lax.scan(scan_body, x, xs)
+        new_cache = None
+
+    x = L.rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings (Qwen2 small models)
+        lm_head = params["embed"].T
+    logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
+    return logits, new_cache
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> dict:
+    """Random parameter pytree (for tests/benchmarks; real weights come from
+    models/convert.py)."""
+    e = cfg.hidden_size
+    f = cfg.intermediate_size
+    hq = cfg.num_q_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    lcount = cfg.num_layers
+    keys = iter(jax.random.split(key, 16))
+
+    def norm(k, shape, scale=None):
+        scale = scale or (shape[0] ** -0.5)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    layers = {
+        "input_ln": jnp.ones((lcount, e), cfg.dtype),
+        "post_ln": jnp.ones((lcount, e), cfg.dtype),
+        "q_proj": norm(next(keys), (lcount, e, hq)),
+        "k_proj": norm(next(keys), (lcount, e, hkv)),
+        "v_proj": norm(next(keys), (lcount, e, hkv)),
+        "o_proj": norm(next(keys), (lcount, hq, e)),
+        "gate_proj": norm(next(keys), (lcount, e, f)),
+        "up_proj": norm(next(keys), (lcount, e, f)),
+        "down_proj": norm(next(keys), (lcount, f, e)),
+    }
+    if cfg.attention_bias:
+        layers["q_bias"] = jnp.zeros((lcount, hq), cfg.dtype)
+        layers["k_bias"] = jnp.zeros((lcount, hkv), cfg.dtype)
+        layers["v_bias"] = jnp.zeros((lcount, hkv), cfg.dtype)
+
+    params = {
+        "embed": norm(next(keys), (cfg.vocab_size, e), scale=0.02),
+        "layers": layers,
+        "final_ln": jnp.ones((e,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm(next(keys), (e, cfg.vocab_size))
+    return params

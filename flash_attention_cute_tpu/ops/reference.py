@@ -36,6 +36,7 @@ def attention_reference(
     softmax_scale: float | None = None,
     causal: bool = False,
     kv_length: jax.Array | None = None,
+    q_offset: jax.Array | None = None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale + mask) V computed in fp32, no tiling.
 
@@ -47,6 +48,10 @@ def attention_reference(
       causal: bottom-right-aligned causal masking
       kv_length: optional [B] int32 valid KV lengths (positions >= length are
         masked) — used to test the length-aware decode kernels.
+      q_offset: optional [B] int32 global position of q row 0 (chunked
+        prefill into a partially-filled cache). When given with causal=True,
+        causality is `col <= q_offset + row` instead of the shape-derived
+        bottom-right offset.
 
     Returns [B, Hq, Sq, D] in q's dtype.
     """
@@ -69,7 +74,12 @@ def attention_reference(
 
     allowed = jnp.ones((b, 1, sq, skv), dtype=jnp.bool_)
     if causal:
-        allowed &= bottom_right_causal_mask(sq, skv)[None, None]
+        if q_offset is not None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, skv), 2)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, skv), 3)
+            allowed &= cols <= rows + q_offset.reshape(b, 1, 1, 1)
+        else:
+            allowed &= bottom_right_causal_mask(sq, skv)[None, None]
     if kv_length is not None:
         pos = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, skv), 3)
         allowed &= pos < kv_length.reshape(b, 1, 1, 1)

@@ -1,0 +1,185 @@
+"""Model-stack parity vs HuggingFace transformers (torch CPU oracle).
+
+The reference validates its model integration by running patched HF models
+and eyeballing generations (reference: scripts/benchmark_llm.py:95-118); we
+do it properly: tiny random-weight HF models' logits must match our JAX
+stack bit-tolerantly in fp32, for both Llama and Qwen2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.models import (
+    KVCache,
+    forward,
+    init_params,
+    llama_config_from_hf,
+    qwen2_config_from_hf,
+)
+from flash_attention_cute_tpu.models.config import tiny_test_config
+from flash_attention_cute_tpu.models.convert import params_from_state_dict
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+
+def tiny_hf_llama():
+    cfg = transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    with torch.device("cpu"):
+        model = transformers.LlamaForCausalLM(cfg).eval()
+    return cfg, model
+
+
+def tiny_hf_qwen2():
+    cfg = transformers.Qwen2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=1000000.0,
+        tie_word_embeddings=True,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(1)
+    with torch.device("cpu"):
+        model = transformers.Qwen2ForCausalLM(cfg).eval()
+    return cfg, model
+
+
+def hf_logits(model, ids_np):
+    with torch.no_grad():
+        return model(torch.from_numpy(ids_np)).logits.float().numpy()
+
+
+@pytest.mark.parametrize("family", ["llama", "qwen2"])
+def test_logits_parity_with_hf(family):
+    if family == "llama":
+        hf_cfg, model = tiny_hf_llama()
+        cfg = llama_config_from_hf(hf_cfg, dtype=jnp.float32)
+    else:
+        hf_cfg, model = tiny_hf_qwen2()
+        cfg = qwen2_config_from_hf(hf_cfg, dtype=jnp.float32)
+
+    params = params_from_state_dict(model.state_dict(), cfg)
+    ids = np.array([[1, 5, 9, 2, 7, 3, 11, 4]], np.int32)
+
+    want = hf_logits(model, ids)
+    got, _ = forward(params, cfg, jnp.asarray(ids), mode="prefill")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-3)
+
+
+def test_prefill_then_decode_matches_full_forward():
+    """KV-cached decoding must reproduce the uncached logits token by token
+    (the invariant behind the reference's per-token decode loop,
+    scripts/benchmark_llm.py:65-92)."""
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(0))
+    ids = jax.random.randint(jax.random.key(1), (2, 12), 0, cfg.vocab_size)
+
+    full_logits, _ = forward(params, cfg, ids, mode="prefill")
+
+    cache = KVCache.create(cfg, batch=2, capacity=32)
+    prefill_len = 8
+    logits_p, cache = forward(
+        params, cfg, ids[:, :prefill_len], cache=cache, mode="prefill"
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(full_logits[:, :prefill_len]),
+        atol=1e-4, rtol=1e-3,
+    )
+
+    for t in range(prefill_len, 12):
+        logits_t, cache = forward(
+            params, cfg, ids[:, t : t + 1], cache=cache, mode="decode"
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_t[:, 0]), np.asarray(full_logits[:, t]),
+            atol=1e-4, rtol=1e-3,
+        )
+
+
+def test_chunked_prefill_extend_matches_full_forward():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(0))
+    ids = jax.random.randint(jax.random.key(2), (2, 16), 0, cfg.vocab_size)
+
+    full_logits, _ = forward(params, cfg, ids, mode="prefill")
+
+    cache = KVCache.create(cfg, batch=2, capacity=32)
+    _, cache = forward(params, cfg, ids[:, :8], cache=cache, mode="prefill")
+    logits_e, cache = forward(params, cfg, ids[:, 8:16], cache=cache, mode="extend")
+    np.testing.assert_allclose(
+        np.asarray(logits_e), np.asarray(full_logits[:, 8:16]),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_array_equal(np.asarray(cache.lengths), [16, 16])
+
+
+def test_qwen2_sliding_window_rejected():
+    hf_cfg = {"use_sliding_window": True, "hidden_size": 64,
+              "num_attention_heads": 4, "vocab_size": 128,
+              "intermediate_size": 112, "num_hidden_layers": 1}
+    with pytest.raises(NotImplementedError):
+        qwen2_config_from_hf(hf_cfg)
+
+
+def test_rope_scaling_variants_run():
+    for rs in (
+        {"rope_type": "linear", "factor": 2.0},
+        {"rope_type": "dynamic", "factor": 2.0,
+         "original_max_position_embeddings": 128},
+        {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+         "high_freq_factor": 4.0, "original_max_position_embeddings": 128},
+    ):
+        hf_cfg = dict(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=2,
+            num_key_value_heads=2, max_position_embeddings=256,
+            rope_scaling=rs, tie_word_embeddings=False,
+        )
+        cfg = llama_config_from_hf(hf_cfg, dtype=jnp.float32)
+        params = init_params(cfg, jax.random.key(3))
+        ids = jnp.ones((1, 8), jnp.int32)
+        logits, _ = forward(params, cfg, ids, mode="prefill")
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_llama3_rope_scaling_parity_with_hf():
+    """The llama3 frequency-banded scaling must match HF's implementation."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    with torch.device("cpu"):
+        model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = params_from_state_dict(model.state_dict(), cfg)
+    ids = np.array([[3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]], np.int32)
+    want = hf_logits(model, ids)
+    got, _ = forward(params, cfg, jnp.asarray(ids), mode="prefill")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-3)
