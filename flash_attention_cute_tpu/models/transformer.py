@@ -43,18 +43,24 @@ def _layer_forward(
     lengths: jax.Array | None,
     mode: str,
     interpret: bool | None,
+    mesh=None,
 ):
     """One decoder layer (reference: modeling_llama.py:385-449).
 
     Returns (x_out, new_k_cache_l, new_v_cache_l).
     """
+    if mesh is not None:
+        from flash_attention_cute_tpu.parallel.sharding import sharded_attention
+        attn_fn = functools.partial(sharded_attention, mesh)
+    else:
+        attn_fn = flash_attention_forward
     h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
     q, k, v = L.qkv_project(h, lp, cfg)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
     if mode == "prefill":
-        attn = flash_attention_forward(q, k, v, causal=True, interpret=interpret)
+        attn = attn_fn(q, k, v, causal=True, interpret=interpret)
         if k_cache_l is not None:
             s = k.shape[2]
             k_cache_l = jax.lax.dynamic_update_slice(
@@ -74,7 +80,7 @@ def _layer_forward(
         k_cache_l = jax.vmap(upd)(k_cache_l, k, lengths)
         v_cache_l = jax.vmap(upd)(v_cache_l, v, lengths)
         new_len = lengths + q.shape[2]
-        attn = flash_attention_forward(
+        attn = attn_fn(
             q,
             k_cache_l.astype(q.dtype),
             v_cache_l.astype(q.dtype),
@@ -94,7 +100,7 @@ def _layer_forward(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "interpret", "return_hidden"),
+    static_argnames=("cfg", "mode", "interpret", "return_hidden", "mesh"),
 )
 def forward(
     params: dict,
@@ -104,6 +110,7 @@ def forward(
     mode: str = "prefill",
     interpret: bool | None = None,
     return_hidden: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Full causal-LM forward.
 
@@ -146,7 +153,7 @@ def forward(
     def scan_body(x, xs_l):
         lp, k_l, v_l = xs_l
         x, new_k, new_v = _layer_forward(
-            x, lp, cfg, cos, sin, k_l, v_l, lengths, mode, interpret
+            x, lp, cfg, cos, sin, k_l, v_l, lengths, mode, interpret, mesh
         )
         if new_k is None:
             return x, None

@@ -1,0 +1,298 @@
+"""Paged-attention decode kernel (non-contiguous KV pages, async DMA).
+
+Completes the reference's "paged kv cache (Paged Attention)" roadmap item
+(reference: README.md:21) TPU-natively. The cache lives in HBM as
+fixed-size pages scattered by a per-sequence page table; the kernel
+gathers the pages for one compute block with one async DMA per page (all
+in flight concurrently), double-buffered so the next block's pages load
+while the current block computes — the same overlap discipline as the
+reference's cp.async two-stage pipeline (reference:
+csrc/flash_attention_template.cuh:323-385), expressed with Pallas DMA
+primitives instead of cp.async.
+
+GQA q-head-group packing is inherited from the dense decode kernel
+(reference: csrc/flash_attention_api.cpp:72-83).
+
+Layouts:
+  q:            [B, Hkv, G_pad, D]       (packed q-head groups)
+  k_pages:      [Hkv, num_pages, page_size, D]  (HBM resident)
+  v_pages:      [Hkv, num_pages, page_size, D]
+  lengths:      [B] int32
+  page_table:   [B, pages_per_seq] int32 (padding entries must be valid
+                page ids, e.g. 0 — they are masked, never used)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_cute_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    _round_up,
+)
+
+
+def _fetch_block(pages_ref, buf, sem, page_tbl_ref, b, i, slot, ppcb, h):
+    """One async copy per page of compute block i of sequence b -> buf[slot].
+
+    Returns the copy descriptors (constructed identically at wait time,
+    the standard Pallas multi-page DMA pattern).
+    """
+    copies = []
+    for j in range(ppcb):  # static unroll: ppcb concurrent DMAs
+        page = page_tbl_ref[b, i * ppcb + j]
+        copies.append(
+            pltpu.make_async_copy(
+                pages_ref.at[h, page],
+                buf.at[slot, j],
+                sem.at[slot],
+            )
+        )
+    return copies
+
+
+def _paged_decode_kernel(
+    # scalar prefetch
+    lengths_ref,  # [B] int32
+    page_tbl_ref,  # [B, pages_per_seq] int32
+    # inputs
+    q_ref,  # [1, 1, g_pad, d] VMEM
+    k_pages_ref,  # [Hkv, P, ps, d] ANY (HBM)
+    v_pages_ref,  # [Hkv, P, ps, d] ANY (HBM)
+    # outputs
+    o_ref,  # [1, 1, g_pad, d] f32
+    # scratch
+    k_buf,  # [2, ppcb, ps, d] VMEM
+    v_buf,  # [2, ppcb, ps, d] VMEM
+    sem_k,  # DMA sems (2,)
+    sem_v,
+    m_scr,  # [g_pad, NUM_LANES] f32
+    l_scr,
+    acc_scr,  # [g_pad, d] f32
+    state_ref,  # SMEM (2,) int32: [buffer_index, init_flag]
+    *,
+    page_size: int,
+    ppcb: int,
+    sm_scale: float,
+    mask_value: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_b = pl.num_programs(0)
+    num_h = pl.num_programs(1)
+
+    bk = page_size * ppcb
+    length = lengths_ref[b]
+
+    @pl.when((b == 0) & (h == 0) & (i == 0))
+    def _global_init():
+        state_ref[0] = 0
+        state_ref[1] = 1
+
+    @pl.when(i == 0)
+    def _seq_init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def next_live_block(b_, h_, i_):
+        """Grid coordinates of the next live (within-length) block."""
+        within = (i_ + 1) * bk < lengths_ref[b_]
+        i_n = jnp.where(within, i_ + 1, 0)
+        h_n = jnp.where(within, h_, h_ + 1)
+        wrap = h_n == num_h
+        h_n = jnp.where(wrap, 0, h_n)
+        b_n = jnp.where(wrap, b_ + 1, b_)
+        return b_n, h_n, i_n
+
+    @pl.when(i * bk < length)
+    def _live():
+        @pl.when(state_ref[1] == 1)
+        def _first_fetch():
+            for c in _fetch_block(k_pages_ref, k_buf, sem_k, page_tbl_ref,
+                                  b, i, 0, ppcb, h):
+                c.start()
+            for c in _fetch_block(v_pages_ref, v_buf, sem_v, page_tbl_ref,
+                                  b, i, 0, ppcb, h):
+                c.start()
+            state_ref[0] = 0
+            state_ref[1] = 0
+
+        slot = state_ref[0]
+
+        # Prefetch the next live block into the other slot while this one
+        # computes (double buffering, guide pattern §11).
+        b_n, h_n, i_n = next_live_block(b, h, i)
+
+        @pl.when(b_n < num_b)
+        def _prefetch():
+            for c in _fetch_block(k_pages_ref, k_buf, sem_k, page_tbl_ref,
+                                  b_n, i_n, 1 - slot, ppcb, h_n):
+                c.start()
+            for c in _fetch_block(v_pages_ref, v_buf, sem_v, page_tbl_ref,
+                                  b_n, i_n, 1 - slot, ppcb, h_n):
+                c.start()
+
+        # Wait for the current block's pages.
+        for c in _fetch_block(k_pages_ref, k_buf, sem_k, page_tbl_ref,
+                              b, i, slot, ppcb, h):
+            c.wait()
+
+        q = q_ref[0, 0]  # [g_pad, d]
+        k = k_buf[slot].reshape(bk, -1)  # [bk, d]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s *= sm_scale
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        s = jnp.where(cols < length, s, mask_value)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        for c in _fetch_block(v_pages_ref, v_buf, sem_v, page_tbl_ref,
+                              b, i, slot, ppcb, h):
+            c.wait()
+        v = v_buf[slot].reshape(bk, -1)
+
+        acc_scr[...] *= alpha
+        acc_scr[...] += jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        state_ref[0] = 1 - slot
+
+        is_last = (i + 1) * bk >= length
+
+        @pl.when(is_last)
+        def _store():
+            l = l_scr[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = acc_scr[...] * l_inv
+
+    # Sequences shorter than one block never hit is_last at later i, and
+    # zero-length sequences never run: emit zeros for them at the final
+    # grid step so o_ref is always written.
+    @pl.when((i == pl.num_programs(2) - 1) & (length == 0))
+    def _store_empty():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "pages_per_compute_block", "interpret", "debug"),
+)
+def paged_attention_decode(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_table: jax.Array,
+    sm_scale: float | None = None,
+    pages_per_compute_block: int = 8,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Single-token decode over a paged KV cache.
+
+    Args:
+      q: [B, Hq, 1, D]
+      k_pages/v_pages: [Hkv, num_pages, page_size, D]
+      lengths: [B] int32 valid token counts
+      page_table: [B, pages_per_seq] int32 physical page ids
+
+    Returns: [B, Hq, 1, D] in q's dtype.
+    """
+    b, hq, sq, d = q.shape
+    hkv, num_pages, page_size, dk = k_pages.shape
+    assert sq == 1, sq
+    assert d == dk and hq % hkv == 0
+    assert page_size % 8 == 0, "page_size must be a multiple of 8 sublanes"
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+
+    g = hq // hkv
+    g_pad = max(8, _round_up(g, 8))
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+
+    pages_per_seq = page_table.shape[1]
+    ppcb = min(pages_per_compute_block, pages_per_seq)
+    # Pad the page table so compute blocks tile evenly.
+    pps_pad = _round_up(pages_per_seq, ppcb)
+    if pps_pad != pages_per_seq:
+        page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
+    num_blocks = pps_pad // ppcb
+
+    qp = q.reshape(b, hkv, g, d)
+    if g_pad != g:
+        qp = jnp.pad(qp, [(0, 0), (0, 0), (0, g_pad - g), (0, 0)])
+    if d_pad != d:
+        qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
+        k_pages = jnp.pad(k_pages, [(0, 0)] * 3 + [(0, d_pad - d)])
+        v_pages = jnp.pad(v_pages, [(0, 0)] * 3 + [(0, d_pad - d)])
+
+    kernel = functools.partial(
+        _paged_decode_kernel,
+        page_size=page_size,
+        ppcb=ppcb,
+        sm_scale=sm_scale,
+        mask_value=DEFAULT_MASK_VALUE,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, num_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, g_pad, d_pad),
+                    lambda b_, h, i, lens, tbl: (b_, h, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, g_pad, d_pad),
+                lambda b_, h, i, lens, tbl: (b_, h, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ppcb, page_size, d_pad), k_pages.dtype),
+                pltpu.VMEM((2, ppcb, page_size, d_pad), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((g_pad, d_pad), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        debug=debug,
+        name="paged_attention_decode",
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), qp, k_pages, v_pages)
+
+    o = out[:, :, :g, :d].reshape(b, hq, 1, d)
+    return o.astype(q.dtype)

@@ -1,0 +1,295 @@
+"""Quantized-KV-cache attention (int8 / fp8 values + per-token scales).
+
+Completes the reference's "quantized dtype kernels" roadmap item
+(reference: README.md:22) TPU-natively, for the decode path where KV-cache
+HBM bandwidth dominates: int8/fp8 halves (vs bf16) the bytes streamed per
+token, which is a direct speedup for the memory-bound phases.
+
+Dequantization never materializes a dequantized KV block. With per-token
+scales s_j:
+
+    S_ij = (q_i . k_j) * kscale_j        fold into the score tile
+    O_i  = sum_j P_ij * vscale_j * v_j   fold into the P tile
+
+Both folds touch [G, block_kv] tiles instead of [block_kv, D] blocks —
+G (the packed GQA group, ~8) << D (128), so the fold is ~16x cheaper than
+scaling K/V, and the MXU still sees a plain matmul ("dequant fused into
+the PV matmul", BASELINE.json north star).
+
+Scales are stored as [B, H, S] (f32); value layouts match the bf16 cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_cute_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    _round_up,
+)
+
+INT8_MAX = 127.0
+FP8_E4M3_MAX = 448.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedKV:
+    """Quantized tensor + per-token scales.
+
+    values: int8 or float8_e4m3fn, same shape as the original [..., S, D]
+    scales: float32 [..., S] such that original ~= values * scales[..., None]
+    """
+
+    values: jax.Array
+    scales: jax.Array
+
+
+def quantize_kv(x: jax.Array, dtype=jnp.int8) -> QuantizedKV:
+    """Per-token (last-axis) symmetric quantization of [..., S, D]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [..., S]
+    qmax = INT8_MAX if dtype == jnp.int8 else FP8_E4M3_MAX
+    scales = jnp.where(amax == 0.0, 1.0, amax / qmax)
+    scaled = x.astype(jnp.float32) / scales[..., None]
+    if dtype == jnp.int8:
+        values = jnp.round(scaled).astype(jnp.int8)
+    else:
+        values = scaled.astype(dtype)
+    return QuantizedKV(values=values, scales=scales)
+
+
+def dequantize_kv(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
+    return (q.values.astype(jnp.float32) * q.scales[..., None]).astype(dtype)
+
+
+def _quant_decode_kernel(
+    lengths_ref,  # [B] int32 scalar prefetch
+    q_ref,  # [1, 1, g_pad, d]
+    k_ref,  # [1, 1, block_kv, d] int8/fp8
+    ks_ref,  # [1, Hkv, block_kv] f32 scales (all heads: TPU block tiling
+             # requires the sublane dim be a full axis; the slice is tiny)
+    v_ref,  # [1, 1, block_kv, d]
+    vs_ref,  # [1, Hkv, block_kv]
+    o_ref,  # [1, 1, 1, g_pad, d] partial acc
+    m_ref,  # [1, 1, 1, g_pad, LANES]
+    l_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    block_kv: int,
+    blocks_per_split: int,
+    mask_value: float,
+    compute_dtype,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    split = pl.program_id(2)
+    t = pl.program_id(3)
+
+    @pl.when(t == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    length = lengths_ref[b]
+    blk = split * blocks_per_split + t
+    blk_start = blk * block_kv
+
+    @pl.when(blk_start < length)
+    def _run():
+        q = q_ref[0, 0]
+        # MXU needs matching operand dtypes: cast the quantized block to the
+        # compute dtype WITHOUT applying scales (the scale folds into s).
+        k = k_ref[0, 0].astype(compute_dtype)
+        kscale = ks_ref[0, h].astype(jnp.float32)  # [block_kv]
+
+        s = jax.lax.dot_general(
+            q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [g_pad, block_kv]
+        s = s * (kscale[None, :] * sm_scale)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
+        s = jnp.where(cols < length, s, mask_value)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        v = v_ref[0, 0].astype(compute_dtype)
+        vscale = vs_ref[0, h].astype(jnp.float32)  # [block_kv]
+        # Fold V's dequant scale into P before the PV matmul.
+        pv_in = (p * vscale[None, :]).astype(compute_dtype)
+
+        acc_scratch[...] *= alpha
+        acc_scratch[...] += jax.lax.dot_general(
+            pv_in, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == blocks_per_split - 1)
+    def _store():
+        o_ref[0, 0, 0] = acc_scratch[...]
+        m_ref[0, 0, 0] = m_scratch[...]
+        l_ref[0, 0, 0] = l_scratch[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "num_splits", "block_kv", "interpret", "debug"),
+)
+def flash_attention_decode_quantized(
+    q: jax.Array,
+    k: QuantizedKV,
+    v: QuantizedKV,
+    kv_length: jax.Array | None = None,
+    sm_scale: float | None = None,
+    num_splits: int = 0,
+    block_kv: int = 512,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Split-KV decode over a quantized cache.
+
+    Args:
+      q: [B, Hq, 1, D] bf16/f16/f32
+      k, v: QuantizedKV with values [B, Hkv, Skv, D] (int8 or fp8) and
+        scales [B, Hkv, Skv] f32.
+
+    Returns: [B, Hq, 1, D] in q's dtype.
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.values.shape
+    assert sq == 1
+    assert hq % hkv == 0
+    assert k.scales.shape == (b, hkv, skv), k.scales.shape
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+
+    g = hq // hkv
+    g_pad = max(8, _round_up(g, 8))
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+    block_kv = min(block_kv, _round_up(skv, NUM_LANES))
+    skv_pad = _round_up(skv, block_kv)
+    num_kv_blocks = skv_pad // block_kv
+
+    if num_splits <= 0:
+        num_splits = 1
+        while b * hkv * num_splits < 16 and num_splits * 2 <= num_kv_blocks:
+            num_splits *= 2
+    num_splits = min(num_splits, num_kv_blocks)
+    blocks_per_split = pl.cdiv(num_kv_blocks, num_splits)
+    skv_pad = num_splits * blocks_per_split * block_kv
+
+    qp = q.reshape(b, hkv, g, d)
+    if g_pad != g:
+        qp = jnp.pad(qp, [(0, 0), (0, 0), (0, g_pad - g), (0, 0)])
+    kv_vals = [k.values, v.values]
+    kv_scales = [k.scales, v.scales]
+    if d_pad != d:
+        qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
+        kv_vals = [jnp.pad(x, [(0, 0)] * 3 + [(0, d_pad - d)]) for x in kv_vals]
+    if skv_pad != skv:
+        kv_vals = [
+            jnp.pad(x, [(0, 0), (0, 0), (0, skv_pad - skv), (0, 0)])
+            for x in kv_vals
+        ]
+        kv_scales = [
+            jnp.pad(x, [(0, 0), (0, 0), (0, skv_pad - skv)]) for x in kv_scales
+        ]
+    kq, vq = kv_vals
+    ks, vs = kv_scales
+
+    if kv_length is None:
+        lengths = jnp.full((b,), skv, jnp.int32)
+    else:
+        lengths = jnp.minimum(kv_length.astype(jnp.int32), skv)
+
+    grid = (b, hkv, num_splits, blocks_per_split)
+    bps = blocks_per_split
+
+    def q_map(b_, h, s_, t, lens):
+        return (b_, h, 0, 0)
+
+    def kv_map(b_, h, s_, t, lens):
+        return (b_, h, s_ * bps + t, 0)
+
+    def sc_map(b_, h, s_, t, lens):
+        return (b_, 0, s_ * bps + t)
+
+    def part_map(b_, h, s_, t, lens):
+        return (b_, h, s_, 0, 0)
+
+    kernel = functools.partial(
+        _quant_decode_kernel,
+        sm_scale=sm_scale,
+        block_kv=block_kv,
+        blocks_per_split=blocks_per_split,
+        mask_value=DEFAULT_MASK_VALUE,
+        compute_dtype=q.dtype if q.dtype != jnp.float32 else jnp.float32,
+    )
+
+    acc, m_part, l_part = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
+                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, hkv, block_kv), sc_map),
+                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, hkv, block_kv), sc_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, g_pad, d_pad), part_map),
+                pl.BlockSpec((1, 1, 1, g_pad, NUM_LANES), part_map),
+                pl.BlockSpec((1, 1, 1, g_pad, NUM_LANES), part_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((g_pad, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, num_splits, g_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, num_splits, g_pad, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, num_splits, g_pad, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        debug=debug,
+        name="flash_attention_decode_quantized",
+    )(lengths, qp, kq, ks, vq, vs)
+
+    m_s = m_part[..., 0]
+    l_s = l_part[..., 0]
+    m_max = jnp.max(m_s, axis=2, keepdims=True)
+    w = jnp.where(jnp.isneginf(m_s), 0.0, jnp.exp(m_s - m_max))
+    l_tot = jnp.sum(w * l_s, axis=2)
+    o = jnp.einsum("bhsgd,bhsg->bhgd", acc, w)
+    l_inv = jnp.where(l_tot == 0.0, 1.0, 1.0 / l_tot)
+    o = o * l_inv[..., None]
+
+    o = o[:, :, :g, :d].reshape(b, hq, 1, d)
+    return o.astype(q.dtype)

@@ -1,0 +1,15 @@
+"""Inference runtime: generation loops, sampling, batching.
+
+The reference's runtime is the manual prefill + per-token decode loop in
+its benchmark scripts (reference: scripts/benchmark_llm.py:47-92,
+:95-118 `generate`); here it is a first-class, fully-jitted subsystem.
+"""
+
+from flash_attention_cute_tpu.runtime.generate import (
+    generate,
+    greedy_generate,
+    prefill,
+)
+from flash_attention_cute_tpu.runtime.sampling import sample_token
+
+__all__ = ["generate", "greedy_generate", "prefill", "sample_token"]

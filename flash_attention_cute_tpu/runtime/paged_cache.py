@@ -1,0 +1,126 @@
+"""Paged KV cache: device-side page pool + functional append, host-side
+page allocator.
+
+The reference has no cache manager at all (HF DynamicCache does it,
+reference: models/rope_attn_fwd.py:90-93); paged caching is its open
+roadmap item (reference: README.md:21). Design follows serving practice:
+the *allocator* (free-list, page-table assembly) runs on the host inside
+the scheduler; the *data path* (token scatter into pages, attention over
+pages) is jitted device code with static shapes.
+
+Layouts (per layer slices feed ops/paged_attention.py):
+  k_pages/v_pages: [L, Hkv, num_pages, page_size, D]
+  page_table:      [B, pages_per_seq_max] int32 (padding = page 0, masked)
+  lengths:         [B] int32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVState:
+    """Device-side paged cache state (a pytree; allocator lives separately)."""
+
+    k_pages: jax.Array  # [L, Hkv, P, ps, D]
+    v_pages: jax.Array
+    page_table: jax.Array  # [B, pages_per_seq] int32
+    lengths: jax.Array  # [B] int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+
+def create_paged_state(
+    cfg, num_pages: int, page_size: int, batch: int, pages_per_seq: int,
+    dtype=None,
+) -> PagedKVState:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    return PagedKVState(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_table=jnp.zeros((batch, pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def paged_append_layer(
+    k_pages_l: jax.Array,  # [Hkv, P, ps, D]
+    v_pages_l: jax.Array,
+    k_new: jax.Array,  # [B, Hkv, S, D]
+    v_new: jax.Array,
+    page_table: jax.Array,  # [B, pages_per_seq]
+    lengths: jax.Array,  # [B] (lengths BEFORE the append)
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter S new tokens per sequence into the page pool (one layer)."""
+    hkv, p, ps, d = k_pages_l.shape
+    b, _, s, _ = k_new.shape
+
+    pos = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)  # [B, S]
+    page = jnp.take_along_axis(page_table, pos // ps, axis=1)  # [B, S]
+    flat_idx = (page * ps + pos % ps).reshape(-1)  # [B*S]
+
+    def scatter(pages, new):
+        flat = pages.reshape(hkv, p * ps, d)
+        vals = new.astype(pages.dtype).transpose(1, 0, 2, 3).reshape(hkv, b * s, d)
+        return flat.at[:, flat_idx].set(vals).reshape(hkv, p, ps, d)
+
+    return scatter(k_pages_l, k_new), scatter(v_pages_l, v_new)
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (scheduler component).
+
+    Page 0 is reserved as the null page: page-table padding points at it so
+    out-of-range entries stay valid for DMA (they are masked in-kernel).
+    """
+
+    def __init__(self, num_pages: int, page_size: int, pages_per_seq: int):
+        self.page_size = page_size
+        self.pages_per_seq = pages_per_seq
+        self.free = list(range(num_pages - 1, 0, -1))  # page 0 reserved
+        self.tables: dict[int, list[int]] = {}
+
+    @property
+    def num_free(self) -> int:
+        return len(self.free)
+
+    def pages_needed(self, cur_len: int, new_tokens: int) -> int:
+        have = -(-cur_len // self.page_size) if cur_len else 0
+        need = -(-(cur_len + new_tokens) // self.page_size)
+        return max(0, need - have)
+
+    def allocate(self, seq_id: int, cur_len: int, new_tokens: int) -> bool:
+        """Reserve pages for new_tokens more tokens. False if OOM."""
+        n = self.pages_needed(cur_len, new_tokens)
+        if n > len(self.free):
+            return False
+        tbl = self.tables.setdefault(seq_id, [])
+        if len(tbl) + n > self.pages_per_seq:
+            return False
+        for _ in range(n):
+            tbl.append(self.free.pop())
+        return True
+
+    def release(self, seq_id: int) -> None:
+        tbl = self.tables.pop(seq_id, [])
+        self.free.extend(reversed(tbl))
+
+    def table_row(self, seq_id: int) -> np.ndarray:
+        """Padded page-table row for the device array."""
+        row = np.zeros((self.pages_per_seq,), np.int32)
+        tbl = self.tables.get(seq_id, [])
+        row[: len(tbl)] = tbl
+        return row
