@@ -4,24 +4,40 @@ TPU-native re-design of the reference CUDA kernel
 (reference: csrc/flash_attention_template.cuh:138-564 `flash_attention_v2`,
 csrc/mask.cuh:30-88 `Mask`):
 
-  * grid (batch, q_head, q_block, kv_block) replaces the CUDA grid
+  * grid (batch, kv_head, q_block, kv_block) replaces the CUDA grid
     (q_tiles, heads, batch) + in-kernel KV loop; the kv dimension is marked
     "arbitrary" so Mosaic keeps it sequential (it is the online-softmax
-    reduction) while batch/head/q-tile dims run in parallel across megacores.
-  * Pallas' automatic pipelining double-buffers the K/V HBM->VMEM block copies,
-    replacing the hand-rolled cp.async two-stage pipeline
+    reduction) while batch/head/q-tile dims parallelize.
+  * GQA q-head-group packing IN PREFILL: the whole group of G = Hq/Hkv query
+    heads rides in one grid cell, so each K/V block streams from HBM once
+    per group instead of once per q head (G-fold HBM traffic cut). The
+    reference packs heads only for decode (csrc/flash_attention_api.cpp:72-83);
+    extending it to prefill is a TPU-first improvement enabled by VMEM size.
+  * TRANSPOSED compute layout: the kernel computes S^T = K Q^T and keeps the
+    accumulator as O^T = [d, block_q], so every online-softmax statistic
+    (running max, running sum, rescale factor) is a (1, block_q) LANE vector
+    instead of a (block_q, 128) tile. Ablation on v5e
+    (benchmarks/ablate_flash.py) showed those row-stat tile ops were the
+    dominant per-step cost; transposing makes throughput nearly independent
+    of the KV block size, which in turn lets causal runs use small KV blocks
+    for fine-grained diagonal skipping. One O^T -> O transpose per q-block
+    amortizes to nothing. (The CUDA reference gets the same effect from
+    warp-register layouts + shuffles, template.cuh:445-487 — registers have
+    no lane-padding tax; on TPU the layout must be chosen explicitly.)
+  * Pallas' automatic pipelining double-buffers the K/V HBM->VMEM block
+    copies, replacing the hand-rolled cp.async two-stage pipeline
     (reference: flash_attention_template.cuh:323-385).
-  * QK^T and PV run on the MXU via dot_general with fp32 accumulation,
-    replacing ldmatrix + SM80 mma atoms (reference: template.cuh:253-274).
-  * Online softmax runs on the VPU over fp32 tiles: per-row running max/sum
-    are plain vector reductions — no warp shuffles
-    (replaces template.cuh:445-487 + warp_reduce_max/sum:72-88).
-  * Bottom-right-aligned causal masking via broadcasted_iota comparison
-    (replaces the TV-layout inverse coordinate math of mask.cuh:7-27);
-    whole KV blocks past the diagonal are skipped with pl.when
-    (replaces mask.cuh:45-52 block skip).
+  * Online softmax in base 2: the host folds softmax_scale * log2(e) into Q
+    once (exactly the reference's trick, csrc/flash_attention_api.cpp:87 +
+    exp2f at template.cuh:445-487), so the inner loop spends no VPU ops on
+    scaling and uses the cheaper exp2.
+  * Bottom-right-aligned causal masking via a per-cell additive bias tile
+    built under lax.cond only for diagonal-straddling blocks and shared by
+    all G heads of the group (replaces the per-thread TV-layout inverse of
+    mask.cuh:7-27; fixes the reference's own mask-perf TODO, README.md:19).
+    Whole KV blocks past the diagonal are skipped (mask.cuh:45-52).
   * 1/sum normalization deferred to the last KV block with the sum==0 -> 1.0
-    guard for fully-masked rows (replaces template.cuh:516-528).
+    guard (replaces template.cuh:516-528); fully-masked rows emit exact 0.
 
 No smem swizzles, no ldmatrix, no V-transpose views: VMEM tiling and the
 Mosaic compiler's layout assignment subsume all three.
@@ -44,22 +60,27 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # Lane count: the minor dimension of every VPU/VMEM tile.
 NUM_LANES = 128
 
+# Sublane count for fp32 tiles; stat scratch rows.
+NUM_SUBLANES = 8
+
+LOG2E = math.log2(math.e)
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 def _flash_fwd_kernel(
-    q_ref,  # [1, 1, block_q, d]
+    q_ref,  # [1, 1, g, block_q, d] — packed q-head group (pre-scaled)
     k_ref,  # [1, 1, block_kv, d]
     v_ref,  # [1, 1, block_kv, d]
-    o_ref,  # [1, 1, block_q, d]
-    m_scratch,  # [block_q, NUM_LANES] f32
-    l_scratch,  # [block_q, NUM_LANES] f32
-    acc_scratch,  # [block_q, d] f32
+    o_ref,  # [1, 1, g, block_q, d]
+    m_scratch,  # [g, NUM_SUBLANES, block_q] f32 (row 0 live)
+    l_scratch,  # [g, NUM_SUBLANES, block_q] f32 (row 0 live)
+    acc_scratch,  # [g, d, block_q] f32 — O^T accumulator
     *,
-    sm_scale: float,
     causal: bool,
+    group: int,
     block_q: int,
     block_kv: int,
     q_len: int,  # real (unpadded) query length
@@ -80,10 +101,10 @@ def _flash_fwd_kernel(
     # Bottom-right-aligned causal: coord (m, n) allowed iff
     # n <= m + (kv_len - q_len)   (reference: csrc/mask.cuh:37-39).
     offset = kv_len - q_len
+    kv_padded = kv_len_padded != kv_len
 
     if causal:
-        # Skip KV blocks entirely above the diagonal: the block's first column
-        # must not exceed the block's last row + offset
+        # Skip KV blocks entirely above the diagonal
         # (reference: csrc/mask.cuh:45-52 block-level skip).
         should_run = kv_blk * block_kv <= (q_blk + 1) * block_q - 1 + offset
     else:
@@ -91,76 +112,102 @@ def _flash_fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_kv, d]
-        v = v_ref[0, 0]  # [block_kv, d]
+        v = v_ref[0, 0]
 
-        # ---- QK^T on the MXU, fp32 accumulation ----
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_q, block_kv]
-        s *= sm_scale
+        # Additive mask bias in S^T orientation [block_kv, block_q], built
+        # once per grid cell, shared by all G heads (masking depends only on
+        # positions). Interior blocks skip construction via lax.cond.
+        def build_bias():
+            kv_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (block_kv, block_q), 0
+            ) + kv_blk * block_kv
+            if causal:
+                q_pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_kv, block_q), 1
+                ) + q_blk * block_q
+                allowed = kv_pos <= q_pos + offset
+                if kv_padded:
+                    allowed &= kv_pos < kv_len
+            else:
+                allowed = kv_pos < kv_len
+            return jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
 
-        # ---- masking (causal diagonal blocks + KV tail padding) ----
-        kv_padded = kv_len_padded != kv_len
-        mask = None
         if causal:
-            # Only blocks straddling the diagonal need the elementwise mask;
-            # blocks fully below it are all-allowed. This is a traced
-            # condition, but the where() is cheap VPU work vs the matmuls.
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            rows = rows + q_blk * block_q
-            cols = cols + kv_blk * block_kv
-            mask = cols <= rows + offset
-        if kv_padded:
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            cols = cols + kv_blk * block_kv
-            oob = cols < kv_len
-            mask = oob if mask is None else (mask & oob)
-        if mask is not None:
-            s = jnp.where(mask, s, mask_value)
+            straddles = (kv_blk + 1) * block_kv - 1 > q_blk * block_q + offset
+            needs_mask = straddles
+            if kv_padded:
+                needs_mask |= kv_blk == num_kv_blocks - 1
+        else:
+            needs_mask = (
+                (kv_blk == num_kv_blocks - 1) if kv_padded else False
+            )
 
-        # ---- online softmax update (all fp32, VPU) ----
-        m_prev = m_scratch[...]  # [block_q, NUM_LANES]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [block_q, LANES]
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # [block_q, 1]
-        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_kv]
-        l_curr = jnp.sum(p, axis=-1, keepdims=True)  # [block_q, 1]
-        l_next = alpha * l_prev[:, :1] + l_curr
+        if needs_mask is not False:
+            bias = jax.lax.cond(
+                needs_mask,
+                build_bias,
+                lambda: jnp.zeros((block_kv, block_q), jnp.float32),
+            )
+        else:
+            bias = None
 
-        m_scratch[...] = m_next
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        for g in range(group):
+            q = q_ref[0, 0, g]  # [block_q, d]
 
-        # ---- rescale previous accumulator, add P V ----
-        acc_scratch[...] *= alpha  # broadcast [block_q,1] over [block_q,d]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scratch[...] += pv
+            # S^T = K Q^T on the MXU, fp32 accumulation; scores arrive in
+            # log2 units (host pre-scaled Q by softmax_scale * log2e).
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [block_kv, block_q]
+            if bias is not None:
+                s_t += bias
+
+            # Online softmax: all statistics are (1, block_q) lane vectors.
+            m_prev = m_scratch[g][:1]  # [1, block_q]
+            l_prev = l_scratch[g][:1]
+            m_curr = jnp.max(s_t, axis=0, keepdims=True)  # [1, block_q]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p_t = jnp.exp2(s_t - m_next)  # sublane broadcast
+            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
+
+            m_scratch[g] = jnp.broadcast_to(m_next, m_scratch.shape[1:])
+            l_scratch[g] = jnp.broadcast_to(l_next, l_scratch.shape[1:])
+
+            # O^T accumulator: rescale is a lane-broadcast multiply; the
+            # new contribution is V^T P^T, again a single MXU op.
+            acc_scratch[g] *= alpha
+            acc_scratch[g] += jax.lax.dot_general(
+                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [d, block_q]
 
     @pl.when(kv_blk == num_kv_blocks - 1)
     def _store():
         # Deferred normalization; sum==0 -> scale 1.0 so fully-masked rows
         # (all KV blocks skipped) emit exactly 0
         # (reference: template.cuh:520-528 guard).
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out = acc_scratch[...] * l_inv
         if causal and offset < 0:
             # q_len > kv_len: rows m < -offset are fully masked under
             # bottom-right alignment. When such a row shares a *visited*
             # block with valid rows, its l is polluted by
-            # exp(mask_value - mask_value) == 1 terms — force exact zeros
+            # exp2(mask_value - mask_value) == 1 terms — force exact zeros
             # (reference semantics: csrc/flash_attention_template.cuh:520-528).
-            rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
-            rows = rows + q_blk * block_q
-            out = jnp.where(rows + offset < 0, 0.0, out)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+            q_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_q), 1
+            ) + q_blk * block_q
+            dead = q_pos + offset < 0  # [1, block_q]
+        else:
+            dead = None
+        for g in range(group):
+            l = l_scratch[g][:1]  # [1, block_q]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            if dead is not None:
+                l_inv = jnp.where(dead, 0.0, l_inv)
+            o_t = acc_scratch[g] * l_inv  # [d, block_q]
+            o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -175,8 +222,8 @@ def flash_attention_fwd(
     v: jax.Array,
     sm_scale: float | None = None,
     causal: bool = False,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int = 0,
+    block_kv: int = 0,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -184,13 +231,13 @@ def flash_attention_fwd(
 
     Args:
       q: [B, Hq, Sq, D] bf16/f16/f32
-      k: [B, Hkv, Skv, D] with Hq % Hkv == 0 (GQA/MQA served in-kernel by
-         index-mapping Hq -> Hq // group, replacing the CUDA base-pointer
-         arithmetic at reference: template.cuh:158-159)
+      k: [B, Hkv, Skv, D] with Hq % Hkv == 0 (GQA/MQA: the whole q-head
+         group is packed into one grid cell)
       v: [B, Hkv, Skv, D]
       sm_scale: defaults to D**-0.5
       causal: bottom-right-aligned causal masking
-      block_q / block_kv: tile sizes (multiples of 128)
+      block_q / block_kv: tile sizes; 0 picks tuned defaults (small KV
+        blocks for causal — diagonal skipping; larger for full attention).
 
     Returns: [B, Hq, Sq, D] in q's dtype.
     """
@@ -201,7 +248,15 @@ def flash_attention_fwd(
     assert hq % hkv == 0, f"Hq={hq} not a multiple of Hkv={hkv}"
     if sm_scale is None:
         sm_scale = d ** -0.5
-    q_per_kv = hq // hkv
+    group = hq // hkv
+
+    # Tuned on v5e (benchmarks/sweep_flash.py): throughput is insensitive to
+    # block_kv in the transposed layout, so causal favors small KV blocks
+    # (finer diagonal skip granularity).
+    if block_q <= 0:
+        block_q = 256
+    if block_kv <= 0:
+        block_kv = 256 if causal else 512
 
     # ---- padding to hardware-friendly shapes ----
     d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
@@ -209,6 +264,10 @@ def flash_attention_fwd(
     block_kv = min(block_kv, _round_up(skv, NUM_LANES))
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_kv)
+
+    # Fold softmax_scale * log2(e) into Q once (reference:
+    # csrc/flash_attention_api.cpp:87), in fp32 before any cast.
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
@@ -219,12 +278,15 @@ def flash_attention_fwd(
         pad = [(0, 0), (0, 0), (0, skv_pad - skv), (0, 0)]
         k, v = (jnp.pad(x, pad) for x in (k, v))
 
-    grid = (b, hq, sq_pad // block_q, skv_pad // block_kv)
+    # Pack q-head groups: [B, Hq, S, D] -> [B, Hkv, G, S, D].
+    qg = q.reshape(b, hkv, group, sq_pad, d_pad)
+
+    grid = (b, hkv, sq_pad // block_q, skv_pad // block_kv)
 
     kernel = functools.partial(
         _flash_fwd_kernel,
-        sm_scale=sm_scale,
         causal=causal,
+        group=group,
         block_q=block_q,
         block_kv=block_kv,
         q_len=sq,
@@ -237,9 +299,8 @@ def flash_attention_fwd(
     cost = pl.CostEstimate(
         flops=int(4 * b * hq * sq * skv * d_pad * flops_factor),
         bytes_accessed=int(
-            q.size * q.dtype.itemsize
-            + (k.size + v.size) * k.dtype.itemsize * q_per_kv
-            + q.size * q.dtype.itemsize
+            2 * q.size * q.dtype.itemsize
+            + (k.size + v.size) * k.dtype.itemsize
         ),
         transcendentals=int(b * hq * sq * skv * flops_factor),
     )
@@ -249,27 +310,29 @@ def flash_attention_fwd(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d_pad),
-                lambda b_, h, i, j: (b_, h, i, 0),
+                (1, 1, group, block_q, d_pad),
+                lambda b_, h, i, j: (b_, h, 0, i, 0),
             ),
             pl.BlockSpec(
                 (1, 1, block_kv, d_pad),
-                lambda b_, h, i, j, g=q_per_kv: (b_, h // g, j, 0),
+                lambda b_, h, i, j: (b_, h, j, 0),
             ),
             pl.BlockSpec(
                 (1, 1, block_kv, d_pad),
-                lambda b_, h, i, j, g=q_per_kv: (b_, h // g, j, 0),
+                lambda b_, h, i, j: (b_, h, j, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad),
-            lambda b_, h, i, j: (b_, h, i, 0),
+            (1, 1, group, block_q, d_pad),
+            lambda b_, h, i, j: (b_, h, 0, i, 0),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hkv, group, sq_pad, d_pad), q.dtype
+        ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+            pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+            pltpu.VMEM((group, d_pad, block_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -278,8 +341,9 @@ def flash_attention_fwd(
         interpret=interpret,
         debug=debug,
         name="flash_attention_fwd",
-    )(q, k, v)
+    )(qg, k, v)
 
+    out = out.reshape(b, hq, sq_pad, d_pad)
     if sq_pad != sq or d_pad != d:
         out = out[:, :, :sq, :d]
     return out
