@@ -21,30 +21,11 @@ from __future__ import annotations
 import functools
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
-
-def time_chained(make_chain, args, n1=4, n2=20, repeats=3):
-    """make_chain(n) -> jitted f(*args) -> scalar. Returns seconds/iter.
-
-    Inputs are passed as jit arguments (embedding them as constants blows
-    past the remote-compile request size limit on tunneled TPUs).
-    """
-    f1, f2 = make_chain(n1), make_chain(n2)
-    float(f1(*args))  # compile + first-sync warmup
-    float(f2(*args))
-    t1 = min(_clock(f1, args) for _ in range(repeats))
-    t2 = min(_clock(f2, args) for _ in range(repeats))
-    return max((t2 - t1) / (n2 - n1), 1e-9)
-
-
-def _clock(f, args):
-    t0 = time.perf_counter()
-    float(f(*args))
-    return time.perf_counter() - t0
+from flash_attention_cute_tpu.utils.timing import time_chained
 
 
 def main():

@@ -32,6 +32,7 @@ def flash_attention_forward(
     causal: bool = False,
     kv_length: jax.Array | None = None,
     q_offset: jax.Array | None = None,
+    window: int | None = None,
     *,
     block_config: dispatch.BlockConfig | None = None,
     interpret: bool | None = None,
@@ -41,7 +42,9 @@ def flash_attention_forward(
     `kv_length` ([B] int32) optionally marks the valid prefix of k/v — used by
     the decode path over a preallocated cache. `q_offset` ([B] int32) is the
     global position of q row 0 for chunked prefill (causality becomes
-    `col <= q_offset + row`).
+    `col <= q_offset + row`). `window` is the sliding-window size in
+    HF/Qwen2 semantics (the reference raises on sliding windows,
+    models/modeling_qwen2.py:261-269; here supported natively).
     """
     dispatch.validate_inputs(q, k, v)
     b, hq, sq, d = q.shape
@@ -51,7 +54,7 @@ def flash_attention_forward(
     if not use_pallas:
         return attention_reference(
             q, k, v, softmax_scale=softmax_scale, causal=causal,
-            kv_length=kv_length, q_offset=q_offset,
+            kv_length=kv_length, q_offset=q_offset, window=window,
         )
 
     interp = bool(interpret)
@@ -66,6 +69,7 @@ def flash_attention_forward(
             q, k, v,
             kv_length=kv_length,
             sm_scale=softmax_scale,
+            window=window,
             num_splits=cfg.decode_num_splits,
             block_kv=cfg.decode_block_kv,
             interpret=interp,
@@ -76,13 +80,14 @@ def flash_attention_forward(
         # reference path for now (kernel support tracked for the runtime).
         return attention_reference(
             q, k, v, softmax_scale=softmax_scale, causal=causal,
-            kv_length=kv_length, q_offset=q_offset,
+            kv_length=kv_length, q_offset=q_offset, window=window,
         )
 
     return flash_attention_fwd(
         q, k, v,
         sm_scale=softmax_scale,
         causal=causal,
+        window=window,
         block_q=cfg.block_q,
         block_kv=cfg.block_kv,
         interpret=interp,

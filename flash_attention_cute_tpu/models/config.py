@@ -43,7 +43,13 @@ class ModelConfig:
     rope_scaling: RopeScaling | None = None
     attention_bias: bool = False  # Qwen2: True
     tie_word_embeddings: bool = False
-    sliding_window: int | None = None  # informational; see qwen2.py
+    # Sliding-window attention (Qwen2): when use_sliding_window, layers with
+    # index >= max_window_layers attend through a `sliding_window`-sized
+    # window (HF semantics). The reference *raises* on sliding windows
+    # (reference: models/modeling_qwen2.py:261-269); here it is native.
+    sliding_window: int | None = None
+    use_sliding_window: bool = False
+    max_window_layers: int = 0
     dtype: Any = jnp.bfloat16
 
     @property

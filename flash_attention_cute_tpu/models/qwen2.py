@@ -5,9 +5,10 @@ Replaces the reference's vendored Qwen2 fork + monkeypatcher
 Architectural deltas vs Llama, all expressed as config:
   * QKV projection biases (reference: modeling_qwen2.py:211-214)
   * commonly tied word embeddings (small checkpoints)
-  * sliding-window config — the reference *raises* when a checkpoint
-    enables it (reference: modeling_qwen2.py:261-269); we match that
-    behavior and record the window for a future windowed kernel.
+  * sliding-window attention — the reference *raises* when a checkpoint
+    enables it (reference: modeling_qwen2.py:261-269); here it runs
+    natively in the Pallas kernels (ops/flash_fwd.py, ops/flash_decode.py)
+    with HF layer semantics (window on layers >= max_window_layers).
 """
 
 from __future__ import annotations
@@ -21,14 +22,6 @@ def qwen2_config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
     get = (lambda k, d=None: getattr(hf_config, k, d)) if not isinstance(
         hf_config, dict
     ) else (lambda k, d=None: hf_config.get(k, d))
-
-    if get("use_sliding_window", False):
-        # Parity with the reference's explicit rejection
-        # (models/modeling_qwen2.py:261-269).
-        raise NotImplementedError(
-            "sliding-window attention is not supported (the reference "
-            "rejects it too); disable use_sliding_window"
-        )
 
     head_dim = get("head_dim") or get("hidden_size") // get("num_attention_heads")
     return ModelConfig(
@@ -45,6 +38,8 @@ def qwen2_config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         attention_bias=True,  # Qwen2 always has QKV bias
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         sliding_window=get("sliding_window"),
+        use_sliding_window=bool(get("use_sliding_window", False)),
+        max_window_layers=get("max_window_layers", 0) or 0,
         dtype=dtype,
     )
 

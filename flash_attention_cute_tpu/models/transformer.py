@@ -44,6 +44,7 @@ def _layer_forward(
     mode: str,
     interpret: bool | None,
     mesh=None,
+    window: int | None = None,
 ):
     """One decoder layer (reference: modeling_llama.py:385-449).
 
@@ -60,7 +61,7 @@ def _layer_forward(
     k = L.apply_rope(k, cos, sin)
 
     if mode == "prefill":
-        attn = attn_fn(q, k, v, causal=True, interpret=interpret)
+        attn = attn_fn(q, k, v, causal=True, window=window, interpret=interpret)
         if k_cache_l is not None:
             s = k.shape[2]
             k_cache_l = jax.lax.dynamic_update_slice(
@@ -89,6 +90,7 @@ def _layer_forward(
             # Chunked prefill: causality is relative to each sequence's
             # previous length, not the cache capacity.
             q_offset=lengths if mode == "extend" else None,
+            window=window,
             interpret=interpret,
         )
 
@@ -145,25 +147,48 @@ def forward(
 
     lp_stacked = params["layers"]
 
-    if cache is not None:
-        xs = (lp_stacked, cache.k, cache.v)
+    def make_scan_body(window):
+        def scan_body(x, xs_l):
+            lp, k_l, v_l = xs_l
+            x, new_k, new_v = _layer_forward(
+                x, lp, cfg, cos, sin, k_l, v_l, lengths, mode, interpret,
+                mesh, window,
+            )
+            if new_k is None:
+                return x, None
+            return x, (new_k, new_v)
+        return scan_body
+
+    # Sliding window (Qwen2, HF semantics): layers with index >=
+    # max_window_layers use windowed attention; earlier layers are full.
+    # Under scan this becomes (at most) two scan segments
+    # (reference rejects sliding windows, models/modeling_qwen2.py:261-269).
+    if cfg.use_sliding_window and cfg.sliding_window:
+        split = min(max(cfg.max_window_layers, 0), cfg.num_layers)
+        segments = [(0, split, None), (split, cfg.num_layers, cfg.sliding_window)]
+        segments = [(a, z, w) for (a, z, w) in segments if z > a]
     else:
-        xs = (lp_stacked, None, None)
+        segments = [(0, cfg.num_layers, None)]
 
-    def scan_body(x, xs_l):
-        lp, k_l, v_l = xs_l
-        x, new_k, new_v = _layer_forward(
-            x, lp, cfg, cos, sin, k_l, v_l, lengths, mode, interpret, mesh
-        )
-        if new_k is None:
-            return x, None
-        return x, (new_k, new_v)
+    def seg_slice(tree, a, z):
+        return jax.tree.map(lambda arr: arr[a:z], tree)
+
+    new_ks, new_vs = [], []
+    for (a, z, window) in segments:
+        lp_seg = seg_slice(lp_stacked, a, z)
+        if cache is not None:
+            xs = (lp_seg, cache.k[a:z], cache.v[a:z])
+            x, (nk, nv) = jax.lax.scan(make_scan_body(window), x, xs)
+            new_ks.append(nk)
+            new_vs.append(nv)
+        else:
+            x, _ = jax.lax.scan(make_scan_body(window), x, (lp_seg, None, None))
 
     if cache is not None:
-        x, (new_k, new_v) = jax.lax.scan(scan_body, x, xs)
+        new_k = new_ks[0] if len(new_ks) == 1 else jnp.concatenate(new_ks)
+        new_v = new_vs[0] if len(new_vs) == 1 else jnp.concatenate(new_vs)
         new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + s)
     else:
-        x, _ = jax.lax.scan(scan_body, x, xs)
         new_cache = None
 
     x = L.rms_norm(x, params["final_ln"], cfg.rms_norm_eps)

@@ -52,6 +52,7 @@ def _flash_decode_kernel(
     acc_scratch,  # [g_pad, d] f32
     *,
     sm_scale: float,
+    window: int | None,
     block_kv: int,
     blocks_per_split: int,
     mask_value: float,
@@ -71,8 +72,14 @@ def _flash_decode_kernel(
     blk_start = blk * block_kv
 
     # Skip KV blocks entirely past the valid cache length (the decode analog
-    # of the causal block skip, reference: csrc/mask.cuh:45-52).
-    @pl.when(blk_start < length)
+    # of the causal block skip, reference: csrc/mask.cuh:45-52). With a
+    # sliding window, also skip blocks entirely below the window (the query
+    # sits at position length-1, seeing keys n >= length - window).
+    visible = blk_start < length
+    if window is not None:
+        visible = jnp.logical_and(visible, blk_start + block_kv > length - window)
+
+    @pl.when(visible)
     def _run():
         q = q_ref[0, 0]  # [g_pad, d]
         k = k_ref[0, 0]  # [block_kv, d]
@@ -86,7 +93,10 @@ def _flash_decode_kernel(
 
         # Mask the cache tail in the block straddling `length`.
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
-        s = jnp.where(cols < length, s, mask_value)
+        ok = cols < length
+        if window is not None:
+            ok &= cols >= length - window
+        s = jnp.where(ok, s, mask_value)
 
         m_prev = m_scratch[...]
         l_prev = l_scratch[...]
@@ -114,7 +124,7 @@ def _flash_decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "num_splits", "block_kv", "interpret", "debug",
+        "sm_scale", "window", "num_splits", "block_kv", "interpret", "debug",
     ),
 )
 def flash_attention_decode(
@@ -123,6 +133,7 @@ def flash_attention_decode(
     v: jax.Array,
     kv_length: jax.Array | None = None,
     sm_scale: float | None = None,
+    window: int | None = None,
     num_splits: int = 0,
     block_kv: int = 512,
     interpret: bool = False,
@@ -135,6 +146,9 @@ def flash_attention_decode(
       k: [B, Hkv, Skv, D] KV cache (padded to capacity)
       v: [B, Hkv, Skv, D]
       kv_length: [B] int32 valid lengths; None means the cache is full.
+      window: sliding-window size — only the last `window` cache positions
+        are attended (reference raises on sliding windows,
+        models/modeling_qwen2.py:261-269; here native).
       num_splits: KV-axis parallel splits; 0 picks a heuristic.
 
     Returns: [B, Hq, 1, D] in q's dtype.
@@ -193,6 +207,7 @@ def flash_attention_decode(
     kernel = functools.partial(
         _flash_decode_kernel,
         sm_scale=sm_scale,
+        window=window,
         block_kv=block_kv,
         blocks_per_split=blocks_per_split,
         mask_value=DEFAULT_MASK_VALUE,

@@ -80,6 +80,7 @@ def _flash_fwd_kernel(
     acc_scratch,  # [g, d, block_q] f32 — O^T accumulator
     *,
     causal: bool,
+    window: int | None,
     group: int,
     block_q: int,
     block_kv: int,
@@ -109,6 +110,11 @@ def _flash_fwd_kernel(
         should_run = kv_blk * block_kv <= (q_blk + 1) * block_q - 1 + offset
     else:
         should_run = True
+    if window is not None:
+        # Sliding window: skip KV blocks entirely below every row's window
+        # (row m sees keys n with n > m + offset - window).
+        below = (kv_blk + 1) * block_kv - 1 <= q_blk * block_q + offset - window
+        should_run = jnp.logical_and(should_run, jnp.logical_not(below))
 
     @pl.when(should_run)
     def _run():
@@ -122,26 +128,37 @@ def _flash_fwd_kernel(
             kv_pos = jax.lax.broadcasted_iota(
                 jnp.int32, (block_kv, block_q), 0
             ) + kv_blk * block_kv
-            if causal:
+            allowed = None
+
+            def _and(a, b):
+                return b if a is None else a & b
+
+            if causal or window is not None:
                 q_pos = jax.lax.broadcasted_iota(
                     jnp.int32, (block_kv, block_q), 1
                 ) + q_blk * block_q
-                allowed = kv_pos <= q_pos + offset
-                if kv_padded:
-                    allowed &= kv_pos < kv_len
-            else:
-                allowed = kv_pos < kv_len
+            if causal:
+                allowed = _and(allowed, kv_pos <= q_pos + offset)
+            if window is not None:
+                allowed = _and(allowed, kv_pos > q_pos + offset - window)
+            if kv_padded or allowed is None:
+                allowed = _and(allowed, kv_pos < kv_len)
             return jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
 
+        needs_mask = False
         if causal:
-            straddles = (kv_blk + 1) * block_kv - 1 > q_blk * block_q + offset
-            needs_mask = straddles
-            if kv_padded:
-                needs_mask |= kv_blk == num_kv_blocks - 1
-        else:
-            needs_mask = (
-                (kv_blk == num_kv_blocks - 1) if kv_padded else False
+            # Block straddles the upper (causal) diagonal.
+            needs_mask = (kv_blk + 1) * block_kv - 1 > q_blk * block_q + offset
+        if window is not None:
+            # Block straddles some row's lower window edge.
+            lower = (
+                kv_blk * block_kv
+                <= q_blk * block_q + block_q - 1 + offset - window
             )
+            needs_mask = lower if needs_mask is False else needs_mask | lower
+        if kv_padded:
+            last = kv_blk == num_kv_blocks - 1
+            needs_mask = last if needs_mask is False else needs_mask | last
 
         if needs_mask is not False:
             bias = jax.lax.cond(
@@ -213,7 +230,8 @@ def _flash_fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "block_q", "block_kv", "interpret", "debug",
+        "sm_scale", "causal", "window", "block_q", "block_kv",
+        "interpret", "debug",
     ),
 )
 def flash_attention_fwd(
@@ -222,6 +240,7 @@ def flash_attention_fwd(
     v: jax.Array,
     sm_scale: float | None = None,
     causal: bool = False,
+    window: int | None = None,
     block_q: int = 0,
     block_kv: int = 0,
     interpret: bool = False,
@@ -236,6 +255,10 @@ def flash_attention_fwd(
       v: [B, Hkv, Skv, D]
       sm_scale: defaults to D**-0.5
       causal: bottom-right-aligned causal masking
+      window: sliding-window size (HF/Qwen2 semantics — key n visible from
+        query position p iff p - window < n; the reference raises on
+        sliding windows, models/modeling_qwen2.py:261-269). KV blocks
+        entirely below the window are skipped, so cost is O(Sq * window).
       block_q / block_kv: tile sizes; 0 picks tuned defaults (small KV
         blocks for causal — diagonal skipping; larger for full attention).
 
@@ -248,6 +271,8 @@ def flash_attention_fwd(
     assert hq % hkv == 0, f"Hq={hq} not a multiple of Hkv={hkv}"
     if sm_scale is None:
         sm_scale = d ** -0.5
+    if window is not None:
+        assert window > 0, window
     group = hq // hkv
 
     # Tuned on v5e (benchmarks/sweep_flash.py): throughput is insensitive to
@@ -286,6 +311,7 @@ def flash_attention_fwd(
     kernel = functools.partial(
         _flash_fwd_kernel,
         causal=causal,
+        window=window,
         group=group,
         block_q=block_q,
         block_kv=block_kv,

@@ -37,6 +37,8 @@ def attention_reference(
     causal: bool = False,
     kv_length: jax.Array | None = None,
     q_offset: jax.Array | None = None,
+    window: int | None = None,
+    precision=None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale + mask) V computed in fp32, no tiling.
 
@@ -52,6 +54,16 @@ def attention_reference(
         prefill into a partially-filled cache). When given with causal=True,
         causality is `col <= q_offset + row` instead of the shape-derived
         bottom-right offset.
+      window: optional sliding-window size W — each query also masks keys
+        more than W-1 positions behind it (HF/Qwen2 semantics: the window
+        includes the current position; the reference repo *raises* on
+        sliding windows, models/modeling_qwen2.py:261-269 — here it is
+        supported natively).
+      precision: lax matmul precision. On TPU, f32 matmuls default to
+        bf16 passes (~1e-2 logit error worst-case); pass
+        `jax.lax.Precision.HIGHEST` when using this as a strict numerics
+        oracle on hardware. Leave None when it serves as the *performance*
+        baseline (bench.py), where bf16 inputs make it irrelevant.
 
     Returns [B, Hq, Sq, D] in q's dtype.
     """
@@ -70,7 +82,9 @@ def attention_reference(
         kf = jnp.repeat(kf, rep, axis=1)
         vf = jnp.repeat(vf, rep, axis=1)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * softmax_scale
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qf, kf, precision=precision
+    ) * softmax_scale
 
     allowed = jnp.ones((b, 1, sq, skv), dtype=jnp.bool_)
     if causal:
@@ -83,6 +97,18 @@ def attention_reference(
     if kv_length is not None:
         pos = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, skv), 3)
         allowed &= pos < kv_length.reshape(b, 1, 1, 1)
+    if window is not None:
+        # Global position of q row r: q_offset + r, or length-derived.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, skv), 2)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, skv), 3)
+        if q_offset is not None:
+            base = q_offset.reshape(b, 1, 1, 1)
+        elif kv_length is not None:
+            base = kv_length.reshape(b, 1, 1, 1) - sq
+        else:
+            base = skv - sq
+        q_pos = rows + base
+        allowed &= cols > q_pos - window
 
     scores = jnp.where(allowed, scores, -jnp.inf)
     # Fully-masked rows: softmax of all -inf is NaN; define output as 0
@@ -90,5 +116,5 @@ def attention_reference(
     row_has_any = jnp.any(allowed, axis=-1, keepdims=True)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(row_has_any, probs, 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf, precision=precision)
     return out.astype(orig_dtype)

@@ -97,6 +97,7 @@ def sharded_attention(
     causal: bool = False,
     kv_length: jax.Array | None = None,
     q_offset: jax.Array | None = None,
+    window: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Run the dispatching attention op under shard_map.
@@ -133,7 +134,7 @@ def sharded_attention(
         qoff = next(it) if has_off else None
         return flash_attention_forward(
             q, k, v, causal=causal, kv_length=kvl, q_offset=qoff,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
 
     fn = jax.shard_map(

@@ -134,12 +134,16 @@ def test_chunked_prefill_extend_matches_full_forward():
     np.testing.assert_array_equal(np.asarray(cache.lengths), [16, 16])
 
 
-def test_qwen2_sliding_window_rejected():
-    hf_cfg = {"use_sliding_window": True, "hidden_size": 64,
+def test_qwen2_sliding_window_accepted():
+    """The reference rejects sliding windows
+    (models/modeling_qwen2.py:261-269); this framework supports them
+    natively (see tests/test_sliding_window.py for kernel coverage)."""
+    hf_cfg = {"use_sliding_window": True, "sliding_window": 512,
+              "max_window_layers": 0, "hidden_size": 64,
               "num_attention_heads": 4, "vocab_size": 128,
               "intermediate_size": 112, "num_hidden_layers": 1}
-    with pytest.raises(NotImplementedError):
-        qwen2_config_from_hf(hf_cfg)
+    cfg = qwen2_config_from_hf(hf_cfg)
+    assert cfg.use_sliding_window and cfg.sliding_window == 512
 
 
 def test_rope_scaling_variants_run():
