@@ -17,6 +17,7 @@ Routing rules:
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from flash_attention_cute_tpu import dispatch
 from flash_attention_cute_tpu.ops.flash_decode import flash_attention_decode
@@ -76,11 +77,20 @@ def flash_attention_forward(
         )
 
     if kv_length is not None or q_offset is not None:
-        # Chunked-prefill over a partially filled cache: serve via the
-        # reference path for now (kernel support tracked for the runtime).
-        return attention_reference(
-            q, k, v, softmax_scale=softmax_scale, causal=causal,
-            kv_length=kv_length, q_offset=q_offset, window=window,
+        # Chunked prefill over a partially filled cache (mode="extend"):
+        # scalar-prefetch kernel, one compile for every fill level.
+        from flash_attention_cute_tpu.ops.flash_chunked import (
+            flash_attention_chunked,
+        )
+        if kv_length is None:
+            kv_length = jnp.full((b,), skv, jnp.int32)
+        if q_offset is None:
+            # Shape-derived bottom-right offset per batch.
+            q_offset = kv_length - sq
+        return flash_attention_chunked(
+            q, k, v, q_offset, kv_length,
+            sm_scale=softmax_scale, causal=causal, window=window,
+            block_q=cfg.block_q, block_kv=cfg.block_kv, interpret=interp,
         )
 
     return flash_attention_fwd(

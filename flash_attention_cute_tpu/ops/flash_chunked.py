@@ -1,0 +1,294 @@
+"""Chunked-prefill flash-attention Pallas kernel (the "extend" path).
+
+Computes attention for a chunk of S new queries over a fixed-capacity KV
+cache whose valid prefix differs per sequence — the kernel behind
+continuous batching's chunked prefill. Neither capability exists in the
+reference (varlen/paged are open TODOs, reference: README.md:18-21); the
+closest structure is the causal block-skip + tail masking of the fused
+kernel (reference: csrc/mask.cuh:30-88, csrc/flash_attention_template.cuh:342-349),
+generalized here to *per-batch traced* offsets:
+
+  * `q_offset [B]` — global position of the chunk's first query row
+    (the sequence's previous length). Causality is
+    `kv_pos <= q_pos + q_offset[b]` — top-left within the global sequence.
+  * `kv_length [B]` — valid cache prefix AFTER the chunk is written
+    (= q_offset + S); cache positions past it are masked.
+  * Both live in SMEM via scalar prefetch, so ONE compiled kernel serves
+    every fill level — no recompiles during serving (the reference
+    re-dispatches at C++ runtime per shape instead,
+    csrc/kernel_dispatcher.h:21-52).
+  * KV-block DMAs are *clamped*: the index map returns the last useful
+    block for grid steps that the causal/length tests will skip, and
+    Pallas elides the copy when consecutive indices coincide — the DMA
+    analog of the reference's whole-block skip (csrc/mask.cuh:45-52).
+
+Layout and online softmax are identical to ops/flash_fwd.py (transposed
+S^T/O^T compute, lane-vector statistics, exp2 with log2e folded into Q).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_cute_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    NUM_LANES,
+    NUM_SUBLANES,
+    _round_up,
+)
+
+
+def _flash_chunked_kernel(
+    q_off_ref,  # [B] int32 scalar-prefetch
+    kv_len_ref,  # [B] int32 scalar-prefetch
+    q_ref,  # [1, 1, g, block_q, d] (pre-scaled)
+    k_ref,  # [1, 1, block_kv, d]
+    v_ref,  # [1, 1, block_kv, d]
+    o_ref,  # [1, 1, g, block_q, d]
+    m_scratch,  # [g, NUM_SUBLANES, block_q] f32
+    l_scratch,  # [g, NUM_SUBLANES, block_q] f32
+    acc_scratch,  # [g, d, block_q] f32 — O^T accumulator
+    *,
+    causal: bool,
+    window: int | None,
+    group: int,
+    block_q: int,
+    block_kv: int,
+    mask_value: float,
+):
+    b = pl.program_id(0)
+    q_blk = pl.program_id(2)
+    kv_blk = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
+
+    q_off = q_off_ref[b]
+    kv_len = kv_len_ref[b]
+
+    @pl.when(kv_blk == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    blk_start = kv_blk * block_kv
+    should_run = blk_start < kv_len
+    if causal:
+        should_run &= blk_start <= q_off + (q_blk + 1) * block_q - 1
+    if window is not None:
+        should_run &= (
+            blk_start + block_kv - 1 > q_off + q_blk * block_q - window
+        )
+
+    @pl.when(should_run)
+    def _run():
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+
+        def build_bias():
+            kv_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (block_kv, block_q), 0
+            ) + blk_start
+            q_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (block_kv, block_q), 1
+            ) + q_blk * block_q + q_off
+            allowed = kv_pos < kv_len
+            if causal:
+                allowed &= kv_pos <= q_pos
+            if window is not None:
+                allowed &= kv_pos > q_pos - window
+            return jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+
+        # Traced straddle tests (all per-batch-dynamic), same geometry as
+        # the static kernel's needs_mask.
+        needs_mask = blk_start + block_kv > kv_len
+        if causal:
+            needs_mask |= (
+                blk_start + block_kv - 1 > q_off + q_blk * block_q
+            )
+        if window is not None:
+            needs_mask |= (
+                blk_start <= q_off + q_blk * block_q + block_q - 1 - window
+            )
+
+        bias = jax.lax.cond(
+            needs_mask,
+            build_bias,
+            lambda: jnp.zeros((block_kv, block_q), jnp.float32),
+        )
+
+        for g in range(group):
+            q = q_ref[0, 0, g]
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+
+            m_prev = m_scratch[g][:1]
+            l_prev = l_scratch[g][:1]
+            m_curr = jnp.max(s_t, axis=0, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p_t = jnp.exp2(s_t - m_next)
+            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
+
+            m_scratch[g] = jnp.broadcast_to(m_next, m_scratch.shape[1:])
+            l_scratch[g] = jnp.broadcast_to(l_next, l_scratch.shape[1:])
+
+            acc_scratch[g] *= alpha
+            acc_scratch[g] += jax.lax.dot_general(
+                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(kv_blk == num_kv_blocks - 1)
+    def _store():
+        # q_offset >= 0 implies every real q row sees at least its own
+        # position; only padded q rows can have l == 0 (trimmed after).
+        for g in range(group):
+            l = l_scratch[g][:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_t = acc_scratch[g] * l_inv
+            o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "causal", "window", "block_q", "block_kv",
+        "interpret", "debug",
+    ),
+)
+def flash_attention_chunked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_offset: jax.Array,
+    kv_length: jax.Array,
+    sm_scale: float | None = None,
+    causal: bool = True,
+    window: int | None = None,
+    block_q: int = 0,
+    block_kv: int = 0,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Chunked-prefill attention over a partially filled cache.
+
+    Args:
+      q: [B, Hq, S, D] — the chunk's queries.
+      k, v: [B, Hkv, C, D] — the KV cache at full capacity C, with the
+        chunk's K/V already written at [q_offset, q_offset + S).
+      q_offset: [B] int32 — global position of q row 0 per sequence.
+      kv_length: [B] int32 — valid cache length per sequence INCLUDING the
+        chunk (= q_offset + S).
+      causal: top-left causality within the global sequence
+        (kv_pos <= q_offset + row).
+      window: optional sliding-window size (HF semantics).
+
+    Returns: [B, Hq, S, D] in q's dtype.
+    """
+    b, hq, sq, d = q.shape
+    bk, hkv, skv, dk = k.shape
+    assert k.shape == v.shape, (k.shape, v.shape)
+    assert b == bk and d == dk, (q.shape, k.shape)
+    assert hq % hkv == 0, (hq, hkv)
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    group = hq // hkv
+
+    if block_q <= 0:
+        block_q = 256
+    if block_kv <= 0:
+        block_kv = 256
+
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+    block_q = min(block_q, _round_up(sq, NUM_LANES))
+    block_kv = min(block_kv, _round_up(skv, NUM_LANES))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_kv)
+
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    if d_pad != d:
+        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    if sq_pad != sq:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, sq_pad - sq), (0, 0)])
+    if skv_pad != skv:
+        pad = [(0, 0), (0, 0), (0, skv_pad - skv), (0, 0)]
+        k, v = (jnp.pad(x, pad) for x in (k, v))
+
+    qg = q.reshape(b, hkv, group, sq_pad, d_pad)
+
+    q_offset = q_offset.astype(jnp.int32)
+    kv_length = jnp.minimum(kv_length.astype(jnp.int32), skv)
+
+    grid = (b, hkv, sq_pad // block_q, skv_pad // block_kv)
+    num_kv_blocks = skv_pad // block_kv
+
+    def q_map(b_, h, i, j, qoff, kvl):
+        return (b_, h, 0, i, 0)
+
+    def kv_map(b_, h, i, j, qoff, kvl):
+        # Clamp to the last block this (batch, q-tile) will actually use, so
+        # skipped grid steps re-address the previous block and Pallas elides
+        # the HBM->VMEM copy.
+        last_len = jax.lax.div(kvl[b_] + block_kv - 1, block_kv) - 1
+        limit = jnp.maximum(last_len, 0)
+        if causal:
+            last_causal = jax.lax.div(
+                qoff[b_] + (i + 1) * block_q - 1, block_kv
+            )
+            limit = jnp.minimum(limit, jnp.maximum(last_causal, 0))
+        return (b_, h, jnp.minimum(j, limit), 0)
+
+    kernel = functools.partial(
+        _flash_chunked_kernel,
+        causal=causal,
+        window=window,
+        group=group,
+        block_q=block_q,
+        block_kv=block_kv,
+        mask_value=DEFAULT_MASK_VALUE,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, group, block_q, d_pad), q_map),
+                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, 1, group, block_q, d_pad), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+                pltpu.VMEM((group, d_pad, block_q), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hkv, group, sq_pad, d_pad), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+        debug=debug,
+        name="flash_attention_chunked",
+    )(q_offset, kv_length, qg, k, v)
+
+    out = out.reshape(b, hq, sq_pad, d_pad)
+    if sq_pad != sq or d_pad != d:
+        out = out[:, :, :sq, :d]
+    return out
