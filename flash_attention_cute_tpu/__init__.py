@@ -19,12 +19,14 @@ custom op.
 
 from flash_attention_cute_tpu.api import flash_attn_func, flash_attention_forward
 from flash_attention_cute_tpu.ops.reference import attention_reference
+from flash_attention_cute_tpu.ops.flash_varlen import flash_attention_varlen
 
 __version__ = "0.1.0"
 
 __all__ = [
     "flash_attn_func",
     "flash_attention_forward",
+    "flash_attention_varlen",
     "attention_reference",
     "__version__",
 ]

@@ -7,9 +7,17 @@ Layout convention throughout: q [B, Hq, Sq, D], k/v [B, Hkv, Skv, D]
 from flash_attention_cute_tpu.ops.reference import attention_reference
 from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
 from flash_attention_cute_tpu.ops.flash_decode import flash_attention_decode
+from flash_attention_cute_tpu.ops.flash_chunked import flash_attention_chunked
+from flash_attention_cute_tpu.ops.flash_varlen import (
+    flash_attention_packed,
+    flash_attention_varlen,
+)
 
 __all__ = [
     "attention_reference",
     "flash_attention_fwd",
     "flash_attention_decode",
+    "flash_attention_chunked",
+    "flash_attention_packed",
+    "flash_attention_varlen",
 ]

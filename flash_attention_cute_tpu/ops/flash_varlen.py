@@ -1,0 +1,401 @@
+"""Variable-length (packed ragged batch) flash-attention Pallas kernel.
+
+Completes the reference's top roadmap TODO (reference: README.md:18
+"varlen") TPU-natively. Instead of CUDA-style per-sequence pointer math
+over a ragged buffer, sequences are PACKED along one token axis and
+delimited by int32 metadata vectors — static shapes end to end, which is
+what XLA/Mosaic require:
+
+  q tokens:  seg_q[t]   sequence id (non-decreasing; padding = big sentinel)
+             bound_q[t] causal bound of token t = its position within its
+                        sequence + (kv_len - q_len) of that sequence, so
+                        per-sequence BOTTOM-RIGHT causal alignment
+                        (reference: csrc/mask.cuh:37-39) falls out of one
+                        comparison: allowed iff pos_kv <= bound_q.
+  kv tokens: seg_kv[t], pos_kv[t] (position within its sequence).
+
+Masking is `seg equal AND causal AND window` built per straddling tile and
+shared across the GQA q-head group; whole tiles are skipped when the
+segment ranges of the q and kv tiles don't overlap (the varlen analog of
+the causal block skip, csrc/mask.cuh:45-52), and — when every sequence has
+q_len == kv_len (standard prefill packing) — when the tile lies entirely
+above the global diagonal.
+
+Public API mirrors flash-attn's varlen entry point:
+`flash_attention_varlen(q, k, v, cu_seqlens_q, cu_seqlens_kv)` with
+q [Tq, Hq, D] / k,v [Tkv, Hkv, D] and cumulative-length vectors
+[num_seqs + 1]; the metadata vectors above are derived inside jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_cute_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    NUM_LANES,
+    NUM_SUBLANES,
+    _round_up,
+)
+
+
+def _flash_varlen_kernel(
+    qseg_ref,  # [1, block_q] int32
+    qbound_ref,  # [1, block_q] int32
+    kseg_ref,  # [1, block_kv] int32
+    kpos_ref,  # [1, block_kv] int32
+    q_ref,  # [1, g, block_q, d] (pre-scaled)
+    k_ref,  # [1, block_kv, d]
+    v_ref,  # [1, block_kv, d]
+    o_ref,  # [1, g, block_q, d]
+    m_scratch,  # [g, NUM_SUBLANES, block_q] f32
+    l_scratch,
+    acc_scratch,  # [g, d, block_q] f32
+    *,
+    causal: bool,
+    window: int | None,
+    equal_lengths: bool,
+    group: int,
+    block_q: int,
+    block_kv: int,
+    mask_value: float,
+):
+    q_blk = pl.program_id(1)
+    kv_blk = pl.program_id(2)
+    num_kv_blocks = pl.num_programs(2)
+
+    @pl.when(kv_blk == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Segment-range overlap test from tile endpoints (ids non-decreasing).
+    qs_lo = qseg_ref[0, 0]
+    qs_hi = qseg_ref[0, block_q - 1]
+    ks_lo = kseg_ref[0, 0]
+    ks_hi = kseg_ref[0, block_kv - 1]
+    should_run = jnp.logical_and(ks_lo <= qs_hi, ks_hi >= qs_lo)
+    if causal and equal_lengths:
+        # Equal q/kv packing: per-sequence causality implies the global
+        # diagonal, so tiles strictly above it never contribute.
+        should_run = jnp.logical_and(
+            should_run, kv_blk * block_kv <= (q_blk + 1) * block_q - 1
+        )
+
+    @pl.when(should_run)
+    def _run():
+        k = k_ref[0]
+        v = v_ref[0]
+
+        def build_bias():
+            kseg = kseg_ref[0].reshape(block_kv, 1)  # [block_kv, 1]
+            qseg = qseg_ref[0].reshape(1, block_q)  # [1, block_q]
+            allowed = kseg == qseg
+            if causal or window is not None:
+                kpos = kpos_ref[0].reshape(block_kv, 1)
+                qbound = qbound_ref[0].reshape(1, block_q)
+            if causal:
+                allowed &= kpos <= qbound
+            if window is not None:
+                allowed &= kpos > qbound - window
+            return jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+
+        # Interior tiles (single shared segment, fully below the causal
+        # diagonal) skip mask construction entirely.
+        uniform_seg = jnp.logical_and(qs_lo == qs_hi, ks_lo == ks_hi)
+        uniform_seg = jnp.logical_and(uniform_seg, qs_lo == ks_lo)
+        interior = uniform_seg
+        if causal:
+            if equal_lengths:
+                below = (kv_blk + 1) * block_kv - 1 <= q_blk * block_q
+            else:
+                below = kpos_ref[0, block_kv - 1] <= qbound_ref[0, 0]
+            interior = jnp.logical_and(interior, below)
+        if window is not None:
+            above_window = (
+                kpos_ref[0, 0]
+                > qbound_ref[0, block_q - 1] - window
+            )
+            interior = jnp.logical_and(interior, above_window)
+
+        bias = jax.lax.cond(
+            jnp.logical_not(interior),
+            build_bias,
+            lambda: jnp.zeros((block_kv, block_q), jnp.float32),
+        )
+
+        for g in range(group):
+            q = q_ref[0, g]
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+
+            m_prev = m_scratch[g][:1]
+            l_prev = l_scratch[g][:1]
+            m_curr = jnp.max(s_t, axis=0, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p_t = jnp.exp2(s_t - m_next)
+            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
+
+            m_scratch[g] = jnp.broadcast_to(m_next, m_scratch.shape[1:])
+            l_scratch[g] = jnp.broadcast_to(l_next, l_scratch.shape[1:])
+
+            acc_scratch[g] *= alpha
+            acc_scratch[g] += jax.lax.dot_general(
+                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(kv_blk == num_kv_blocks - 1)
+    def _store():
+        # l == 0 covers padded q rows and (Sq > Skv per sequence) fully
+        # masked rows -> exact 0 (reference: template.cuh:520-528 guard).
+        # Rows whose l is polluted by mask_value terms inside a visited
+        # tile are killed via bound < 0 (no kv position can satisfy
+        # pos <= bound < 0).
+        if causal:
+            dead = (qbound_ref[0].reshape(1, block_q) < 0)
+        else:
+            dead = None
+        for g in range(group):
+            l = l_scratch[g][:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            if dead is not None:
+                l_inv = jnp.where(dead, 0.0, l_inv)
+            o_t = acc_scratch[g] * l_inv
+            o_ref[0, g] = o_t.T.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "causal", "window", "equal_lengths",
+        "block_q", "block_kv", "interpret", "debug",
+    ),
+)
+def flash_attention_packed(
+    q: jax.Array,  # [Hq, Tq, D]
+    k: jax.Array,  # [Hkv, Tkv, D]
+    v: jax.Array,
+    q_segment_ids: jax.Array,  # [Tq] int32, non-decreasing
+    kv_segment_ids: jax.Array,  # [Tkv] int32, non-decreasing
+    q_bounds: jax.Array | None = None,  # [Tq] int32 causal bounds
+    kv_positions: jax.Array | None = None,  # [Tkv] int32 in-seq positions
+    sm_scale: float | None = None,
+    causal: bool = False,
+    window: int | None = None,
+    equal_lengths: bool = False,
+    block_q: int = 0,
+    block_kv: int = 0,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Packed-segment attention core. See `flash_attention_varlen` for the
+    cu_seqlens front end. `q_bounds`/`kv_positions` are required when
+    causal or window masking is on."""
+    hq, tq, d = q.shape
+    hkv, tkv, dk = k.shape
+    assert k.shape == v.shape and d == dk
+    assert hq % hkv == 0
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    group = hq // hkv
+    if causal or window is not None:
+        assert q_bounds is not None and kv_positions is not None
+
+    if block_q <= 0:
+        block_q = 256
+    if block_kv <= 0:
+        block_kv = 256
+
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+    block_q = min(block_q, _round_up(tq, NUM_LANES))
+    block_kv = min(block_kv, _round_up(tkv, NUM_LANES))
+    tq_pad = _round_up(tq, block_q)
+    tkv_pad = _round_up(tkv, block_kv)
+
+    q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
+
+    if d_pad != d:
+        pad = [(0, 0), (0, 0), (0, d_pad - d)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    # Distinct monotone-preserving sentinels: padded kv can never equal any
+    # real or padded q segment and vice versa.
+    big = jnp.iinfo(jnp.int32).max
+    q_segment_ids = jnp.pad(
+        q_segment_ids.astype(jnp.int32), (0, tq_pad - tq),
+        constant_values=big - 1,
+    )
+    kv_segment_ids = jnp.pad(
+        kv_segment_ids.astype(jnp.int32), (0, tkv_pad - tkv),
+        constant_values=big,
+    )
+    if q_bounds is None:
+        q_bounds = jnp.zeros((tq,), jnp.int32)
+    if kv_positions is None:
+        kv_positions = jnp.zeros((tkv,), jnp.int32)
+    q_bounds = jnp.pad(
+        q_bounds.astype(jnp.int32), (0, tq_pad - tq), constant_values=-1
+    )
+    kv_positions = jnp.pad(
+        kv_positions.astype(jnp.int32), (0, tkv_pad - tkv),
+        constant_values=big,
+    )
+    if tq_pad != tq:
+        q = jnp.pad(q, [(0, 0), (0, tq_pad - tq), (0, 0)])
+    if tkv_pad != tkv:
+        pad = [(0, 0), (0, tkv_pad - tkv), (0, 0)]
+        k, v = (jnp.pad(x, pad) for x in (k, v))
+
+    qg = q.reshape(hkv, group, tq_pad, d_pad)
+
+    grid = (hkv, tq_pad // block_q, tkv_pad // block_kv)
+
+    kernel = functools.partial(
+        _flash_varlen_kernel,
+        causal=causal,
+        window=window,
+        equal_lengths=equal_lengths,
+        group=group,
+        block_q=block_q,
+        block_kv=block_kv,
+        mask_value=DEFAULT_MASK_VALUE,
+    )
+
+    def qmeta_map(h, i, j):
+        return (0, i)
+
+    def kmeta_map(h, i, j):
+        return (0, j)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), qmeta_map),
+            pl.BlockSpec((1, block_q), qmeta_map),
+            pl.BlockSpec((1, block_kv), kmeta_map),
+            pl.BlockSpec((1, block_kv), kmeta_map),
+            pl.BlockSpec(
+                (1, group, block_q, d_pad), lambda h, i, j: (h, 0, i, 0)
+            ),
+            pl.BlockSpec((1, block_kv, d_pad), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda h, i, j: (h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, block_q, d_pad), lambda h, i, j: (h, 0, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((hkv, group, tq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+            pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+            pltpu.VMEM((group, d_pad, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        debug=debug,
+        name="flash_attention_varlen",
+    )(
+        q_segment_ids[None], q_bounds[None],
+        kv_segment_ids[None], kv_positions[None],
+        qg, k, v,
+    )
+
+    out = out.reshape(hq, tq_pad, d_pad)
+    if tq_pad != tq or d_pad != d:
+        out = out[:, :tq, :d]
+    return out
+
+
+def _seg_metadata(cu: jax.Array, total: int):
+    """cu_seqlens [N+1] -> (segment_ids [T], positions [T]) inside jit."""
+    t = jnp.arange(total, dtype=jnp.int32)
+    seg = jnp.searchsorted(cu[1:], t, side="right").astype(jnp.int32)
+    pos = t - cu[seg]
+    return seg, pos
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "causal", "window", "equal_lengths",
+        "block_q", "block_kv", "interpret", "debug",
+    ),
+)
+def flash_attention_varlen(
+    q: jax.Array,  # [Tq, Hq, D] packed tokens
+    k: jax.Array,  # [Tkv, Hkv, D]
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,  # [num_seqs + 1] int32
+    cu_seqlens_kv: jax.Array | None = None,
+    sm_scale: float | None = None,
+    causal: bool = False,
+    window: int | None = None,
+    equal_lengths: bool = False,
+    block_q: int = 0,
+    block_kv: int = 0,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Varlen attention over packed ragged batches (flash-attn layout).
+
+    Args:
+      q: [total_q_tokens, Hq, D] — sequences concatenated along axis 0.
+      k, v: [total_kv_tokens, Hkv, D].
+      cu_seqlens_q / cu_seqlens_kv: exclusive-prefix-sum boundaries
+        ([0, len_0, len_0+len_1, ...]); kv defaults to q's (self-attention
+        packing).
+      causal: per-sequence bottom-right-aligned causality
+        (reference: csrc/mask.cuh:37-39).
+      window: per-sequence sliding window (HF semantics).
+      equal_lengths: promise that every sequence has q_len == kv_len,
+        enabling global-diagonal tile skipping (pass True for standard
+        prefill packing; also implied when cu_seqlens_kv is None).
+
+    Returns: [total_q_tokens, Hq, D] in q's dtype.
+    """
+    tq = q.shape[0]
+    tkv = k.shape[0]
+    if cu_seqlens_kv is None:
+        cu_seqlens_kv = cu_seqlens_q
+        equal_lengths = True
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    cu_kv = cu_seqlens_kv.astype(jnp.int32)
+
+    seg_q, pos_q = _seg_metadata(cu_q, tq)
+    seg_kv, pos_kv = _seg_metadata(cu_kv, tkv)
+    # Bottom-right causal bound of each q token: pos + (kv_len - q_len).
+    len_q = jnp.diff(cu_q)
+    len_kv = jnp.diff(cu_kv)
+    offset = (len_kv - len_q).astype(jnp.int32)
+    q_bounds = pos_q + offset[seg_q]
+
+    out = flash_attention_packed(
+        jnp.swapaxes(q, 0, 1),
+        jnp.swapaxes(k, 0, 1),
+        jnp.swapaxes(v, 0, 1),
+        q_segment_ids=seg_q,
+        kv_segment_ids=seg_kv,
+        q_bounds=q_bounds,
+        kv_positions=pos_kv,
+        sm_scale=sm_scale,
+        causal=causal,
+        window=window,
+        equal_lengths=equal_lengths,
+        block_q=block_q,
+        block_kv=block_kv,
+        interpret=interpret,
+        debug=debug,
+    )
+    return jnp.swapaxes(out, 0, 1)
