@@ -1,0 +1,256 @@
+// Native runtime tier: paged-KV page allocator + continuous-batching
+// scheduler (C ABI, loaded via ctypes).
+//
+// Role mapping vs the reference repo: the reference's native tier is the
+// CUDA kernel + its C++ binding (reference: csrc/flash_attention_api.cpp);
+// on TPU the kernel tier is Pallas (compiled by XLA), so the native tier
+// here is the piece that genuinely runs on the host CPU in the serving
+// loop: page bookkeeping and request scheduling, where per-step Python
+// overhead would otherwise sit on the decode critical path.
+//
+// Semantics mirror runtime/paged_cache.py::PageAllocator exactly (page 0
+// reserved as the null page; LIFO free list for locality) — the Python
+// class remains as the portable fallback and as executable documentation,
+// and tests/test_native_runtime.py checks the two stay in lockstep.
+//
+// Build: see runtime/native.py (g++ -O2 -shared -fPIC, cached .so; the
+// analog of the reference's import-time JIT extension build,
+// reference: flash_attention/load_cpp_extention.py:23-53).
+
+#include <algorithm>
+#include <cstdint>
+#include <deque>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Allocator {
+  int page_size;
+  int pages_per_seq;
+  std::vector<int32_t> free_pages;  // LIFO
+  std::unordered_map<int64_t, std::vector<int32_t>> tables;
+
+  Allocator(int num_pages, int ps, int pps)
+      : page_size(ps), pages_per_seq(pps) {
+    free_pages.reserve(num_pages > 0 ? num_pages - 1 : 0);
+    // Match the Python free-list order: list(range(num_pages-1, 0, -1))
+    // popped from the back => pages handed out 1, 2, 3, ...
+    for (int p = 1; p < num_pages; ++p) free_pages.push_back(p);
+    // push_back(1..n-1) then pop_back would hand out n-1 first; reverse to
+    // hand out ascending like the Python version.
+    std::reverse(free_pages.begin(), free_pages.end());
+  }
+
+  static int ceil_div(int a, int b) { return (a + b - 1) / b; }
+
+  int pages_needed(int cur_len, int new_tokens) const {
+    int have = cur_len ? ceil_div(cur_len, page_size) : 0;
+    int need = ceil_div(cur_len + new_tokens, page_size);
+    return need > have ? need - have : 0;
+  }
+
+  bool allocate(int64_t seq_id, int cur_len, int new_tokens) {
+    int n = pages_needed(cur_len, new_tokens);
+    if (n > static_cast<int>(free_pages.size())) return false;
+    auto& tbl = tables[seq_id];
+    if (static_cast<int>(tbl.size()) + n > pages_per_seq) return false;
+    for (int i = 0; i < n; ++i) {
+      tbl.push_back(free_pages.back());
+      free_pages.pop_back();
+    }
+    return true;
+  }
+
+  void release(int64_t seq_id) {
+    auto it = tables.find(seq_id);
+    if (it == tables.end()) return;
+    // Python extends with reversed(tbl); match it.
+    for (auto rit = it->second.rbegin(); rit != it->second.rend(); ++rit)
+      free_pages.push_back(*rit);
+    tables.erase(it);
+  }
+};
+
+// FCFS continuous-batching scheduler with decode-OOM preemption: requests
+// wait in arrival order; a request is admitted when a batch slot AND its
+// prefill pages are available; on decode-time page exhaustion the YOUNGEST
+// running request is preempted back to the wait queue (classic vLLM-style
+// policy, re-implemented from scratch).
+struct Scheduler {
+  struct Request {
+    int64_t id;
+    int prompt_len;
+    int max_new_tokens;
+    int generated = 0;
+  };
+
+  Allocator alloc;
+  int max_slots;
+  std::deque<Request> waiting;
+  std::vector<Request> running;   // index == batch slot, id -1 = empty slot
+  std::vector<int64_t> slot_ids;  // -1 = free
+  // Anti-livelock gate: while a running request is page-starved, admission
+  // is paused so freed (preempted) pages reach the starving request rather
+  // than being re-grabbed by the re-queued victim. Cleared on the next
+  // successful decode-step allocation.
+  bool stalled = false;
+
+  Scheduler(int num_pages, int page_size, int pages_per_seq, int slots)
+      : alloc(num_pages, page_size, pages_per_seq),
+        max_slots(slots),
+        slot_ids(slots, -1) {
+    running.resize(slots);
+    for (auto& r : running) r.id = -1;
+  }
+
+  void submit(int64_t id, int prompt_len, int max_new_tokens) {
+    waiting.push_back(Request{id, prompt_len, max_new_tokens, 0});
+  }
+
+  // Admit as many waiting requests as fit. Returns number admitted;
+  // admitted slot indices + ids retrievable via slot_ids.
+  int admit() {
+    if (stalled) return 0;
+    int n = 0;
+    for (int s = 0; s < max_slots && !waiting.empty(); ++s) {
+      if (slot_ids[s] != -1) continue;
+      Request r = waiting.front();
+      if (!alloc.allocate(r.id, 0, r.prompt_len)) break;  // FCFS: no skip
+      waiting.pop_front();
+      slot_ids[s] = r.id;
+      running[s] = r;
+      ++n;
+    }
+    return n;
+  }
+
+  // One decode step for slot s: reserve room for 1 token. Returns:
+  //  1 ok, 0 needs-preemption (no pages), -1 slot empty.
+  int step_slot(int s) {
+    if (slot_ids[s] == -1) return -1;
+    Request& r = running[s];
+    if (!alloc.allocate(r.id, r.prompt_len + r.generated, 1)) {
+      stalled = true;
+      return 0;
+    }
+    stalled = false;
+    r.generated += 1;
+    return 1;
+  }
+
+  int num_running() const {
+    int n = 0;
+    for (auto id : slot_ids) n += (id != -1);
+    return n;
+  }
+
+  bool finished(int s) const {
+    return slot_ids[s] != -1 &&
+           running[s].generated >= running[s].max_new_tokens;
+  }
+
+  void release_slot(int s, bool requeue) {
+    if (slot_ids[s] == -1) return;
+    Request r = running[s];
+    alloc.release(r.id);
+    if (requeue) {
+      r.generated = 0;  // restart from prefill after preemption
+      waiting.push_front(r);
+    }
+    slot_ids[s] = -1;
+    running[s].id = -1;
+  }
+
+  // Preempt the youngest running request (highest slot with a request).
+  // Refuses (-1) when <= 1 request is running: preempting the only —
+  // necessarily the starving — request frees nothing useful; the caller
+  // must treat the request as unservable at this pool size.
+  int preempt_youngest() {
+    if (num_running() <= 1) return -1;
+    for (int s = max_slots - 1; s >= 0; --s) {
+      if (slot_ids[s] != -1) {
+        release_slot(s, /*requeue=*/true);
+        return s;
+      }
+    }
+    return -1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- allocator ----
+void* pa_create(int num_pages, int page_size, int pages_per_seq) {
+  return new Allocator(num_pages, page_size, pages_per_seq);
+}
+void pa_destroy(void* h) { delete static_cast<Allocator*>(h); }
+int pa_num_free(void* h) {
+  return static_cast<int>(static_cast<Allocator*>(h)->free_pages.size());
+}
+int pa_pages_needed(void* h, int cur_len, int new_tokens) {
+  return static_cast<Allocator*>(h)->pages_needed(cur_len, new_tokens);
+}
+int pa_allocate(void* h, int64_t seq_id, int cur_len, int new_tokens) {
+  return static_cast<Allocator*>(h)->allocate(seq_id, cur_len, new_tokens)
+             ? 1
+             : 0;
+}
+void pa_release(void* h, int64_t seq_id) {
+  static_cast<Allocator*>(h)->release(seq_id);
+}
+// Fills out[0:cap] with the padded page-table row; returns #pages used.
+int pa_table_row(void* h, int64_t seq_id, int32_t* out, int cap) {
+  auto* a = static_cast<Allocator*>(h);
+  for (int i = 0; i < cap; ++i) out[i] = 0;
+  auto it = a->tables.find(seq_id);
+  if (it == a->tables.end()) return 0;
+  int n = static_cast<int>(it->second.size());
+  if (n > cap) n = cap;
+  for (int i = 0; i < n; ++i) out[i] = it->second[i];
+  return static_cast<int>(it->second.size());
+}
+
+// ---- scheduler ----
+void* sched_create(int num_pages, int page_size, int pages_per_seq,
+                   int slots) {
+  return new Scheduler(num_pages, page_size, pages_per_seq, slots);
+}
+void sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
+void sched_submit(void* h, int64_t id, int prompt_len, int max_new) {
+  static_cast<Scheduler*>(h)->submit(id, prompt_len, max_new);
+}
+int sched_admit(void* h) { return static_cast<Scheduler*>(h)->admit(); }
+int sched_step_slot(void* h, int s) {
+  return static_cast<Scheduler*>(h)->step_slot(s);
+}
+int sched_finished(void* h, int s) {
+  return static_cast<Scheduler*>(h)->finished(s) ? 1 : 0;
+}
+void sched_release_slot(void* h, int s, int requeue) {
+  static_cast<Scheduler*>(h)->release_slot(s, requeue != 0);
+}
+int sched_preempt_youngest(void* h) {
+  return static_cast<Scheduler*>(h)->preempt_youngest();
+}
+int64_t sched_slot_id(void* h, int s) {
+  return static_cast<Scheduler*>(h)->slot_ids[s];
+}
+int sched_slot_generated(void* h, int s) {
+  auto* sc = static_cast<Scheduler*>(h);
+  return sc->slot_ids[s] == -1 ? -1 : sc->running[s].generated;
+}
+int sched_num_waiting(void* h) {
+  return static_cast<int>(static_cast<Scheduler*>(h)->waiting.size());
+}
+int sched_table_row(void* h, int64_t seq_id, int32_t* out, int cap) {
+  return pa_table_row(&static_cast<Scheduler*>(h)->alloc, seq_id, out, cap);
+}
+int sched_num_free_pages(void* h) {
+  return static_cast<int>(
+      static_cast<Scheduler*>(h)->alloc.free_pages.size());
+}
+
+}  // extern "C"

@@ -114,8 +114,10 @@ def main(argv=None):
     from flash_attention_cute_tpu.utils.timing import time_chained
 
     def make_prefill_chain(n):
+        # params as jit ARGUMENTS — closing over them would embed GBs of
+        # constants into the remote compile request.
         @jax.jit
-        def f(ids):
+        def f(params, ids):
             def body(i, ids_):
                 logits, _ = forward(params, cfg, ids_, mode="prefill")
                 return jnp.argmax(logits, -1).astype(jnp.int32)
@@ -124,7 +126,7 @@ def main(argv=None):
         return f
 
     t_prefill = time_chained(
-        make_prefill_chain, (ids,), n1=1, n2=max(2, a.trials),
+        make_prefill_chain, (params, ids), n1=1, n2=max(2, a.trials),
     )
     print(f"prefill: {t_prefill * 1e3:9.2f} ms   "
           f"{b * s / t_prefill:10.0f} tokens/s   "
