@@ -157,6 +157,9 @@ struct Scheduler {
     if (requeue) {
       r.generated = 0;  // restart from prefill after preemption
       waiting.push_front(r);
+    } else {
+      // A finish/fail returns pages for good: admission may resume.
+      stalled = false;
     }
     slot_ids[s] = -1;
     running[s].id = -1;

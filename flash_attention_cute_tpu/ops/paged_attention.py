@@ -103,13 +103,27 @@ def _paged_decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def next_live_block(b_, h_, i_):
-        """Grid coordinates of the next live (within-length) block."""
+        """Grid coordinates of the next live (within-length) block.
+
+        Zero-length sequences are skipped entirely: prefetching a dead
+        batch's block would leave an async copy that no later cell waits
+        on (the consumer reconstructs the copy descriptors, so source and
+        wait must match) — un-awaited DMAs at kernel end are an error.
+        """
         within = (i_ + 1) * bk < lengths_ref[b_]
         i_n = jnp.where(within, i_ + 1, 0)
         h_n = jnp.where(within, h_, h_ + 1)
         wrap = h_n == num_h
         h_n = jnp.where(wrap, 0, h_n)
         b_n = jnp.where(wrap, b_ + 1, b_)
+
+        def skip_dead(_, bb):
+            dead = jnp.logical_and(
+                bb < num_b, lengths_ref[jnp.minimum(bb, num_b - 1)] == 0
+            )
+            return jnp.where(dead, bb + 1, bb)
+
+        b_n = jax.lax.fori_loop(0, num_b, skip_dead, b_n)
         return b_n, h_n, i_n
 
     @pl.when(i * bk < length)

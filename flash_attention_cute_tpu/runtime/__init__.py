@@ -11,5 +11,9 @@ from flash_attention_cute_tpu.runtime.generate import (
     prefill,
 )
 from flash_attention_cute_tpu.runtime.sampling import sample_token
+from flash_attention_cute_tpu.runtime.engine import ServingEngine
 
-__all__ = ["generate", "greedy_generate", "prefill", "sample_token"]
+__all__ = [
+    "generate", "greedy_generate", "prefill", "sample_token",
+    "ServingEngine",
+]

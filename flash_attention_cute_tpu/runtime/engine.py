@@ -1,0 +1,353 @@
+"""Continuous-batching serving engine (paged KV, native scheduler).
+
+The BASELINE north star the reference never reaches (its serving story is
+HF `generate` over a DynamicCache, reference: scripts/benchmark_llm_e2e.py):
+a slot-based engine where requests stream in and out of a fixed device
+batch while decode keeps running — TPU-shaped, so every device program has
+a static shape:
+
+  * batch slots:    fixed `slots`; a request occupies one slot for life.
+  * page pool:      fixed `num_pages x page_size` per layer; page tables
+                    assembled on the host, attention gathers pages on
+                    device (ops/paged_attention.py).
+  * prefill:        per-admission, prompt padded to a power-of-two bucket
+                    (one compile per bucket, not per length).
+  * decode:         ONE compiled step for the whole slot batch regardless
+                    of which slots are live.
+  * scheduling:     FCFS admission + decode-OOM preemption in native C++
+                    (csrc/page_allocator.cpp via runtime/native.py), the
+                    pure-Python allocator as fallback. Preemption uses
+                    recompute semantics: the victim restarts from its
+                    prompt (greedy decoding makes the retry identical).
+
+Usage:
+    eng = ServingEngine(params, cfg, slots=4, num_pages=129, page_size=16,
+                        pages_per_seq=16)
+    eng.submit(0, prompt_ids_list, max_new_tokens=32)
+    results = eng.run()   # {req_id: [token, ...]}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_cute_tpu.models.config import ModelConfig
+from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
+from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
+
+
+@dataclasses.dataclass
+class _Request:
+    req_id: int
+    prompt: list[int]
+    max_new_tokens: int
+    generated: list[int] = dataclasses.field(default_factory=list)
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    return max(lo, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+class ServingEngine:
+    """Host-side serving loop over the paged device state."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        *,
+        slots: int,
+        num_pages: int,
+        page_size: int,
+        pages_per_seq: int,
+        dtype=None,
+        interpret: bool | None = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.page_size = page_size
+        self.pages_per_seq = pages_per_seq
+        self.interpret = interpret
+        self.state = create_paged_state(
+            cfg, num_pages, page_size, batch=slots,
+            pages_per_seq=pages_per_seq, dtype=dtype,
+        )
+
+        try:
+            from flash_attention_cute_tpu.runtime.native import NativeScheduler
+            self.sched = NativeScheduler(
+                num_pages, page_size, pages_per_seq, slots
+            )
+            self.native = True
+        except (RuntimeError, OSError, ImportError):
+            self.sched = _PyScheduler(
+                num_pages, page_size, pages_per_seq, slots
+            )
+            self.native = False
+
+        self._requests: dict[int, _Request] = {}
+        self._slot_req: list[int] = [-1] * slots
+        self._done: dict[int, list[int]] = {}
+        self._failed: list[int] = []
+
+    # ---- public API ----
+
+    def submit(self, req_id: int, prompt: list[int], max_new_tokens: int):
+        assert req_id >= 0 and req_id not in self._requests
+        assert len(prompt) >= 1
+        self._requests[req_id] = _Request(req_id, list(prompt), max_new_tokens)
+        self.sched.submit(req_id, len(prompt), max_new_tokens)
+
+    def run(self, max_steps: int = 100000) -> dict[int, list[int]]:
+        """Drive until all submitted requests finish. Returns generations."""
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return dict(self._done)
+
+    @property
+    def failed(self) -> list[int]:
+        return list(self._failed)
+
+    # ---- engine loop ----
+
+    def step(self) -> bool:
+        """One admission + decode round. False when nothing is in flight."""
+        self._admit()
+        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        if not active:
+            return self.sched.num_waiting > 0 and self._drain_unservable()
+
+        # Reserve one token of page room per active slot BEFORE the device
+        # step; preempt on page exhaustion.
+        for s in list(active):
+            if self._slot_req[s] == -1:
+                continue
+            r = self.sched.step_slot(s)
+            if r == 0:
+                victim = self.sched.preempt_youngest()
+                if victim == -1:
+                    # Unservable at this pool size: fail the request.
+                    rid = self._slot_req[s]
+                    self.sched.release_slot(s, requeue=False)
+                    self._evict(s, failed=True)
+                    continue
+                self._evict(victim, requeue=True)
+                if victim != s and self.sched.step_slot(s) != 1:
+                    # Still starved; retry next round.
+                    continue
+            self._sync_table(s)
+
+        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        if not active:
+            return (self.sched.num_waiting > 0) or bool(self._requests)
+
+        # One compiled decode step over ALL slots.
+        last = np.zeros((self.slots,), np.int32)
+        for s in active:
+            req = self._requests[self._slot_req[s]]
+            hist = req.prompt + req.generated
+            last[s] = hist[-1]
+        logits, self.state = forward_paged(
+            self.params, self.cfg, jnp.asarray(last[:, None]),
+            self.state, mode="decode", interpret=self.interpret,
+        )
+        nxt = np.asarray(jnp.argmax(logits[:, 0], axis=-1), np.int32)
+
+        for s in active:
+            rid = self._slot_req[s]
+            req = self._requests[rid]
+            req.generated.append(int(nxt[s]))
+            if self.sched.finished(s) or len(req.generated) >= req.max_new_tokens:
+                self.sched.release_slot(s, requeue=False)
+                self._done[rid] = req.generated
+                del self._requests[rid]
+                self._slot_req[s] = -1
+                self._set_length(s, 0)
+                self._clear_table(s)
+        return bool(self._requests) or self.sched.num_waiting > 0
+
+    # ---- internals ----
+
+    def _admit(self):
+        before = {s: self.sched.slot_id(s) for s in range(self.slots)}
+        if self.sched.admit() == 0:
+            return
+        for s in range(self.slots):
+            rid = self.sched.slot_id(s)
+            if rid != -1 and before[s] == -1:
+                self._slot_req[s] = rid
+                self._prefill(s, self._requests[rid])
+
+    def _prefill(self, slot: int, req: _Request):
+        # Recompute semantics after preemption: greedy decoding replays the
+        # same tokens, so restarting from the prompt alone is equivalent.
+        req.generated = []
+        prompt = np.asarray(req.prompt, np.int32)
+        plen = len(prompt)
+        bucket = _bucket(plen)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = prompt
+        self._sync_table(slot)
+        self._set_length(slot, 0)
+
+        # jnp.copy: an identity slice (slots == 1) returns the SAME array,
+        # which forward_paged's donation would delete out from under
+        # self.state. The copies are [1]-/[1, pps]-sized — negligible.
+        sub = dataclasses.replace(
+            self.state,
+            page_table=jnp.copy(self.state.page_table[slot : slot + 1]),
+            lengths=jnp.copy(self.state.lengths[slot : slot + 1]),
+        )
+        logits, sub = forward_paged(
+            self.params, self.cfg, jnp.asarray(ids), sub, mode="prefill",
+            valid_len=jnp.asarray([plen], jnp.int32),
+            interpret=self.interpret,
+        )
+        self.state = dataclasses.replace(
+            self.state,
+            k_pages=sub.k_pages,
+            v_pages=sub.v_pages,
+            lengths=self.state.lengths.at[slot].set(plen),
+        )
+        first = int(jnp.argmax(logits[0, plen - 1]))
+        req.generated.append(first)
+        # Count the sampled token against the budget/pages.
+        self.sched.step_slot(slot)
+        self._sync_table(slot)
+
+    def _sync_table(self, slot: int):
+        rid = self._slot_req[slot]
+        if rid == -1:
+            return
+        row = np.asarray(self.sched.table_row(rid), np.int32)
+        self.state = dataclasses.replace(
+            self.state,
+            page_table=self.state.page_table.at[slot].set(jnp.asarray(row)),
+        )
+
+    def _set_length(self, slot: int, value: int):
+        self.state = dataclasses.replace(
+            self.state,
+            lengths=self.state.lengths.at[slot].set(value),
+        )
+
+    def _clear_table(self, slot: int):
+        """Point a freed slot's page-table row at the null page: the
+        inactive-slot dummy scatter in forward_paged must never land in a
+        page that has been handed to another request."""
+        self.state = dataclasses.replace(
+            self.state,
+            page_table=self.state.page_table.at[slot].set(0),
+        )
+
+    def _evict(self, slot: int, requeue: bool = False, failed: bool = False):
+        rid = self._slot_req[slot]
+        if rid == -1:
+            return
+        if failed:
+            self._failed.append(rid)
+            del self._requests[rid]
+        self._slot_req[slot] = -1
+        self._set_length(slot, 0)
+        self._clear_table(slot)
+
+    def _drain_unservable(self) -> bool:
+        """No slot active but requests wait: if admission is gated/starved
+        forever (prompt larger than the whole pool), fail them."""
+        if self.sched.admit() > 0:
+            for s in range(self.slots):
+                rid = self.sched.slot_id(s)
+                if rid != -1 and self._slot_req[s] == -1:
+                    self._slot_req[s] = rid
+                    self._prefill(s, self._requests[rid])
+            return True
+        # Nothing admissible with an empty batch -> unservable requests.
+        return False
+
+
+class _PyScheduler:
+    """Pure-Python fallback mirroring csrc/page_allocator.cpp::Scheduler."""
+
+    def __init__(self, num_pages, page_size, pages_per_seq, slots):
+        from flash_attention_cute_tpu.runtime.paged_cache import PageAllocator
+
+        self.alloc = PageAllocator(num_pages, page_size, pages_per_seq)
+        self.slots = slots
+        self.waiting: list[tuple[int, int, int]] = []  # (id, plen, max_new)
+        self.running: dict[int, list] = {}  # slot -> [id, plen, max_new, gen]
+        self.stalled = False
+        self.pages_per_seq = pages_per_seq
+
+    def submit(self, rid, plen, max_new):
+        self.waiting.append((rid, plen, max_new))
+
+    def admit(self):
+        if self.stalled:
+            return 0
+        n = 0
+        for s in range(self.slots):
+            if not self.waiting or s in self.running:
+                continue
+            rid, plen, max_new = self.waiting[0]
+            if not self.alloc.allocate(rid, 0, plen):
+                break
+            self.waiting.pop(0)
+            self.running[s] = [rid, plen, max_new, 0]
+            n += 1
+        return n
+
+    def step_slot(self, s):
+        if s not in self.running:
+            return -1
+        rid, plen, max_new, gen = self.running[s]
+        if not self.alloc.allocate(rid, plen + gen, 1):
+            self.stalled = True
+            return 0
+        self.stalled = False
+        self.running[s][3] += 1
+        return 1
+
+    def finished(self, s):
+        return s in self.running and self.running[s][3] >= self.running[s][2]
+
+    def release_slot(self, s, requeue=False):
+        if s not in self.running:
+            return
+        rid, plen, max_new, _ = self.running.pop(s)
+        self.alloc.release(rid)
+        if requeue:
+            self.waiting.insert(0, (rid, plen, max_new))
+        else:
+            self.stalled = False
+
+    def preempt_youngest(self):
+        live = sorted(self.running)
+        if len(live) <= 1:
+            return -1
+        victim = live[-1]
+        self.release_slot(victim, requeue=True)
+        return victim
+
+    def slot_id(self, s):
+        return self.running[s][0] if s in self.running else -1
+
+    def slot_generated(self, s):
+        return self.running[s][3] if s in self.running else -1
+
+    @property
+    def num_waiting(self):
+        return len(self.waiting)
+
+    @property
+    def num_free_pages(self):
+        return self.alloc.num_free
+
+    def table_row(self, rid):
+        return self.alloc.table_row(rid)

@@ -1,0 +1,135 @@
+"""Model forward over a PAGED KV cache (the serving-engine data path).
+
+Counterpart to models/transformer.py (contiguous cache) for the paged
+serving engine: per layer, fresh K/V are scattered into the page pool
+through the page table, and decode attention runs the paged-attention
+kernel (ops/paged_attention.py) directly over the scattered pages.
+Everything the reference leaves to HF's DynamicCache + dense kernel
+(reference: models/rope_attn_fwd.py:90-93) becomes explicit, static-shape
+device code here; paged attention itself is the reference's open roadmap
+item (reference: README.md:21).
+
+Modes:
+  prefill — a fresh request (lengths BEFORE call must be 0): causal flash
+            attention over the chunk's own K/V (no prior context), then
+            page scatter. Prompts are padded to a static bucket; padding
+            tokens scatter into the reserved null page 0.
+  decode  — one token per sequence: scatter, then paged attention over
+            the advanced lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_cute_tpu.api import flash_attention_forward
+from flash_attention_cute_tpu.models import layers as L
+from flash_attention_cute_tpu.models.config import ModelConfig
+from flash_attention_cute_tpu.ops.paged_attention import paged_attention_decode
+from flash_attention_cute_tpu.runtime.paged_cache import (
+    PagedKVState,
+    paged_append_layer,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "interpret"),
+    donate_argnames=("state",),
+)
+def forward_paged(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, S]
+    state: PagedKVState,
+    mode: str = "decode",
+    valid_len: jax.Array | None = None,  # [B] real (unpadded) prompt lengths
+    interpret: bool | None = None,
+) -> tuple[jax.Array, PagedKVState]:
+    """Returns (logits [B, S, V] fp32, updated state).
+
+    In prefill mode, `valid_len` gives each sequence's true prompt length
+    (input_ids is padded to a bucket); lengths advance by valid_len and
+    padding K/V land in the null page. In decode mode S must be 1 and
+    lengths advance by 1 for every ACTIVE (length > 0 at entry... callers
+    mask inactive slots by passing length 0 and ignoring their logits).
+    """
+    assert mode in ("prefill", "decode"), mode
+    b, s = input_ids.shape
+    if mode == "decode":
+        assert s == 1, s
+    x = params["embed"][input_ids].astype(cfg.dtype)
+
+    lengths = state.lengths
+    if mode == "prefill":
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        if valid_len is None:
+            valid_len = jnp.full((b,), s, jnp.int32)
+    else:
+        positions = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)
+        # Only ACTIVE slots (length > 0 after their prefill) advance; empty
+        # batch slots stay at 0 and the kernel emits zeros for them.
+        valid_len = (lengths > 0).astype(jnp.int32)
+
+    inv_freq = L.rope_inv_freq(cfg)
+    cos, sin = L.rope_cos_sin(positions, inv_freq, cfg.dtype)
+
+    # Clamp scatter positions of padding tokens so their page-table lookup
+    # stays in range; they land in whatever page the tail maps to and are
+    # never read (masked by lengths). Positions beyond the table map to the
+    # null page row contents (0).
+    def scatter_layer(k_pages_l, v_pages_l, k, v):
+        return paged_append_layer(
+            k_pages_l, v_pages_l, k, v, state.page_table, lengths
+        )
+
+    def layer(x, xs_l):
+        lp, k_pages_l, v_pages_l = xs_l
+        h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = L.qkv_project(h, lp, cfg)
+        q = L.apply_rope(q, cos, sin)
+        k = L.apply_rope(k, cos, sin)
+
+        k_pages_l, v_pages_l = scatter_layer(k_pages_l, v_pages_l, k, v)
+
+        if mode == "prefill":
+            # Fresh request: no prior context, attention over the chunk
+            # only; padded tail rows produce garbage that is discarded.
+            attn = flash_attention_forward(
+                q, k, v, causal=True, interpret=interpret
+            )
+        else:
+            attn = paged_attention_decode(
+                q,
+                k_pages_l.astype(q.dtype),
+                v_pages_l.astype(q.dtype),
+                lengths + valid_len,
+                state.page_table,
+                interpret=bool(interpret),
+            )
+
+        x = x + L.attention_output(attn, lp, cfg)
+        h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        x = x + L.mlp(h, lp)
+        return x, (k_pages_l, v_pages_l)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["layers"], state.k_pages, state.v_pages)
+    )
+
+    x = L.rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        lm_head = params["embed"].T
+    logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
+
+    new_state = PagedKVState(
+        k_pages=new_k,
+        v_pages=new_v,
+        page_table=state.page_table,
+        lengths=lengths + valid_len,
+    )
+    return logits, new_state

@@ -1,0 +1,113 @@
+"""Continuous-batching serving engine: outputs must match straight greedy
+generation, through admission, slot reuse, and preemption.
+
+The engine (runtime/engine.py) composes the paged forward
+(runtime/paged_forward.py), the paged-attention kernel and the native/
+Python scheduler — this is the end-to-end test of the serving stack the
+reference repo never builds (its serving story is HF generate,
+reference: scripts/benchmark_llm_e2e.py:42-47).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.models import forward, init_params
+from flash_attention_cute_tpu.models.config import tiny_test_config
+from flash_attention_cute_tpu.runtime.engine import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(num_layers=2)
+    params = init_params(cfg, jax.random.key(0))
+    return cfg, params
+
+
+def greedy_oracle(params, cfg, prompt, n_tokens):
+    """Uncached greedy generation via repeated dense prefill (slow, exact)."""
+    ids = list(prompt)
+    out = []
+    for _ in range(n_tokens):
+        logits, _ = forward(
+            params, cfg, jnp.asarray([ids], jnp.int32), mode="prefill"
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        ids.append(nxt)
+    return out
+
+
+def test_engine_matches_greedy_generation(model):
+    cfg, params = model
+    rng = np.random.default_rng(0)
+    prompts = {
+        10: rng.integers(0, cfg.vocab_size, 7).tolist(),
+        11: rng.integers(0, cfg.vocab_size, 12).tolist(),
+        12: rng.integers(0, cfg.vocab_size, 3).tolist(),
+    }
+    n_new = {10: 5, 11: 4, 12: 6}
+
+    eng = ServingEngine(
+        params, cfg, slots=2, num_pages=33, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    results = eng.run()
+
+    assert sorted(results) == [10, 11, 12]
+    assert not eng.failed
+    for rid, p in prompts.items():
+        want = greedy_oracle(params, cfg, p, n_new[rid])
+        assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_engine_preemption_still_correct(model):
+    """A page pool too small for both sequences' full growth forces
+    preemption + recompute; final outputs must still be exact."""
+    cfg, params = model
+    rng = np.random.default_rng(1)
+    prompts = {
+        0: rng.integers(0, cfg.vocab_size, 9).tolist(),
+        1: rng.integers(0, cfg.vocab_size, 9).tolist(),
+    }
+    # 5 usable pages of 8 tokens: each sequence needs ceil(17/8)=3 pages by
+    # the end -> they cannot both finish resident; preemption must kick in.
+    eng = ServingEngine(
+        params, cfg, slots=2, num_pages=6, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, 8)
+    results = eng.run()
+    assert sorted(results) == [0, 1], (results, eng.failed)
+    for rid, p in prompts.items():
+        want = greedy_oracle(params, cfg, p, 8)
+        assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_engine_unservable_request_fails_cleanly(model):
+    cfg, params = model
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=3, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    # 2 usable pages -> max 16 tokens; 8 prompt + 12 new needs 20.
+    eng.submit(7, list(range(8)), 12)
+    results = eng.run()
+    assert results == {} or 7 not in results
+    assert eng.failed == [7]
+
+
+def test_engine_single_request_single_slot(model):
+    cfg, params = model
+    prompt = [5, 3, 2, 9, 1]
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=17, page_size=8, pages_per_seq=4,
+        interpret=True,
+    )
+    eng.submit(0, prompt, 6)
+    results = eng.run()
+    assert results[0] == greedy_oracle(params, cfg, prompt, 6)
