@@ -76,10 +76,11 @@ def select_block_config(
       * Shorter sequences clamp the blocks (handled again in the wrappers).
       * Larger head dims shrink block_kv to keep the K/V working set bounded.
     """
-    block_q = 512
+    block_q = 512 if causal else 1024
     block_kv = 512
     d_pad = max(128, -(-head_dim // 128) * 128)
     if d_pad > 128:
+        block_q = min(block_q, 512)
         block_kv = 256
     if q_len <= 256:
         block_q = 256

@@ -1,0 +1,159 @@
+"""Monkeypatch HF transformers attention onto the TPU Pallas kernels.
+
+Drop-in equivalent of the reference's integration layer
+(reference: models/rope_attn_fwd.py:66-120 `attention_forward`,
+models/patch_llama.py:4-5 / models/patch_qwen2.py:4-5 `patch_attn`): QKV
+projection, RoPE and KV-cache update stay in torch (exactly like the
+reference, which keeps everything up to the kernel call in HF code), and
+the attention core crosses into JAX where the dispatching API routes to
+the fused prefill / split-KV decode Pallas kernels.
+
+The bridge is zero-copy on CPU via dlpack where possible and otherwise a
+host round-trip; it exists for *capability parity and validation* (run any
+HF checkpoint against the TPU kernels without porting weights). The
+first-class serving path remains the native JAX stack (models/ +
+runtime/) — crossing frameworks per layer is not a performance plan.
+
+Usage (mirrors the reference exactly):
+
+    from flash_attention_cute_tpu.interop import patch_llama
+    patch_llama()                      # patches LlamaAttention.forward
+    model = AutoModelForCausalLM.from_pretrained(..., attn_implementation=None)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+def _to_jax(t):
+    import jax
+
+    t = t.detach().contiguous()
+    if t.dtype == _torch().bfloat16:
+        # numpy has no bf16; dlpack handles it.
+        try:
+            return jax.dlpack.from_dlpack(t)
+        except Exception:
+            import jax.numpy as jnp
+
+            return jnp.asarray(t.float().cpu().numpy()).astype(jnp.bfloat16)
+    try:
+        return jax.dlpack.from_dlpack(t)
+    except Exception:
+        import jax.numpy as jnp
+
+        return jnp.asarray(t.cpu().numpy())
+
+
+def _to_torch(a, like):
+    torch = _torch()
+    import jax.numpy as jnp
+
+    if a.dtype == jnp.bfloat16:
+        try:
+            return torch.from_dlpack(a).to(like.device, like.dtype)
+        except Exception:
+            a = a.astype(jnp.float32)
+    return torch.from_numpy(np.array(a)).to(like.device, like.dtype)
+
+
+def _flash_attention_core(q, k, v, softmax_scale, causal, window):
+    """torch [B, H, S, D] -> torch [B, H, S, D] through the JAX kernels
+    (reference: models/rope_attn_fwd.py:40-64 `_flash_attention_forward`)."""
+    from flash_attention_cute_tpu.api import flash_attention_forward
+
+    qj, kj, vj = _to_jax(q), _to_jax(k), _to_jax(v)
+    oj = flash_attention_forward(
+        qj, kj, vj, softmax_scale=softmax_scale, causal=causal,
+        window=window,
+    )
+    return _to_torch(oj, like=q)
+
+
+def attention_forward(
+    self,
+    hidden_states,
+    position_embeddings=None,
+    attention_mask=None,
+    past_key_value=None,
+    past_key_values=None,  # transformers >= 4.56 spells it plural
+    cache_position=None,
+    position_ids=None,
+    **kwargs,
+):
+    """Replacement for modern HF (>= 4.48-style) *Attention.forward
+    (reference: models/rope_attn_fwd.py:66-120). Returns (attn_out, None).
+    """
+    torch = _torch()
+    if past_key_value is None:
+        past_key_value = past_key_values
+    b, s, _ = hidden_states.shape
+    cfg = self.config
+    head_dim = getattr(
+        self, "head_dim", cfg.hidden_size // cfg.num_attention_heads
+    )
+    num_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
+
+    q = self.q_proj(hidden_states).view(b, s, -1, head_dim).transpose(1, 2)
+    k = self.k_proj(hidden_states).view(b, s, num_kv, head_dim).transpose(1, 2)
+    v = self.v_proj(hidden_states).view(b, s, num_kv, head_dim).transpose(1, 2)
+
+    if position_embeddings is not None:
+        cos, sin = position_embeddings
+        # HF rotate-half convention (reference: rope_attn_fwd.py:8-38).
+        def rot(x):
+            half = x.shape[-1] // 2
+            return torch.cat((-x[..., half:], x[..., :half]), dim=-1)
+
+        cu, su = cos.unsqueeze(1), sin.unsqueeze(1)
+        q = q * cu + rot(q) * su
+        k = k * cu + rot(k) * su
+
+    if past_key_value is not None:
+        k, v = past_key_value.update(
+            k, v, self.layer_idx, {"cache_position": cache_position}
+        )
+
+    # Sliding-window probe (reference: rope_attn_fwd.py:95-101) — unlike
+    # the reference, a configured window is SUPPORTED, not rejected.
+    window = None
+    if getattr(cfg, "use_sliding_window", False) and getattr(
+        cfg, "sliding_window", None
+    ):
+        if self.layer_idx >= getattr(cfg, "max_window_layers", 0):
+            window = cfg.sliding_window
+
+    o = _flash_attention_core(
+        q, k, v,
+        softmax_scale=head_dim ** -0.5,
+        causal=True,
+        window=window,
+    )
+
+    o = o.transpose(1, 2).reshape(b, s, -1)
+    return self.o_proj(o), None
+
+
+def patch_llama() -> None:
+    """LlamaAttention.forward = attention_forward
+    (reference: models/patch_llama.py:4-5)."""
+    from transformers.models.llama import modeling_llama
+
+    modeling_llama.LlamaAttention.forward = attention_forward
+
+
+def patch_qwen2() -> None:
+    """Qwen2Attention.forward = attention_forward
+    (reference: models/patch_qwen2.py:4-5)."""
+    from transformers.models.qwen2 import modeling_qwen2
+
+    modeling_qwen2.Qwen2Attention.forward = attention_forward

@@ -227,11 +227,165 @@ def _flash_fwd_kernel(
             o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
 
 
+def _flash_fwd_kernel_fused(
+    q_ref,  # [1, 1, g, block_q, d] — packed q-head group (pre-scaled)
+    k_ref,  # [1, 1, block_kv, d]
+    v_ref,  # [1, 1, block_kv, d]
+    o_ref,  # [1, 1, g, block_q, d]
+    m_scratch,  # [NUM_SUBLANES, g * block_q] f32 (row 0 live)
+    l_scratch,  # [NUM_SUBLANES, g * block_q] f32 (row 0 live)
+    acc_scratch,  # [d, g * block_q] f32 — O^T accumulator
+    *,
+    causal: bool,
+    window: int | None,
+    group: int,
+    block_q: int,
+    block_kv: int,
+    q_len: int,
+    kv_len: int,
+    kv_len_padded: int,
+    mask_value: float,
+    inner: int = 1,
+):
+    """Fused-group variant: the whole G-head group rides in ONE pair of MXU
+    ops per KV block — S^T = K (Qg)^T is [block_kv, G*block_q] — instead of
+    G narrow matmuls. Wider N amortizes MXU pipeline overhead; the mask
+    bias is built once at block_q width and lane-tiled across the group
+    (masking depends only on positions, not heads).
+
+    `inner` splits the KV block into sub-blocks processed back to back in
+    one invocation: the unrolled dataflow exposes sub-block i+1's QK^T
+    matmul as independent of sub-block i's softmax, letting the Mosaic
+    scheduler overlap MXU and VPU work (the TPU analog of the reference's
+    two-stage gemm/softmax pipeline, template.cuh:363-373/507-514)."""
+    q_blk = pl.program_id(2)
+    kv_blk = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
+    assert block_kv % inner == 0
+    sub_kv = block_kv // inner
+
+    @pl.when(kv_blk == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    offset = kv_len - q_len
+    kv_padded = kv_len_padded != kv_len
+
+    if causal:
+        should_run = kv_blk * block_kv <= (q_blk + 1) * block_q - 1 + offset
+    else:
+        should_run = True
+    if window is not None:
+        below = (kv_blk + 1) * block_kv - 1 <= q_blk * block_q + offset - window
+        should_run = jnp.logical_and(should_run, jnp.logical_not(below))
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].reshape(group * block_q, q_ref.shape[-1])
+
+        for si in range(inner):
+            sub_start = kv_blk * block_kv + si * sub_kv
+
+            def build_bias(sub_start=sub_start):
+                kv_pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (sub_kv, block_q), 0
+                ) + sub_start
+                allowed = None
+
+                def _and(a, b):
+                    return b if a is None else a & b
+
+                if causal or window is not None:
+                    q_pos = jax.lax.broadcasted_iota(
+                        jnp.int32, (sub_kv, block_q), 1
+                    ) + q_blk * block_q
+                if causal:
+                    allowed = _and(allowed, kv_pos <= q_pos + offset)
+                if window is not None:
+                    allowed = _and(allowed, kv_pos > q_pos + offset - window)
+                if kv_padded or allowed is None:
+                    allowed = _and(allowed, kv_pos < kv_len)
+                bias = jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+                return jnp.tile(bias, (1, group))  # head-major lane packing
+
+            needs_mask = False
+            if causal:
+                needs_mask = (
+                    sub_start + sub_kv - 1 > q_blk * block_q + offset
+                )
+            if window is not None:
+                lower = (
+                    sub_start
+                    <= q_blk * block_q + block_q - 1 + offset - window
+                )
+                needs_mask = (
+                    lower if needs_mask is False else needs_mask | lower
+                )
+            if kv_padded:
+                last = sub_start + sub_kv > kv_len
+                needs_mask = (
+                    last if needs_mask is False else needs_mask | last
+                )
+
+            k = k_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
+            v = v_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [sub_kv, group * block_q]
+            if needs_mask is not False:
+                s_t += jax.lax.cond(
+                    needs_mask,
+                    build_bias,
+                    lambda: jnp.zeros(
+                        (sub_kv, group * block_q), jnp.float32
+                    ),
+                )
+
+            m_prev = m_scratch[:1]
+            l_prev = l_scratch[:1]
+            m_curr = jnp.max(s_t, axis=0, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p_t = jnp.exp2(s_t - m_next)
+            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
+
+            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+            acc_scratch[...] *= alpha
+            acc_scratch[...] += jax.lax.dot_general(
+                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [d, group * block_q]
+
+    @pl.when(kv_blk == num_kv_blocks - 1)
+    def _store():
+        if causal and offset < 0:
+            q_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_q), 1
+            ) + q_blk * block_q
+            dead = jnp.tile(q_pos + offset < 0, (1, group))
+        else:
+            dead = None
+        l = l_scratch[:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        if dead is not None:
+            l_inv = jnp.where(dead, 0.0, l_inv)
+        o_t = acc_scratch[...] * l_inv  # [d, g * block_q]
+        d_pad = acc_scratch.shape[0]
+        o_ref[0, 0] = (
+            o_t.T.reshape(group, block_q, d_pad).astype(o_ref.dtype)
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "window", "block_q", "block_kv",
-        "interpret", "debug",
+        "fuse_group", "inner_splits", "interpret", "debug",
     ),
 )
 def flash_attention_fwd(
@@ -243,6 +397,8 @@ def flash_attention_fwd(
     window: int | None = None,
     block_q: int = 0,
     block_kv: int = 0,
+    fuse_group: bool | None = None,
+    inner_splits: int = 0,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -261,6 +417,9 @@ def flash_attention_fwd(
         entirely below the window are skipped, so cost is O(Sq * window).
       block_q / block_kv: tile sizes; 0 picks tuned defaults (small KV
         blocks for causal — diagonal skipping; larger for full attention).
+      fuse_group: compute the whole GQA q-head group in single wide MXU
+        ops (S^T is [block_kv, G*block_q]) instead of a per-head loop.
+        None = auto (on when the fused tile fits VMEM comfortably).
 
     Returns: [B, Hq, Sq, D] in q's dtype.
     """
@@ -275,13 +434,15 @@ def flash_attention_fwd(
         assert window > 0, window
     group = hq // hkv
 
-    # Tuned on v5e (benchmarks/sweep_flash.py): throughput is insensitive to
-    # block_kv in the transposed layout, so causal favors small KV blocks
-    # (finer diagonal skip granularity).
+    # Tuned on v5e (benchmarks/sweep_flash.py + inline sweeps): with the
+    # KV-DMA clamp making skipped blocks free, larger tiles win; causal
+    # additionally wants inner splits (MXU/VPU overlap across sub-blocks).
     if block_q <= 0:
-        block_q = 256
+        block_q = 512 if causal else 1024
     if block_kv <= 0:
-        block_kv = 256 if causal else 512
+        block_kv = 512
+    if inner_splits <= 0:
+        inner_splits = 4 if causal else 1
 
     # ---- padding to hardware-friendly shapes ----
     d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
@@ -289,6 +450,11 @@ def flash_attention_fwd(
     block_kv = min(block_kv, _round_up(skv, NUM_LANES))
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_kv)
+    # Inner sub-blocks must tile block_kv with >= 8 sublanes each.
+    while inner_splits > 1 and (
+        block_kv % inner_splits != 0 or block_kv // inner_splits < 8
+    ):
+        inner_splits -= 1
 
     # Fold softmax_scale * log2(e) into Q once (reference:
     # csrc/flash_attention_api.cpp:87), in fp32 before any cast.
@@ -308,8 +474,16 @@ def flash_attention_fwd(
 
     grid = (b, hkv, sq_pad // block_q, skv_pad // block_kv)
 
+    if fuse_group is None:
+        # Fused tile: p_t f32 [block_kv, G*block_q] + acc f32 [d, G*block_q]
+        # must leave room for the double-buffered K/V blocks in ~16 MB VMEM.
+        fused_bytes = (block_kv + d_pad + NUM_SUBLANES * 2) * (
+            group * block_q
+        ) * 4
+        fuse_group = group > 1 and fused_bytes <= 6 * 1024 * 1024
+
     kernel = functools.partial(
-        _flash_fwd_kernel,
+        _flash_fwd_kernel_fused if fuse_group else _flash_fwd_kernel,
         causal=causal,
         window=window,
         group=group,
@@ -319,6 +493,7 @@ def flash_attention_fwd(
         kv_len=skv,
         kv_len_padded=skv_pad,
         mask_value=DEFAULT_MASK_VALUE,
+        **({"inner": inner_splits} if fuse_group else {}),
     )
 
     flops_factor = 0.5 if causal else 1.0
@@ -331,6 +506,24 @@ def flash_attention_fwd(
         transcendentals=int(b * hq * sq * skv * flops_factor),
     )
 
+    # Clamp the KV block index to the causal/window-live range for each
+    # q tile: steps the kernel will skip re-address the previous block, so
+    # Pallas elides their HBM->VMEM copies (the DMA half of the block-level
+    # skip; the compute half is the pl.when in the kernel). The clamp uses
+    # only static offsets, so index maps stay scalar arithmetic.
+    num_kv_blk = skv_pad // block_kv
+    offset = skv - sq
+
+    def kv_index(b_, h, i, j):
+        jj = j
+        if causal:
+            last = (offset + (i + 1) * block_q - 1) // block_kv
+            jj = jnp.minimum(jj, jnp.clip(last, 0, num_kv_blk - 1))
+        if window is not None:
+            first = (i * block_q + offset - window + 1) // block_kv
+            jj = jnp.maximum(jj, jnp.clip(first, 0, num_kv_blk - 1))
+        return (b_, h, jj, 0)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -339,14 +532,8 @@ def flash_attention_fwd(
                 (1, 1, group, block_q, d_pad),
                 lambda b_, h, i, j: (b_, h, 0, i, 0),
             ),
-            pl.BlockSpec(
-                (1, 1, block_kv, d_pad),
-                lambda b_, h, i, j: (b_, h, j, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_kv, d_pad),
-                lambda b_, h, i, j: (b_, h, j, 0),
-            ),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, group, block_q, d_pad),
@@ -355,11 +542,19 @@ def flash_attention_fwd(
         out_shape=jax.ShapeDtypeStruct(
             (b, hkv, group, sq_pad, d_pad), q.dtype
         ),
-        scratch_shapes=[
-            pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
-            pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
-            pltpu.VMEM((group, d_pad, block_q), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
+                pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
+                pltpu.VMEM((d_pad, group * block_q), jnp.float32),
+            ]
+            if fuse_group
+            else [
+                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
+                pltpu.VMEM((group, d_pad, block_q), jnp.float32),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
