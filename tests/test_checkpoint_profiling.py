@@ -1,0 +1,81 @@
+"""Checkpoint round-trip (orbax) and roofline/profiling utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.models import forward, init_params
+from flash_attention_cute_tpu.models.config import tiny_test_config
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from flash_attention_cute_tpu.models.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(0))
+    save_checkpoint(tmp_path / "ck", params, cfg)
+
+    cfg2, params2 = load_checkpoint(tmp_path / "ck")
+    assert cfg2 == cfg
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params2,
+    )
+    ids = jnp.ones((1, 8), jnp.int32)
+    l1, _ = forward(params, cfg, ids, mode="prefill")
+    l2, _ = forward(params2, cfg2, ids, mode="prefill")
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_checkpoint_restore_with_shardings(tmp_path, mesh8):
+    from jax.sharding import NamedSharding
+
+    from flash_attention_cute_tpu.models.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from flash_attention_cute_tpu.parallel.sharding import param_pspecs
+
+    cfg = tiny_test_config(num_q_heads=8, num_kv_heads=4)
+    params = init_params(cfg, jax.random.key(1))
+    save_checkpoint(tmp_path / "ck", params, cfg)
+
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh8, s), param_pspecs(cfg)
+    )
+    cfg2, params2 = load_checkpoint(tmp_path / "ck", shardings=shardings)
+    q = params2["layers"]["q_proj"]
+    assert q.sharding == shardings["layers"]["q_proj"]
+    np.testing.assert_array_equal(
+        np.asarray(q), np.asarray(params["layers"]["q_proj"])
+    )
+
+
+def test_roofline_reports_bound():
+    from flash_attention_cute_tpu.utils.profiling import roofline
+
+    def big_matmul(a, b):
+        return a @ b
+
+    a = jnp.zeros((1024, 1024), jnp.bfloat16)
+    b = jnp.zeros((1024, 1024), jnp.bfloat16)
+    r = roofline(big_matmul, a, b)
+    assert r["flops"] > 0 and r["bytes"] > 0
+    assert r["bound"] in ("compute", "memory")
+    assert r["min_time_us"] > 0
+
+    r2 = roofline(big_matmul, a, b, seconds=1e-3)
+    assert 0 < r2["achieved_tflops"] < r2["peak_tflops"]
+
+
+def test_trace_context(tmp_path):
+    from flash_attention_cute_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "tr")):
+        with annotate("phase"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    assert any((tmp_path / "tr").rglob("*"))
