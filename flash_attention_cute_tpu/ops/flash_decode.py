@@ -135,7 +135,7 @@ def flash_attention_decode(
     sm_scale: float | None = None,
     window: int | None = None,
     num_splits: int = 0,
-    block_kv: int = 512,
+    block_kv: int = 2048,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
