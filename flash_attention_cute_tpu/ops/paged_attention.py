@@ -221,7 +221,7 @@ def paged_attention_decode(
     lengths: jax.Array,
     page_table: jax.Array,
     sm_scale: float | None = None,
-    pages_per_compute_block: int = 8,
+    pages_per_compute_block: int = 0,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -232,6 +232,10 @@ def paged_attention_decode(
       k_pages/v_pages: [Hkv, num_pages, page_size, D]
       lengths: [B] int32 valid token counts
       page_table: [B, pages_per_seq] int32 physical page ids
+      pages_per_compute_block: pages gathered per softmax block; 0 targets
+        a 2048-token block (v5e sweep: 64-token pages cap at ~480 GB/s
+        from 16 KB DMAs; 128-token pages x 16 reach ~740 GB/s — prefer
+        page_size >= 128 on TPU).
 
     Returns: [B, Hq, 1, D] in q's dtype.
     """
@@ -248,6 +252,8 @@ def paged_attention_decode(
     d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
 
     pages_per_seq = page_table.shape[1]
+    if pages_per_compute_block <= 0:
+        pages_per_compute_block = max(1, 2048 // page_size)
     ppcb = min(pages_per_compute_block, pages_per_seq)
     # Pad the page table so compute blocks tile evenly.
     pps_pad = _round_up(pages_per_seq, ppcb)
