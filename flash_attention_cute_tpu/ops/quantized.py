@@ -162,7 +162,7 @@ def flash_attention_decode_quantized(
     kv_length: jax.Array | None = None,
     sm_scale: float | None = None,
     num_splits: int = 0,
-    block_kv: int = 512,
+    block_kv: int = 2048,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
