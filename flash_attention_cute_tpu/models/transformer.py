@@ -100,6 +100,65 @@ def _layer_forward(
     return x, k_cache_l, v_cache_l
 
 
+def _layer_forward_carry(
+    x: jax.Array,
+    lp: dict,
+    layer_idx: jax.Array,  # scalar int32 (traced)
+    cfg: ModelConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    ck: jax.Array,  # [L, B, Hkv, C, D] stacked cache (scan carry)
+    cv: jax.Array,
+    lengths: jax.Array,  # [B]
+    mode: str,
+    interpret: bool | None,
+    mesh,
+    window: int | None,
+):
+    """Decode/extend layer with the FULL stacked cache in the scan carry.
+
+    The new tokens are written with a token-granular scatter (9x cheaper
+    than re-materializing the layer slab through scan ys: 59us vs 530us
+    per step at Llama-3-8B 8-layer decode shapes on v5e), then the layer's
+    cache slab is sliced for attention.
+    """
+    if mesh is not None:
+        from flash_attention_cute_tpu.parallel.sharding import sharded_attention
+        attn_fn = functools.partial(sharded_attention, mesh)
+    else:
+        attn_fn = flash_attention_forward
+    h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+    q, k, v = L.qkv_project(h, lp, cfg)
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+
+    b, hkv, s, _ = k.shape
+    bidx = jnp.arange(b)[:, None, None]
+    hidx = jnp.arange(hkv)[None, :, None]
+    pos = lengths[:, None, None] + jnp.arange(s)[None, None, :]  # [B,1,S]
+    ck = ck.at[layer_idx, bidx, hidx, pos].set(k.astype(ck.dtype))
+    cv = cv.at[layer_idx, bidx, hidx, pos].set(v.astype(cv.dtype))
+
+    k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+    v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+    new_len = lengths + s
+    attn = attn_fn(
+        q,
+        k_l.astype(q.dtype),
+        v_l.astype(q.dtype),
+        causal=(mode == "extend"),
+        kv_length=new_len,
+        q_offset=lengths if mode == "extend" else None,
+        window=window,
+        interpret=interpret,
+    )
+
+    x = x + L.attention_output(attn, lp, cfg)
+    h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+    x = x + L.mlp(h, lp)
+    return x, ck, cv
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mode", "interpret", "return_hidden", "mesh"),
@@ -173,23 +232,49 @@ def forward(
     def seg_slice(tree, a, z):
         return jax.tree.map(lambda arr: arr[a:z], tree)
 
-    new_ks, new_vs = [], []
-    for (a, z, window) in segments:
-        lp_seg = seg_slice(lp_stacked, a, z)
-        if cache is not None:
-            xs = (lp_seg, cache.k[a:z], cache.v[a:z])
-            x, (nk, nv) = jax.lax.scan(make_scan_body(window), x, xs)
-            new_ks.append(nk)
-            new_vs.append(nv)
-        else:
-            x, _ = jax.lax.scan(make_scan_body(window), x, (lp_seg, None, None))
+    if cache is not None and mode != "prefill":
+        # Decode/extend: the stacked cache rides the scan CARRY and new
+        # tokens land via token-granular scatters (see _layer_forward_carry).
+        def make_carry_body(window):
+            def body(carry, xs_l):
+                x, ck, cv = carry
+                lp, l = xs_l
+                x, ck, cv = _layer_forward_carry(
+                    x, lp, l, cfg, cos, sin, ck, cv, lengths, mode,
+                    interpret, mesh, window,
+                )
+                return (x, ck, cv), None
+            return body
 
-    if cache is not None:
-        new_k = new_ks[0] if len(new_ks) == 1 else jnp.concatenate(new_ks)
-        new_v = new_vs[0] if len(new_vs) == 1 else jnp.concatenate(new_vs)
-        new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + s)
+        carry = (x, cache.k, cache.v)
+        for (a, z, window) in segments:
+            lp_seg = seg_slice(lp_stacked, a, z)
+            idxs = jnp.arange(a, z, dtype=jnp.int32)
+            carry, _ = jax.lax.scan(
+                make_carry_body(window), carry, (lp_seg, idxs)
+            )
+        x, ck, cv = carry
+        new_cache = KVCache(k=ck, v=cv, lengths=cache.lengths + s)
     else:
-        new_cache = None
+        new_ks, new_vs = [], []
+        for (a, z, window) in segments:
+            lp_seg = seg_slice(lp_stacked, a, z)
+            if cache is not None:
+                xs = (lp_seg, cache.k[a:z], cache.v[a:z])
+                x, (nk, nv) = jax.lax.scan(make_scan_body(window), x, xs)
+                new_ks.append(nk)
+                new_vs.append(nv)
+            else:
+                x, _ = jax.lax.scan(
+                    make_scan_body(window), x, (lp_seg, None, None)
+                )
+
+        if cache is not None:
+            new_k = new_ks[0] if len(new_ks) == 1 else jnp.concatenate(new_ks)
+            new_v = new_vs[0] if len(new_vs) == 1 else jnp.concatenate(new_vs)
+            new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + s)
+        else:
+            new_cache = None
 
     x = L.rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if return_hidden:
