@@ -71,3 +71,48 @@ class KVCache:
 
     def advance(self, num_tokens: int | jax.Array) -> "KVCache":
         return dataclasses.replace(self, lengths=self.lengths + num_tokens)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedKVCache:
+    """Quantized KV cache: int8/fp8 values + per-token f32 scales.
+
+    Halves (vs bf16) the HBM bytes streamed per decode step — the
+    reference's "quantized dtype kernels" roadmap item (README.md:22)
+    carried through to the model runtime. Values quantize per token at
+    write time (symmetric, last-axis); attention dequantizes inside the
+    kernel (ops/quantized.py) without materializing a dense block.
+
+    k_values/v_values: [L, B, Hkv, C, D] int8 or float8_e4m3fn
+    k_scales/v_scales: [L, B, Hkv, C] float32
+    lengths: [B] int32
+    """
+
+    k_values: jax.Array
+    k_scales: jax.Array
+    v_values: jax.Array
+    v_scales: jax.Array
+    lengths: jax.Array
+
+    @classmethod
+    def create(
+        cls, cfg, batch: int, capacity: int, dtype=jnp.int8
+    ) -> "QuantizedKVCache":
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, capacity, cfg.head_dim)
+        sshape = shape[:-1]
+        return cls(
+            k_values=jnp.zeros(shape, dtype),
+            k_scales=jnp.ones(sshape, jnp.float32),
+            v_values=jnp.zeros(shape, dtype),
+            v_scales=jnp.ones(sshape, jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.k_values.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k_values.shape[1]

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from flash_attention_cute_tpu.api import flash_attention_forward
-from flash_attention_cute_tpu.models.cache import KVCache
+from flash_attention_cute_tpu.models.cache import KVCache, QuantizedKVCache
 from flash_attention_cute_tpu.models.config import ModelConfig
 from flash_attention_cute_tpu.models import layers as L
 
@@ -63,13 +63,29 @@ def _layer_forward(
     if mode == "prefill":
         attn = attn_fn(q, k, v, causal=True, window=window, interpret=interpret)
         if k_cache_l is not None:
-            s = k.shape[2]
-            k_cache_l = jax.lax.dynamic_update_slice(
-                k_cache_l, k.astype(k_cache_l.dtype), (0, 0, 0, 0)
-            )
-            v_cache_l = jax.lax.dynamic_update_slice(
-                v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
-            )
+            if isinstance(k_cache_l, tuple):  # quantized (values, scales)
+                from flash_attention_cute_tpu.ops.quantized import quantize_kv
+
+                def write_q(slab, new):
+                    vals, scl = slab
+                    nq = quantize_kv(new, dtype=vals.dtype)
+                    vals = jax.lax.dynamic_update_slice(
+                        vals, nq.values, (0, 0, 0, 0)
+                    )
+                    scl = jax.lax.dynamic_update_slice(
+                        scl, nq.scales, (0, 0, 0)
+                    )
+                    return (vals, scl)
+
+                k_cache_l = write_q(k_cache_l, k)
+                v_cache_l = write_q(v_cache_l, v)
+            else:
+                k_cache_l = jax.lax.dynamic_update_slice(
+                    k_cache_l, k.astype(k_cache_l.dtype), (0, 0, 0, 0)
+                )
+                v_cache_l = jax.lax.dynamic_update_slice(
+                    v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
+                )
     else:
         # decode / extend: write new K/V at each sequence's offset, then
         # attend over the cache masked by the advanced lengths.
@@ -136,22 +152,71 @@ def _layer_forward_carry(
     bidx = jnp.arange(b)[:, None, None]
     hidx = jnp.arange(hkv)[None, :, None]
     pos = lengths[:, None, None] + jnp.arange(s)[None, None, :]  # [B,1,S]
-    ck = ck.at[layer_idx, bidx, hidx, pos].set(k.astype(ck.dtype))
-    cv = cv.at[layer_idx, bidx, hidx, pos].set(v.astype(cv.dtype))
-
-    k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
-    v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
     new_len = lengths + s
-    attn = attn_fn(
-        q,
-        k_l.astype(q.dtype),
-        v_l.astype(q.dtype),
-        causal=(mode == "extend"),
-        kv_length=new_len,
-        q_offset=lengths if mode == "extend" else None,
-        window=window,
-        interpret=interpret,
-    )
+    quantized = isinstance(ck, tuple)
+
+    if quantized:
+        from flash_attention_cute_tpu import dispatch
+        from flash_attention_cute_tpu.ops.quantized import (
+            QuantizedKV,
+            dequantize_kv,
+            flash_attention_decode_quantized,
+            quantize_kv,
+        )
+
+        def scatter_q(c, new):
+            vals, scl = c
+            nq = quantize_kv(new, dtype=vals.dtype)
+            vals = vals.at[layer_idx, bidx, hidx, pos].set(nq.values)
+            scl = scl.at[layer_idx, bidx, hidx, pos].set(nq.scales)
+            return (vals, scl)
+
+        ck = scatter_q(ck, k)
+        cv = scatter_q(cv, v)
+
+        def slab(c):
+            vals, scl = c
+            return QuantizedKV(
+                values=jax.lax.dynamic_index_in_dim(vals, layer_idx, 0, keepdims=False),
+                scales=jax.lax.dynamic_index_in_dim(scl, layer_idx, 0, keepdims=False),
+            )
+
+        kq_l, vq_l = slab(ck), slab(cv)
+        use_kernel = dispatch.on_tpu() or bool(interpret)
+        if mode == "decode" and use_kernel and mesh is None:
+            attn = flash_attention_decode_quantized(
+                q, kq_l, vq_l, kv_length=new_len, window=window,
+                interpret=bool(interpret),
+            )
+        else:
+            # extend / off-TPU fallback: dequantize the layer slab and take
+            # the dense path (exact w.r.t. the quantized representation).
+            attn = attn_fn(
+                q,
+                dequantize_kv(kq_l, q.dtype),
+                dequantize_kv(vq_l, q.dtype),
+                causal=(mode == "extend"),
+                kv_length=new_len,
+                q_offset=lengths if mode == "extend" else None,
+                window=window,
+                interpret=interpret,
+            )
+    else:
+        ck = ck.at[layer_idx, bidx, hidx, pos].set(k.astype(ck.dtype))
+        cv = cv.at[layer_idx, bidx, hidx, pos].set(v.astype(cv.dtype))
+
+        k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+        attn = attn_fn(
+            q,
+            k_l.astype(q.dtype),
+            v_l.astype(q.dtype),
+            causal=(mode == "extend"),
+            kv_length=new_len,
+            q_offset=lengths if mode == "extend" else None,
+            window=window,
+            interpret=interpret,
+        )
 
     x = x + L.attention_output(attn, lp, cfg)
     h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
@@ -232,6 +297,26 @@ def forward(
     def seg_slice(tree, a, z):
         return jax.tree.map(lambda arr: arr[a:z], tree)
 
+    # Cache pytrees streamed through the scans: KVCache uses plain arrays,
+    # QuantizedKVCache (values, scales) tuples — the layer code branches on
+    # the tuple-ness.
+    quant = isinstance(cache, QuantizedKVCache)
+    if cache is not None:
+        if quant:
+            cache_k = (cache.k_values, cache.k_scales)
+            cache_v = (cache.v_values, cache.v_scales)
+        else:
+            cache_k, cache_v = cache.k, cache.v
+
+    def rebuild_cache(ck, cv):
+        if quant:
+            return QuantizedKVCache(
+                k_values=ck[0], k_scales=ck[1],
+                v_values=cv[0], v_scales=cv[1],
+                lengths=cache.lengths + s,
+            )
+        return KVCache(k=ck, v=cv, lengths=cache.lengths + s)
+
     if cache is not None and mode != "prefill":
         # Decode/extend: the stacked cache rides the scan CARRY and new
         # tokens land via token-granular scatters (see _layer_forward_carry).
@@ -246,7 +331,7 @@ def forward(
                 return (x, ck, cv), None
             return body
 
-        carry = (x, cache.k, cache.v)
+        carry = (x, cache_k, cache_v)
         for (a, z, window) in segments:
             lp_seg = seg_slice(lp_stacked, a, z)
             idxs = jnp.arange(a, z, dtype=jnp.int32)
@@ -254,13 +339,17 @@ def forward(
                 make_carry_body(window), carry, (lp_seg, idxs)
             )
         x, ck, cv = carry
-        new_cache = KVCache(k=ck, v=cv, lengths=cache.lengths + s)
+        new_cache = rebuild_cache(ck, cv)
     else:
         new_ks, new_vs = [], []
         for (a, z, window) in segments:
             lp_seg = seg_slice(lp_stacked, a, z)
             if cache is not None:
-                xs = (lp_seg, cache.k[a:z], cache.v[a:z])
+                xs = (
+                    lp_seg,
+                    seg_slice(cache_k, a, z),
+                    seg_slice(cache_v, a, z),
+                )
                 x, (nk, nv) = jax.lax.scan(make_scan_body(window), x, xs)
                 new_ks.append(nk)
                 new_vs.append(nv)
@@ -270,9 +359,11 @@ def forward(
                 )
 
         if cache is not None:
-            new_k = new_ks[0] if len(new_ks) == 1 else jnp.concatenate(new_ks)
-            new_v = new_vs[0] if len(new_vs) == 1 else jnp.concatenate(new_vs)
-            new_cache = KVCache(k=new_k, v=new_v, lengths=cache.lengths + s)
+            cat = lambda trees: (
+                trees[0] if len(trees) == 1
+                else jax.tree.map(lambda *xs: jnp.concatenate(xs), *trees)
+            )
+            new_cache = rebuild_cache(cat(new_ks), cat(new_vs))
         else:
             new_cache = None
 

@@ -85,6 +85,7 @@ def _quant_decode_kernel(
     acc_scratch,
     *,
     sm_scale: float,
+    window: int | None,
     block_kv: int,
     blocks_per_split: int,
     mask_value: float,
@@ -105,7 +106,13 @@ def _quant_decode_kernel(
     blk = split * blocks_per_split + t
     blk_start = blk * block_kv
 
-    @pl.when(blk_start < length)
+    visible = blk_start < length
+    if window is not None:
+        visible = jnp.logical_and(
+            visible, blk_start + block_kv > length - window
+        )
+
+    @pl.when(visible)
     def _run():
         q = q_ref[0, 0]
         # MXU needs matching operand dtypes: cast the quantized block to the
@@ -120,7 +127,10 @@ def _quant_decode_kernel(
         s = s * (kscale[None, :] * sm_scale)
 
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
-        s = jnp.where(cols < length, s, mask_value)
+        ok = cols < length
+        if window is not None:
+            ok &= cols >= length - window
+        s = jnp.where(ok, s, mask_value)
 
         m_prev = m_scratch[...]
         l_prev = l_scratch[...]
@@ -153,7 +163,9 @@ def _quant_decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "num_splits", "block_kv", "interpret", "debug"),
+    static_argnames=(
+        "sm_scale", "window", "num_splits", "block_kv", "interpret", "debug",
+    ),
 )
 def flash_attention_decode_quantized(
     q: jax.Array,
@@ -161,6 +173,7 @@ def flash_attention_decode_quantized(
     v: QuantizedKV,
     kv_length: jax.Array | None = None,
     sm_scale: float | None = None,
+    window: int | None = None,
     num_splits: int = 0,
     block_kv: int = 2048,
     interpret: bool = False,
@@ -240,6 +253,7 @@ def flash_attention_decode_quantized(
     kernel = functools.partial(
         _quant_decode_kernel,
         sm_scale=sm_scale,
+        window=window,
         block_kv=block_kv,
         blocks_per_split=blocks_per_split,
         mask_value=DEFAULT_MASK_VALUE,

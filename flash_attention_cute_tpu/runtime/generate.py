@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from flash_attention_cute_tpu.models.cache import KVCache
+from flash_attention_cute_tpu.models.cache import KVCache, QuantizedKVCache
 from flash_attention_cute_tpu.models.config import ModelConfig
 from flash_attention_cute_tpu.models.transformer import forward
 from flash_attention_cute_tpu.runtime.sampling import SamplingParams, sample_token
@@ -28,10 +28,23 @@ def prefill(
     cache_dtype=None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, KVCache]:
-    """Run the prompt through the model, returning (last_logits [B,V], cache)."""
+    """Run the prompt through the model, returning (last_logits [B,V], cache).
+
+    `cache_dtype=jnp.int8` (or `jnp.float8_e4m3fn`) selects the quantized
+    KV cache: K/V quantize per token at write time and decode attention
+    dequantizes inside the kernel — half (vs bf16) the HBM per step
+    (reference roadmap item, README.md:22).
+    """
     b, s = input_ids.shape
     assert cache_capacity >= s, (cache_capacity, s)
-    cache = KVCache.create(cfg, batch=b, capacity=cache_capacity, dtype=cache_dtype)
+    if cache_dtype is not None and jnp.dtype(cache_dtype).itemsize == 1:
+        cache = QuantizedKVCache.create(
+            cfg, batch=b, capacity=cache_capacity, dtype=cache_dtype
+        )
+    else:
+        cache = KVCache.create(
+            cfg, batch=b, capacity=cache_capacity, dtype=cache_dtype
+        )
     logits, cache = forward(
         params, cfg, input_ids, cache=cache, mode="prefill", interpret=interpret
     )
