@@ -16,6 +16,10 @@ from flash_attention_cute_tpu.parallel.sharding import (
     shard_params,
     sharded_attention,
 )
+from flash_attention_cute_tpu.parallel.sequence import (
+    allgather_attention,
+    ring_attention,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +28,6 @@ __all__ = [
     "shard_params",
     "shard_cache",
     "sharded_attention",
+    "allgather_attention",
+    "ring_attention",
 ]
