@@ -475,12 +475,15 @@ def flash_attention_fwd(
     grid = (b, hkv, sq_pad // block_q, skv_pad // block_kv)
 
     if fuse_group is None:
-        # Fused tile: p_t f32 [block_kv, G*block_q] + acc f32 [d, G*block_q]
-        # must leave room for the double-buffered K/V blocks in ~16 MB VMEM.
-        fused_bytes = (block_kv + d_pad + NUM_SUBLANES * 2) * (
-            group * block_q
-        ) * 4
-        fuse_group = group > 1 and fused_bytes <= 6 * 1024 * 1024
+        # Fused tile: p_t f32 [sub_kv, G*block_q] + acc f32 [d, G*block_q]
+        # plus the q tile must fit ~16 MB VMEM alongside the double-buffered
+        # K/V blocks; the unfused per-head loop is the fallback beyond that.
+        fused_bytes = (
+            (block_kv // max(inner_splits, 1) + d_pad + NUM_SUBLANES * 2)
+            * (group * block_q) * 4
+            + group * block_q * d_pad * q.dtype.itemsize
+        )
+        fuse_group = group > 1 and fused_bytes <= 12 * 1024 * 1024
 
     kernel = functools.partial(
         _flash_fwd_kernel_fused if fuse_group else _flash_fwd_kernel,
