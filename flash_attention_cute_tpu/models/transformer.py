@@ -38,17 +38,17 @@ def _layer_forward(
     cfg: ModelConfig,
     cos: jax.Array,
     sin: jax.Array,
-    k_cache_l: jax.Array | None,
-    v_cache_l: jax.Array | None,
-    lengths: jax.Array | None,
-    mode: str,
+    k_cache_l,  # array | (values, scales) tuple (quantized) | None
+    v_cache_l,
     interpret: bool | None,
     mesh=None,
     window: int | None = None,
 ):
-    """One decoder layer (reference: modeling_llama.py:385-449).
+    """One PREFILL decoder layer (reference: modeling_llama.py:385-449).
 
-    Returns (x_out, new_k_cache_l, new_v_cache_l).
+    Attention runs over the fresh K/V; the (possibly quantized) cache slab
+    is then overwritten from position 0. Decode/extend layers live in
+    `_layer_forward_carry`. Returns (x_out, new_k_cache_l, new_v_cache_l).
     """
     if mesh is not None:
         from flash_attention_cute_tpu.parallel.sharding import sharded_attention
@@ -60,55 +60,29 @@ def _layer_forward(
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
-    if mode == "prefill":
-        attn = attn_fn(q, k, v, causal=True, window=window, interpret=interpret)
-        if k_cache_l is not None:
-            if isinstance(k_cache_l, tuple):  # quantized (values, scales)
-                from flash_attention_cute_tpu.ops.quantized import quantize_kv
+    attn = attn_fn(q, k, v, causal=True, window=window, interpret=interpret)
+    if k_cache_l is not None:
+        if isinstance(k_cache_l, tuple):  # quantized (values, scales)
+            from flash_attention_cute_tpu.ops.quantized import quantize_kv
 
-                def write_q(slab, new):
-                    vals, scl = slab
-                    nq = quantize_kv(new, dtype=vals.dtype)
-                    vals = jax.lax.dynamic_update_slice(
-                        vals, nq.values, (0, 0, 0, 0)
-                    )
-                    scl = jax.lax.dynamic_update_slice(
-                        scl, nq.scales, (0, 0, 0)
-                    )
-                    return (vals, scl)
+            def write_q(slab, new):
+                vals, scl = slab
+                nq = quantize_kv(new, dtype=vals.dtype)
+                vals = jax.lax.dynamic_update_slice(
+                    vals, nq.values, (0, 0, 0, 0)
+                )
+                scl = jax.lax.dynamic_update_slice(scl, nq.scales, (0, 0, 0))
+                return (vals, scl)
 
-                k_cache_l = write_q(k_cache_l, k)
-                v_cache_l = write_q(v_cache_l, v)
-            else:
-                k_cache_l = jax.lax.dynamic_update_slice(
-                    k_cache_l, k.astype(k_cache_l.dtype), (0, 0, 0, 0)
-                )
-                v_cache_l = jax.lax.dynamic_update_slice(
-                    v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
-                )
-    else:
-        # decode / extend: write new K/V at each sequence's offset, then
-        # attend over the cache masked by the advanced lengths.
-        def upd(buf_b, new_b, start):  # [Hkv, C, D], [Hkv, S, D]
-            return jax.lax.dynamic_update_slice(
-                buf_b, new_b.astype(buf_b.dtype), (0, start, 0)
+            k_cache_l = write_q(k_cache_l, k)
+            v_cache_l = write_q(v_cache_l, v)
+        else:
+            k_cache_l = jax.lax.dynamic_update_slice(
+                k_cache_l, k.astype(k_cache_l.dtype), (0, 0, 0, 0)
             )
-
-        k_cache_l = jax.vmap(upd)(k_cache_l, k, lengths)
-        v_cache_l = jax.vmap(upd)(v_cache_l, v, lengths)
-        new_len = lengths + q.shape[2]
-        attn = attn_fn(
-            q,
-            k_cache_l.astype(q.dtype),
-            v_cache_l.astype(q.dtype),
-            causal=(mode == "extend"),
-            kv_length=new_len,
-            # Chunked prefill: causality is relative to each sequence's
-            # previous length, not the cache capacity.
-            q_offset=lengths if mode == "extend" else None,
-            window=window,
-            interpret=interpret,
-        )
+            v_cache_l = jax.lax.dynamic_update_slice(
+                v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
+            )
 
     x = x + L.attention_output(attn, lp, cfg)
     h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
@@ -275,8 +249,7 @@ def forward(
         def scan_body(x, xs_l):
             lp, k_l, v_l = xs_l
             x, new_k, new_v = _layer_forward(
-                x, lp, cfg, cos, sin, k_l, v_l, lengths, mode, interpret,
-                mesh, window,
+                x, lp, cfg, cos, sin, k_l, v_l, interpret, mesh, window,
             )
             if new_k is None:
                 return x, None

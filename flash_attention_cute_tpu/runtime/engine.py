@@ -95,6 +95,16 @@ class ServingEngine:
         self._slot_req: list[int] = [-1] * slots
         self._done: dict[int, list[int]] = {}
         self._failed: list[int] = []
+        # Observability counters (SURVEY.md §5 metrics; the reference's
+        # equivalent is print statements in its benches).
+        self.stats = {
+            "steps": 0,
+            "prefills": 0,
+            "preemptions": 0,
+            "tokens_generated": 0,
+            "requests_finished": 0,
+            "requests_failed": 0,
+        }
 
     # ---- public API ----
 
@@ -119,6 +129,7 @@ class ServingEngine:
 
     def step(self) -> bool:
         """One admission + decode round. False when nothing is in flight."""
+        self.stats["steps"] += 1
         self._admit()
         active = [s for s in range(self.slots) if self._slot_req[s] != -1]
         if not active:
@@ -132,6 +143,8 @@ class ServingEngine:
             r = self.sched.step_slot(s)
             if r == 0:
                 victim = self.sched.preempt_youngest()
+                if victim != -1:
+                    self.stats["preemptions"] += 1
                 if victim == -1:
                     # Unservable at this pool size: fail the request.
                     rid = self._slot_req[s]
@@ -164,9 +177,11 @@ class ServingEngine:
             rid = self._slot_req[s]
             req = self._requests[rid]
             req.generated.append(int(nxt[s]))
+            self.stats["tokens_generated"] += 1
             if self.sched.finished(s) or len(req.generated) >= req.max_new_tokens:
                 self.sched.release_slot(s, requeue=False)
                 self._done[rid] = req.generated
+                self.stats["requests_finished"] += 1
                 del self._requests[rid]
                 self._slot_req[s] = -1
                 self._set_length(s, 0)
@@ -188,6 +203,7 @@ class ServingEngine:
     def _prefill(self, slot: int, req: _Request):
         # Recompute semantics after preemption: greedy decoding replays the
         # same tokens, so restarting from the prompt alone is equivalent.
+        self.stats["prefills"] += 1
         req.generated = []
         prompt = np.asarray(req.prompt, np.int32)
         plen = len(prompt)
@@ -253,6 +269,7 @@ class ServingEngine:
             return
         if failed:
             self._failed.append(rid)
+            self.stats["requests_failed"] += 1
             del self._requests[rid]
         self._slot_req[slot] = -1
         self._set_length(slot, 0)
