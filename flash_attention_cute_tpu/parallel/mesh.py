@@ -30,3 +30,37 @@ def make_mesh(
     assert data * model == n, (data, model, n)
     dev_array = np.array(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize`.
+
+    The distributed-communication backend the reference lacks entirely
+    (SURVEY.md §2.4: no init_process_group/NCCL anywhere). On TPU pods the
+    coordinator/process counts auto-detect from the environment; kwargs
+    pass through for manual setups. Idempotent.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
+def host_local_mesh_info(mesh: Mesh) -> dict:
+    """Which mesh coordinates this host owns (debug/observability)."""
+    import jax
+
+    local = set(d.id for d in jax.local_devices())
+    coords = [
+        tuple(int(c) for c in idx)
+        for idx, d in np.ndenumerate(mesh.devices)
+        if d.id in local
+    ]
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_coords": coords,
+    }
