@@ -350,6 +350,10 @@ def _flash_fwd_kernel_fused(
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
             p_t = jnp.exp2(s_t - m_next)
+            p_op = p_t.astype(v.dtype)  # PV matmul operand
+            # (An MXU ones-row matmul for this sum measured ~7% SLOWER than
+            # the VPU reduction — the extra matmul serializes on the MXU
+            # while Mosaic overlaps the VPU tree with the PV matmul.)
             l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
 
             m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
@@ -357,7 +361,7 @@ def _flash_fwd_kernel_fused(
 
             acc_scratch[...] *= alpha
             acc_scratch[...] += jax.lax.dot_general(
-                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                v, p_op, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [d, group * block_q]
 
