@@ -1,0 +1,99 @@
+"""Continuous-batching serving benchmark (the BASELINE north-star path).
+
+Submits a mixed-length request stream to the ServingEngine (paged KV +
+native C++ scheduler) and reports aggregate decode throughput, slot
+occupancy, and scheduler stats. The reference has no serving stack to
+compare against (its e2e story is HF generate,
+reference: scripts/benchmark_llm_e2e.py); this measures ours.
+
+Usage:
+  python scripts/benchmark_serving.py --model llama3-8b --num-layers 4 \
+      --slots 4 --requests 12 --page-size 128
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--model", default="llama3-8b")
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--requests", type=int, default=12)
+    p.add_argument("--min-prompt", type=int, default=64)
+    p.add_argument("--max-prompt", type=int, default=512)
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--page-size", type=int, default=128,
+                   help=">=128 recommended on TPU (DMA granularity)")
+    p.add_argument("--num-pages", type=int, default=0, help="0 = sized to fit")
+    p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    dtype = jnp.bfloat16 if a.dtype == "bf16" else jnp.float32
+
+    from flash_attention_cute_tpu.models import init_params
+    from flash_attention_cute_tpu.models.presets import PRESETS
+    from flash_attention_cute_tpu.runtime.engine import ServingEngine
+
+    cfg = PRESETS[a.model](dtype=dtype)
+    if a.num_layers:
+        cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
+    params = init_params(cfg, jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    prompts = {
+        rid: rng.integers(
+            0, cfg.vocab_size, int(rng.integers(a.min_prompt, a.max_prompt + 1))
+        ).tolist()
+        for rid in range(a.requests)
+    }
+
+    max_tokens = a.max_prompt + a.max_new_tokens
+    pages_per_seq = -(-max_tokens // a.page_size)
+    num_pages = a.num_pages or (a.slots * pages_per_seq + 1)
+
+    eng = ServingEngine(
+        params, cfg, slots=a.slots, num_pages=num_pages,
+        page_size=a.page_size, pages_per_seq=pages_per_seq,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, a.max_new_tokens)
+
+    print(f"model={a.model} layers={cfg.num_layers} slots={a.slots} "
+          f"requests={a.requests} pages={num_pages}x{a.page_size} "
+          f"sched={'c++' if eng.native else 'python'}")
+
+    t0 = time.perf_counter()
+    results = eng.run()
+    wall = time.perf_counter() - t0
+
+    st = eng.stats
+    total_new = st["tokens_generated"]
+    total_prompt = sum(len(p) for p in prompts.values())
+    print(f"finished {st['requests_finished']}/{a.requests} "
+          f"(failed {st['requests_failed']}, preemptions {st['preemptions']}, "
+          f"prefills {st['prefills']}, steps {st['steps']})")
+    print(f"wall {wall:7.2f} s   "
+          f"{total_new / wall:8.1f} new tokens/s   "
+          f"{(total_new + total_prompt) / wall:8.1f} total tokens/s")
+    assert len(results) + st["requests_failed"] == a.requests
+
+
+if __name__ == "__main__":
+    main()
