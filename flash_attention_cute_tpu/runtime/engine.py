@@ -30,6 +30,7 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -39,6 +40,32 @@ import numpy as np
 from flash_attention_cute_tpu.models.config import ModelConfig
 from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
 from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "interpret"),
+    donate_argnames=("state",),
+)
+def _decode_chunk(params, cfg, last, state, chunk, interpret):
+    """Greedy-decode `chunk` tokens for every slot in one compiled scan.
+
+    Returns (tokens [chunk, slots], state). Inactive slots (length 0)
+    produce garbage tokens the host discards; their lengths do not advance
+    (forward_paged masks them).
+    """
+
+    def body(carry, _):
+        state, tok = carry
+        logits, state = forward_paged(
+            params, cfg, tok[:, None], state, mode="decode",
+            interpret=interpret,
+        )
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return (state, nxt), nxt
+
+    (state, _), toks = jax.lax.scan(body, (state, last), None, length=chunk)
+    return toks, state
 
 
 @dataclasses.dataclass
@@ -127,58 +154,84 @@ class ServingEngine:
 
     # ---- engine loop ----
 
-    def step(self) -> bool:
-        """One admission + decode round. False when nothing is in flight."""
+    def step(self, max_chunk: int = 8) -> bool:
+        """One admission + decode round. False when nothing is in flight.
+
+        Decodes up to `max_chunk` tokens per round inside ONE jitted scan
+        (multi-step scheduling): host<->device round trips — the dominant
+        per-step cost on a tunneled TPU — amortize across the chunk. The
+        chunk is capped so no active request finishes mid-chunk; page room
+        for the whole chunk is reserved up front (preempting on exhaustion,
+        with bounded over-reservation when the pool runs dry mid-reserve).
+        """
         self.stats["steps"] += 1
         self._admit()
         active = [s for s in range(self.slots) if self._slot_req[s] != -1]
         if not active:
             return self.sched.num_waiting > 0 and self._drain_unservable()
 
-        # Reserve one token of page room per active slot BEFORE the device
-        # step; preempt on page exhaustion.
+        chunk = min(
+            [max_chunk]
+            + [
+                self._requests[self._slot_req[s]].max_new_tokens
+                - len(self._requests[self._slot_req[s]].generated)
+                for s in active
+            ]
+        )
+        chunk = max(chunk, 1)
+
+        # Reserve `chunk` tokens of page room per active slot BEFORE the
+        # device scan; preempt on page exhaustion.
         for s in list(active):
             if self._slot_req[s] == -1:
                 continue
-            r = self.sched.step_slot(s)
-            if r == 0:
+            ok = True
+            for _ in range(chunk):
+                r = self.sched.step_slot(s)
+                if r == 1:
+                    continue
                 victim = self.sched.preempt_youngest()
                 if victim != -1:
                     self.stats["preemptions"] += 1
-                if victim == -1:
+                    self._evict(victim, requeue=True)
+                    if victim == s:
+                        ok = False
+                        break
+                    if self.sched.step_slot(s) != 1:
+                        ok = False  # still starved; retry next round
+                        break
+                else:
                     # Unservable at this pool size: fail the request.
                     rid = self._slot_req[s]
                     self.sched.release_slot(s, requeue=False)
                     self._evict(s, failed=True)
-                    continue
-                self._evict(victim, requeue=True)
-                if victim != s and self.sched.step_slot(s) != 1:
-                    # Still starved; retry next round.
-                    continue
-            self._sync_table(s)
+                    ok = False
+                    break
+            if ok:
+                self._sync_table(s)
 
         active = [s for s in range(self.slots) if self._slot_req[s] != -1]
         if not active:
             return (self.sched.num_waiting > 0) or bool(self._requests)
 
-        # One compiled decode step over ALL slots.
+        # One compiled multi-token decode scan over ALL slots.
         last = np.zeros((self.slots,), np.int32)
         for s in active:
             req = self._requests[self._slot_req[s]]
             hist = req.prompt + req.generated
             last[s] = hist[-1]
-        logits, self.state = forward_paged(
-            self.params, self.cfg, jnp.asarray(last[:, None]),
-            self.state, mode="decode", interpret=self.interpret,
+        tokens, self.state = _decode_chunk(
+            self.params, self.cfg, jnp.asarray(last), self.state,
+            chunk, self.interpret,
         )
-        nxt = np.asarray(jnp.argmax(logits[:, 0], axis=-1), np.int32)
+        tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
 
         for s in active:
             rid = self._slot_req[s]
             req = self._requests[rid]
-            req.generated.append(int(nxt[s]))
-            self.stats["tokens_generated"] += 1
-            if self.sched.finished(s) or len(req.generated) >= req.max_new_tokens:
+            req.generated.extend(int(t) for t in tokens[:, s])
+            self.stats["tokens_generated"] += chunk
+            if len(req.generated) >= req.max_new_tokens:
                 self.sched.release_slot(s, requeue=False)
                 self._done[rid] = req.generated
                 self.stats["requests_finished"] += 1

@@ -72,16 +72,27 @@ def main(argv=None):
         params, cfg, slots=a.slots, num_pages=num_pages,
         page_size=a.page_size, pages_per_seq=pages_per_seq,
     )
-    for rid, p in prompts.items():
-        eng.submit(rid, p, a.max_new_tokens)
 
     print(f"model={a.model} layers={cfg.num_layers} slots={a.slots} "
           f"requests={a.requests} pages={num_pages}x{a.page_size} "
           f"sched={'c++' if eng.native else 'python'}")
 
+    # Warmup wave: populate the compile cache for every prompt bucket and
+    # the decode chunk, so the measured wave is steady-state serving.
+    for rid, p in prompts.items():
+        eng.submit(rid + 1_000_000, p, a.max_new_tokens)
+    t0 = time.perf_counter()
+    eng.run()
+    print(f"warmup (cold, incl. compiles): {time.perf_counter() - t0:7.2f} s")
+    eng.stats = {k: 0 for k in eng.stats}
+
+    for rid, p in prompts.items():
+        eng.submit(rid, p, a.max_new_tokens)
     t0 = time.perf_counter()
     results = eng.run()
     wall = time.perf_counter() - t0
+    # eng.run() returns ALL completed requests incl. the warmup wave.
+    results = {rid: toks for rid, toks in results.items() if rid < 1_000_000}
 
     st = eng.stats
     total_new = st["tokens_generated"]
