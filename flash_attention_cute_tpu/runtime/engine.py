@@ -44,27 +44,46 @@ from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "interpret"),
+    static_argnames=("cfg", "chunk", "sampling", "interpret"),
     donate_argnames=("state",),
 )
-def _decode_chunk(params, cfg, last, state, chunk, interpret):
-    """Greedy-decode `chunk` tokens for every slot in one compiled scan.
+def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
+                  seeds=None, positions=None):
+    """Decode `chunk` tokens for every slot in one compiled scan.
 
     Returns (tokens [chunk, slots], state). Inactive slots (length 0)
     produce garbage tokens the host discards; their lengths do not advance
     (forward_paged masks them).
-    """
 
-    def body(carry, _):
+    Sampling keys derive from per-slot request `seeds` folded with the
+    absolute token `positions`, so a preempted-and-recomputed request
+    replays the SAME samples (recompute semantics stay exact even with
+    temperature > 0).
+    """
+    from flash_attention_cute_tpu.runtime.sampling import sample_token
+
+    def body(carry, i):
         state, tok = carry
         logits, state = forward_paged(
             params, cfg, tok[:, None], state, mode="decode",
             interpret=interpret,
         )
-        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        if sampling is None or sampling.temperature <= 0.0:
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        else:
+            per_slot = jax.vmap(
+                lambda s, p: jax.random.fold_in(
+                    jax.random.fold_in(jax.random.key(0), s), p
+                )
+            )(seeds, positions + i)
+            nxt = jax.vmap(
+                lambda lg, k_: sample_token(lg[None], k_, sampling)[0]
+            )(logits[:, 0], per_slot)
         return (state, nxt), nxt
 
-    (state, _), toks = jax.lax.scan(body, (state, last), None, length=chunk)
+    (state, _), toks = jax.lax.scan(
+        body, (state, last), jnp.arange(chunk)
+    )
     return toks, state
 
 
@@ -93,6 +112,8 @@ class ServingEngine:
         page_size: int,
         pages_per_seq: int,
         dtype=None,
+        sampling=None,  # SamplingParams | None (None/temp<=0 => greedy)
+        seed: int = 0,
         interpret: bool | None = None,
     ):
         self.params = params
@@ -100,6 +121,8 @@ class ServingEngine:
         self.slots = slots
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
+        self.sampling = sampling
+        self.seed = seed
         self.interpret = interpret
         self.state = create_paged_state(
             cfg, num_pages, page_size, batch=slots,
@@ -216,13 +239,19 @@ class ServingEngine:
 
         # One compiled multi-token decode scan over ALL slots.
         last = np.zeros((self.slots,), np.int32)
+        seeds = np.zeros((self.slots,), np.int32)
+        positions = np.zeros((self.slots,), np.int32)
         for s in active:
-            req = self._requests[self._slot_req[s]]
+            rid = self._slot_req[s]
+            req = self._requests[rid]
             hist = req.prompt + req.generated
             last[s] = hist[-1]
+            seeds[s] = self._req_seed(rid)
+            positions[s] = len(req.generated)
         tokens, self.state = _decode_chunk(
             self.params, self.cfg, jnp.asarray(last), self.state,
-            chunk, self.interpret,
+            chunk, self.sampling, self.interpret,
+            seeds=jnp.asarray(seeds), positions=jnp.asarray(positions),
         )
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
 
@@ -285,11 +314,24 @@ class ServingEngine:
             v_pages=sub.v_pages,
             lengths=self.state.lengths.at[slot].set(plen),
         )
-        first = int(jnp.argmax(logits[0, plen - 1]))
+        if self.sampling is not None and self.sampling.temperature > 0.0:
+            from flash_attention_cute_tpu.runtime.sampling import sample_token
+
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(0), self._req_seed(req.req_id)), 0
+            )
+            first = int(sample_token(logits[:1, plen - 1], key, self.sampling)[0])
+        else:
+            first = int(jnp.argmax(logits[0, plen - 1]))
         req.generated.append(first)
         # Count the sampled token against the budget/pages.
         self.sched.step_slot(slot)
         self._sync_table(slot)
+
+    def _req_seed(self, rid: int) -> int:
+        """Per-request sampling seed: stable across preemption-recompute so
+        a replayed request samples the identical token stream."""
+        return (self.seed * 1_000_003 + rid) & 0x7FFFFFFF
 
     def _sync_table(self, slot: int):
         rid = self._slot_req[slot]

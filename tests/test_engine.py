@@ -111,3 +111,31 @@ def test_engine_single_request_single_slot(model):
     eng.submit(0, prompt, 6)
     results = eng.run()
     assert results[0] == greedy_oracle(params, cfg, prompt, 6)
+
+
+def test_engine_sampling_deterministic_across_preemption(model):
+    """temperature>0: per-(request, position) keys make recompute replay
+    the same samples, so results are identical with and without page
+    pressure (preemptions)."""
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
+
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    prompts = {0: rng.integers(0, cfg.vocab_size, 9).tolist(),
+               1: rng.integers(0, cfg.vocab_size, 9).tolist()}
+    sampling = SamplingParams(temperature=0.8, top_k=16)
+
+    def run(num_pages):
+        eng = ServingEngine(
+            params, cfg, slots=2, num_pages=num_pages, page_size=8,
+            pages_per_seq=8, sampling=sampling, seed=7, interpret=True,
+        )
+        for rid, p in prompts.items():
+            eng.submit(rid, p, 8)
+        out = eng.run()
+        return out, eng.stats["preemptions"]
+
+    roomy, pre0 = run(num_pages=33)
+    tight, pre1 = run(num_pages=6)   # forces preemption (see preemption test)
+    assert pre0 == 0 and pre1 > 0, (pre0, pre1)
+    assert roomy == tight, (roomy, tight)
