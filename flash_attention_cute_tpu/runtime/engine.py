@@ -217,12 +217,18 @@ class ServingEngine:
                 if victim != -1:
                     self.stats["preemptions"] += 1
                     self._evict(victim, requeue=True)
-                    if victim == s:
-                        ok = False
-                        break
-                    if self.sched.step_slot(s) != 1:
-                        ok = False  # still starved; retry next round
-                        break
+                    if victim != s and self.sched.step_slot(s) == 1:
+                        continue
+                    # s itself was the victim, or it is still starved: it
+                    # MUST leave the batch this round — a resident slot
+                    # decodes the full chunk, and tokens without reserved
+                    # pages would scatter into the null page and be lost.
+                    if victim != s:
+                        self.stats["preemptions"] += 1
+                        self.sched.release_slot(s, requeue=True)
+                        self._evict(s, requeue=True)
+                    ok = False
+                    break
                 else:
                     # Unservable at this pool size: fail the request.
                     rid = self._slot_req[s]

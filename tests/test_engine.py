@@ -139,3 +139,27 @@ def test_engine_sampling_deterministic_across_preemption(model):
     tight, pre1 = run(num_pages=6)   # forces preemption (see preemption test)
     assert pre0 == 0 and pre1 > 0, (pre0, pre1)
     assert roomy == tight, (roomy, tight)
+
+
+def test_engine_stress_tiny_pool_exact(model):
+    """Many mixed-size requests through a pool that can hold ~1.5 requests:
+    constant admission churn + preemption; every output must still equal
+    the greedy oracle."""
+    cfg, params = model
+    rng = np.random.default_rng(9)
+    prompts = {rid: rng.integers(0, cfg.vocab_size,
+                                 int(rng.integers(3, 14))).tolist()
+               for rid in range(6)}
+    n_new = {rid: int(rng.integers(2, 7)) for rid in prompts}
+    eng = ServingEngine(
+        params, cfg, slots=3, num_pages=5, page_size=8, pages_per_seq=4,
+        interpret=True,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    results = eng.run()
+    assert sorted(list(results) + eng.failed) == sorted(prompts), (
+        results.keys(), eng.failed)
+    for rid in results:
+        want = greedy_oracle(params, cfg, prompts[rid], n_new[rid])
+        assert results[rid] == want, (rid, results[rid], want)
