@@ -307,3 +307,285 @@ def flash_attention_decode_quantized(
 
     o = o[:, :, :g, :d].reshape(b, hq, 1, d)
     return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantized PAGED attention: int8/fp8 page pool -> 2x KV capacity per chip.
+# Page-gather structure mirrors ops/paged_attention.py (double-buffered
+# async DMA per page, per-page scale vectors fetched alongside); dequant
+# folds into the score / PV tiles exactly like the contiguous quantized
+# kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _quant_paged_kernel(
+    # scalar prefetch
+    lengths_ref,  # [B] int32
+    page_tbl_ref,  # [B, pages_per_seq] int32
+    # inputs
+    q_ref,  # [1, 1, g_pad, d] VMEM
+    kp_ref,  # [Hkv, P, ps, d] ANY (HBM) int8/fp8
+    ksc_ref,  # [Hkv, P, ps] ANY f32
+    vp_ref,
+    vsc_ref,
+    # outputs
+    o_ref,  # [1, 1, g_pad, d] f32
+    # scratch
+    k_buf,  # [2, ppcb, ps, d]
+    ksc_buf,  # [2, ppcb, ps]
+    v_buf,
+    vsc_buf,
+    sem_k, sem_ks, sem_v, sem_vs,
+    m_scr, l_scr, acc_scr,
+    state_ref,  # SMEM (2,): [buffer index, first-fetch flag]
+    *,
+    page_size: int,
+    ppcb: int,
+    sm_scale: float,
+    mask_value: float,
+    compute_dtype,
+):
+    from flash_attention_cute_tpu.ops.paged_attention import _fetch_block
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_b = pl.num_programs(0)
+    num_h = pl.num_programs(1)
+
+    bk = page_size * ppcb
+    length = lengths_ref[b]
+
+    @pl.when((b == 0) & (h == 0) & (i == 0))
+    def _global_init():
+        state_ref[0] = 0
+        state_ref[1] = 1
+
+    @pl.when(i == 0)
+    def _seq_init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def fetch_all(b_, i_, slot, h_):
+        copies = []
+        for ref, buf, sem in (
+            (kp_ref, k_buf, sem_k),
+            (ksc_ref, ksc_buf, sem_ks),
+            (vp_ref, v_buf, sem_v),
+            (vsc_ref, vsc_buf, sem_vs),
+        ):
+            copies += _fetch_block(ref, buf, sem, page_tbl_ref, b_, i_,
+                                   slot, ppcb, h_)
+        return copies
+
+    def next_live_block(b_, h_, i_):
+        within = (i_ + 1) * bk < lengths_ref[b_]
+        i_n = jnp.where(within, i_ + 1, 0)
+        h_n = jnp.where(within, h_, h_ + 1)
+        wrap = h_n == num_h
+        h_n = jnp.where(wrap, 0, h_n)
+        b_n = jnp.where(wrap, b_ + 1, b_)
+
+        def skip_dead(_, bb):
+            dead = jnp.logical_and(
+                bb < num_b, lengths_ref[jnp.minimum(bb, num_b - 1)] == 0
+            )
+            return jnp.where(dead, bb + 1, bb)
+
+        b_n = jax.lax.fori_loop(0, num_b, skip_dead, b_n)
+        return b_n, h_n, i_n
+
+    @pl.when(i * bk < length)
+    def _live():
+        @pl.when(state_ref[1] == 1)
+        def _first_fetch():
+            for c in fetch_all(b, i, 0, h):
+                c.start()
+            state_ref[0] = 0
+            state_ref[1] = 0
+
+        slot = state_ref[0]
+        b_n, h_n, i_n = next_live_block(b, h, i)
+
+        @pl.when(b_n < num_b)
+        def _prefetch():
+            for c in fetch_all(b_n, i_n, 1 - slot, h_n):
+                c.start()
+
+        for c in (
+            _fetch_block(kp_ref, k_buf, sem_k, page_tbl_ref, b, i, slot, ppcb, h)
+            + _fetch_block(ksc_ref, ksc_buf, sem_ks, page_tbl_ref, b, i, slot, ppcb, h)
+        ):
+            c.wait()
+
+        q = q_ref[0, 0]  # [g_pad, d]
+        k = k_buf[slot].reshape(bk, -1).astype(compute_dtype)
+        kscale = ksc_buf[slot].reshape(bk).astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * (kscale[None, :] * sm_scale)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        s = jnp.where(cols < length, s, mask_value)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        for c in (
+            _fetch_block(vp_ref, v_buf, sem_v, page_tbl_ref, b, i, slot, ppcb, h)
+            + _fetch_block(vsc_ref, vsc_buf, sem_vs, page_tbl_ref, b, i, slot, ppcb, h)
+        ):
+            c.wait()
+        v = v_buf[slot].reshape(bk, -1).astype(compute_dtype)
+        vscale = vsc_buf[slot].reshape(bk).astype(jnp.float32)
+
+        pv_in = (p * vscale[None, :]).astype(compute_dtype)
+        acc_scr[...] *= alpha
+        acc_scr[...] += jax.lax.dot_general(
+            pv_in, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        state_ref[0] = 1 - slot
+
+        @pl.when((i + 1) * bk >= length)
+        def _store():
+            l = l_scr[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = acc_scr[...] * l_inv
+
+    @pl.when((i == pl.num_programs(2) - 1) & (length == 0))
+    def _store_empty():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "pages_per_compute_block", "interpret", "debug"),
+)
+def paged_attention_decode_quantized(
+    q: jax.Array,
+    k_pages: QuantizedKV,
+    v_pages: QuantizedKV,
+    lengths: jax.Array,
+    page_table: jax.Array,
+    sm_scale: float | None = None,
+    pages_per_compute_block: int = 0,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Single-token decode over a QUANTIZED paged KV cache.
+
+    Args:
+      q: [B, Hq, 1, D]
+      k_pages/v_pages: QuantizedKV with values [Hkv, P, page_size, D]
+        (int8/fp8) and scales [Hkv, P, page_size] f32.
+      lengths: [B] int32; page_table: [B, pages_per_seq] int32.
+
+    Returns: [B, Hq, 1, D] in q's dtype.
+    """
+    b, hq, sq, d = q.shape
+    hkv, num_pages, page_size, dk = k_pages.values.shape
+    assert sq == 1 and d == dk and hq % hkv == 0
+    assert k_pages.scales.shape == (hkv, num_pages, page_size)
+    assert page_size % 8 == 0
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+
+    g = hq // hkv
+    g_pad = max(8, _round_up(g, 8))
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+
+    pages_per_seq = page_table.shape[1]
+    if pages_per_compute_block <= 0:
+        # int8 pages halve the bytes per DMA, so quantized blocks want to
+        # be ~4x larger than bf16's 2048-token target to amortize the
+        # doubled DMA count (values + scales): v5e sweep at 8k context:
+        # 2048-token blocks 396us, 8192-token 305us (1.23x over bf16).
+        pages_per_compute_block = max(1, 8192 // page_size)
+    ppcb = min(pages_per_compute_block, pages_per_seq)
+    pps_pad = _round_up(pages_per_seq, ppcb)
+    if pps_pad != pages_per_seq:
+        page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
+    num_blocks = pps_pad // ppcb
+
+    qp = q.reshape(b, hkv, g, d)
+    if g_pad != g:
+        qp = jnp.pad(qp, [(0, 0), (0, 0), (0, g_pad - g), (0, 0)])
+    kv = k_pages.values
+    vv = v_pages.values
+    if d_pad != d:
+        qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
+        kv = jnp.pad(kv, [(0, 0)] * 3 + [(0, d_pad - d)])
+        vv = jnp.pad(vv, [(0, 0)] * 3 + [(0, d_pad - d)])
+
+    compute_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
+
+    kernel = functools.partial(
+        _quant_paged_kernel,
+        page_size=page_size,
+        ppcb=ppcb,
+        sm_scale=sm_scale,
+        mask_value=DEFAULT_MASK_VALUE,
+        compute_dtype=compute_dtype,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, num_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, g_pad, d_pad),
+                    lambda b_, h, i, lens, tbl: (b_, h, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, g_pad, d_pad),
+                lambda b_, h, i, lens, tbl: (b_, h, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ppcb, page_size, d_pad), kv.dtype),
+                pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+                pltpu.VMEM((2, ppcb, page_size, d_pad), vv.dtype),
+                pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((g_pad, d_pad), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        debug=debug,
+        name="paged_attention_decode_quantized",
+    )(
+        lengths.astype(jnp.int32), page_table.astype(jnp.int32),
+        qp, kv, k_pages.scales, vv, v_pages.scales,
+    )
+
+    o = out[:, :, :g, :d].reshape(b, hq, 1, d)
+    return o.astype(q.dtype)

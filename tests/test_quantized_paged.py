@@ -1,0 +1,73 @@
+"""Quantized paged attention vs gathered-dequantized dense oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.ops.quantized import (
+    QuantizedKV,
+    paged_attention_decode_quantized,
+    quantize_kv,
+)
+from flash_attention_cute_tpu.ops.reference import attention_reference
+
+
+def setup(key, b, hq, hkv, pages_per_seq, page_size, d, qdtype=jnp.int8):
+    num_pages = b * pages_per_seq + 1
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, 1, d), jnp.float32)
+    k_dense = jax.random.normal(kk, (hkv, num_pages, page_size, d), jnp.float32)
+    v_dense = jax.random.normal(kv, (hkv, num_pages, page_size, d), jnp.float32)
+    kqz = quantize_kv(k_dense, qdtype)
+    vqz = quantize_kv(v_dense, qdtype)
+    tbl = jnp.arange(1, b * pages_per_seq + 1, dtype=jnp.int32).reshape(
+        b, pages_per_seq
+    )
+    return q, kqz, vqz, tbl
+
+
+def gather_dense(qz: QuantizedKV, tbl, page_size):
+    """Dequantize + gather each sequence's pages into [B, Hkv, S, D]."""
+    hkv, p, ps, d = qz.values.shape
+    dense = qz.values.astype(jnp.float32) * qz.scales[..., None]
+    flat = dense.reshape(hkv, p * ps, d)
+    idx = (tbl * ps)[:, :, None] + jnp.arange(ps)[None, None, :]
+    idx = idx.reshape(tbl.shape[0], -1)
+    return jax.vmap(lambda f: flat[:, f])(idx)
+
+
+@pytest.mark.parametrize("lengths", [[40, 17], [64, 64], [33, 0]])
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quant_paged_matches_oracle(lengths, qdtype):
+    b, hq, hkv, pps, ps, d = len(lengths), 8, 2, 4, 16, 64
+    q, kqz, vqz, tbl = setup(jax.random.key(0), b, hq, hkv, pps, ps, d, qdtype)
+    lens = jnp.array(lengths, jnp.int32)
+
+    out = paged_attention_decode_quantized(
+        q, kqz, vqz, lens, tbl, pages_per_compute_block=2, interpret=True
+    )
+    kg = gather_dense(kqz, tbl, ps)
+    vg = gather_dense(vqz, tbl, ps)
+    ref = attention_reference(q, kg, vg, causal=False, kv_length=lens)
+    # Rows with length 0 emit zeros from the kernel; mask them in the ref.
+    ref = jnp.where((lens > 0)[:, None, None, None], ref, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-3, rtol=2e-2,
+    )
+
+
+def test_quant_paged_gqa_block_sizes():
+    b, hq, hkv, pps, ps, d = 2, 16, 4, 8, 8, 64
+    q, kqz, vqz, tbl = setup(jax.random.key(1), b, hq, hkv, pps, ps, d)
+    lens = jnp.array([60, 29], jnp.int32)
+    o1 = paged_attention_decode_quantized(
+        q, kqz, vqz, lens, tbl, pages_per_compute_block=2, interpret=True
+    )
+    o2 = paged_attention_decode_quantized(
+        q, kqz, vqz, lens, tbl, pages_per_compute_block=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(o2), atol=1e-5, rtol=1e-5
+    )
