@@ -500,6 +500,15 @@ def paged_attention_decode_quantized(
     assert sq == 1 and d == dk and hq % hkv == 0
     assert k_pages.scales.shape == (hkv, num_pages, page_size)
     assert page_size % 8 == 0
+    from flash_attention_cute_tpu import dispatch
+
+    if dispatch.on_tpu() and not interpret and page_size % 128 != 0:
+        raise ValueError(
+            "quantized paged attention requires page_size % 128 == 0 on "
+            f"TPU (got {page_size}): the per-page scale vectors must fill "
+            "full 128-lane tiles (Mosaic rejects narrower scale buffers); "
+            ">=128-token pages are also what DMA efficiency wants"
+        )
     if sm_scale is None:
         sm_scale = d ** -0.5
 

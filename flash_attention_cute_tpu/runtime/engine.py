@@ -112,6 +112,7 @@ class ServingEngine:
         page_size: int,
         pages_per_seq: int,
         dtype=None,
+        kv_dtype=None,  # jnp.int8 / jnp.float8_e4m3fn => quantized pages
         sampling=None,  # SamplingParams | None (None/temp<=0 => greedy)
         seed: int = 0,
         interpret: bool | None = None,
@@ -124,10 +125,20 @@ class ServingEngine:
         self.sampling = sampling
         self.seed = seed
         self.interpret = interpret
-        self.state = create_paged_state(
-            cfg, num_pages, page_size, batch=slots,
-            pages_per_seq=pages_per_seq, dtype=dtype,
-        )
+        if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
+            from flash_attention_cute_tpu.runtime.paged_cache import (
+                create_quantized_paged_state,
+            )
+
+            self.state = create_quantized_paged_state(
+                cfg, num_pages, page_size, batch=slots,
+                pages_per_seq=pages_per_seq, dtype=kv_dtype,
+            )
+        else:
+            self.state = create_paged_state(
+                cfg, num_pages, page_size, batch=slots,
+                pages_per_seq=pages_per_seq, dtype=dtype,
+            )
 
         try:
             from flash_attention_cute_tpu.runtime.native import NativeScheduler
@@ -314,10 +325,14 @@ class ServingEngine:
             valid_len=jnp.asarray([plen], jnp.int32),
             interpret=self.interpret,
         )
+        # Merge back every pool field (k/v pages or quantized values+scales);
+        # per-slot metadata stays with the engine's full-batch arrays.
+        pool_fields = {
+            f.name for f in dataclasses.fields(self.state)
+        } - {"page_table", "lengths"}
         self.state = dataclasses.replace(
             self.state,
-            k_pages=sub.k_pages,
-            v_pages=sub.v_pages,
+            **{name: getattr(sub, name) for name in pool_fields},
             lengths=self.state.lengths.at[slot].set(plen),
         )
         if self.sampling is not None and self.sampling.temperature > 0.0:

@@ -80,6 +80,76 @@ def paged_append_layer(
     return scatter(k_pages_l, k_new), scatter(v_pages_l, v_new)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedPagedKVState:
+    """Paged cache with int8/fp8 values + per-token f32 scales (the
+    reference's quantized-kernels AND paged-cache roadmap items combined,
+    README.md:21-22): 2x the resident sequences per HBM byte.
+
+    k_values/v_values: [L, Hkv, P, ps, D]; k_scales/v_scales: [L, Hkv, P, ps]
+    """
+
+    k_values: jax.Array
+    k_scales: jax.Array
+    v_values: jax.Array
+    v_scales: jax.Array
+    page_table: jax.Array  # [B, pages_per_seq] int32
+    lengths: jax.Array  # [B] int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_values.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_values.shape[2]
+
+
+def create_quantized_paged_state(
+    cfg, num_pages: int, page_size: int, batch: int, pages_per_seq: int,
+    dtype=jnp.int8,
+) -> QuantizedPagedKVState:
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    sshape = shape[:-1]
+    return QuantizedPagedKVState(
+        k_values=jnp.zeros(shape, dtype),
+        k_scales=jnp.ones(sshape, jnp.float32),
+        v_values=jnp.zeros(shape, dtype),
+        v_scales=jnp.ones(sshape, jnp.float32),
+        page_table=jnp.zeros((batch, pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def paged_append_layer_quantized(
+    kv_slab: tuple,  # (values [Hkv, P, ps, D], scales [Hkv, P, ps])
+    new: jax.Array,  # [B, Hkv, S, D] (unquantized)
+    page_table: jax.Array,
+    lengths: jax.Array,
+) -> tuple:
+    """Quantize new tokens per token, scatter values+scales into pages."""
+    from flash_attention_cute_tpu.ops.quantized import quantize_kv
+
+    vals, scl = kv_slab
+    hkv, p, ps, d = vals.shape
+    b, _, s, _ = new.shape
+
+    nq = quantize_kv(new, dtype=vals.dtype)  # values [B,Hkv,S,D], scales [B,Hkv,S]
+    pos = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)  # [B, S]
+    page = jnp.take_along_axis(page_table, pos // ps, axis=1)
+    flat_idx = (page * ps + pos % ps).reshape(-1)  # [B*S]
+
+    vflat = vals.reshape(hkv, p * ps, d)
+    nv = nq.values.transpose(1, 0, 2, 3).reshape(hkv, b * s, d)
+    vals = vflat.at[:, flat_idx].set(nv).reshape(hkv, p, ps, d)
+
+    sflat = scl.reshape(hkv, p * ps)
+    nsc = nq.scales.transpose(1, 0, 2).reshape(hkv, b * s)
+    scl = sflat.at[:, flat_idx].set(nsc).reshape(hkv, p, ps)
+    return (vals, scl)
+
+
 class PageAllocator:
     """Host-side free-list page allocator (scheduler component).
 

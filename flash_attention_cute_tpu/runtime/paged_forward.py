@@ -31,7 +31,9 @@ from flash_attention_cute_tpu.models.config import ModelConfig
 from flash_attention_cute_tpu.ops.paged_attention import paged_attention_decode
 from flash_attention_cute_tpu.runtime.paged_cache import (
     PagedKVState,
+    QuantizedPagedKVState,
     paged_append_layer,
+    paged_append_layer_quantized,
 )
 
 
@@ -77,23 +79,29 @@ def forward_paged(
     inv_freq = L.rope_inv_freq(cfg)
     cos, sin = L.rope_cos_sin(positions, inv_freq, cfg.dtype)
 
-    # Clamp scatter positions of padding tokens so their page-table lookup
-    # stays in range; they land in whatever page the tail maps to and are
-    # never read (masked by lengths). Positions beyond the table map to the
-    # null page row contents (0).
-    def scatter_layer(k_pages_l, v_pages_l, k, v):
-        return paged_append_layer(
-            k_pages_l, v_pages_l, k, v, state.page_table, lengths
-        )
+    quant = isinstance(state, QuantizedPagedKVState)
 
+    # Padding-token scatters stay in range via the page-table lookup; they
+    # land in whatever page the tail maps to and are never read (masked by
+    # lengths). Positions beyond the table map to the null page (0).
     def layer(x, xs_l):
-        lp, k_pages_l, v_pages_l = xs_l
+        lp, k_slab, v_slab = xs_l
         h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = L.qkv_project(h, lp, cfg)
         q = L.apply_rope(q, cos, sin)
         k = L.apply_rope(k, cos, sin)
 
-        k_pages_l, v_pages_l = scatter_layer(k_pages_l, v_pages_l, k, v)
+        if quant:
+            k_slab = paged_append_layer_quantized(
+                k_slab, k, state.page_table, lengths
+            )
+            v_slab = paged_append_layer_quantized(
+                v_slab, v, state.page_table, lengths
+            )
+        else:
+            k_slab, v_slab = paged_append_layer(
+                k_slab, v_slab, k, v, state.page_table, lengths
+            )
 
         if mode == "prefill":
             # Fresh request: no prior context, attention over the chunk
@@ -101,11 +109,25 @@ def forward_paged(
             attn = flash_attention_forward(
                 q, k, v, causal=True, interpret=interpret
             )
+        elif quant:
+            from flash_attention_cute_tpu.ops.quantized import (
+                QuantizedKV,
+                paged_attention_decode_quantized,
+            )
+
+            attn = paged_attention_decode_quantized(
+                q,
+                QuantizedKV(*k_slab),
+                QuantizedKV(*v_slab),
+                lengths + valid_len,
+                state.page_table,
+                interpret=bool(interpret),
+            )
         else:
             attn = paged_attention_decode(
                 q,
-                k_pages_l.astype(q.dtype),
-                v_pages_l.astype(q.dtype),
+                k_slab.astype(q.dtype),
+                v_slab.astype(q.dtype),
                 lengths + valid_len,
                 state.page_table,
                 interpret=bool(interpret),
@@ -114,11 +136,17 @@ def forward_paged(
         x = x + L.attention_output(attn, lp, cfg)
         h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + L.mlp(h, lp)
-        return x, (k_pages_l, v_pages_l)
+        return x, (k_slab, v_slab)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["layers"], state.k_pages, state.v_pages)
-    )
+    if quant:
+        xs = (
+            params["layers"],
+            (state.k_values, state.k_scales),
+            (state.v_values, state.v_scales),
+        )
+    else:
+        xs = (params["layers"], state.k_pages, state.v_pages)
+    x, (new_k, new_v) = jax.lax.scan(layer, x, xs)
 
     x = L.rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
@@ -126,10 +154,18 @@ def forward_paged(
         lm_head = params["embed"].T
     logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
 
-    new_state = PagedKVState(
-        k_pages=new_k,
-        v_pages=new_v,
-        page_table=state.page_table,
-        lengths=lengths + valid_len,
-    )
+    if quant:
+        new_state = QuantizedPagedKVState(
+            k_values=new_k[0], k_scales=new_k[1],
+            v_values=new_v[0], v_scales=new_v[1],
+            page_table=state.page_table,
+            lengths=lengths + valid_len,
+        )
+    else:
+        new_state = PagedKVState(
+            k_pages=new_k,
+            v_pages=new_v,
+            page_table=state.page_table,
+            lengths=lengths + valid_len,
+        )
     return logits, new_state

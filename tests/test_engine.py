@@ -163,3 +163,36 @@ def test_engine_stress_tiny_pool_exact(model):
     for rid in results:
         want = greedy_oracle(params, cfg, prompts[rid], n_new[rid])
         assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_engine_quantized_pages_match_contiguous_quantized(model):
+    """int8 paged serving must reproduce the contiguous int8-cache decode
+    loop exactly (same per-token quantize-at-write semantics; only the
+    page indirection differs)."""
+    import jax.numpy as jnp
+    from flash_attention_cute_tpu.models.cache import QuantizedKVCache
+
+    cfg, params = model
+    prompt = [7, 3, 11, 2, 9, 4, 1]
+    n_new = 6
+
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=9, page_size=8, pages_per_seq=4,
+        kv_dtype=jnp.int8, interpret=True,
+    )
+    eng.submit(0, prompt, n_new)
+    results = eng.run()
+
+    cache = QuantizedKVCache.create(cfg, batch=1, capacity=32, dtype=jnp.int8)
+    ids = jnp.asarray([prompt], jnp.int32)
+    logits, cache = forward(params, cfg, ids, cache=cache, mode="prefill")
+    tok = int(jnp.argmax(logits[0, -1]))
+    want = [tok]
+    for _ in range(n_new - 1):
+        logits, cache = forward(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache=cache,
+            mode="decode",
+        )
+        tok = int(jnp.argmax(logits[0, 0]))
+        want.append(tok)
+    assert results[0] == want, (results[0], want)
