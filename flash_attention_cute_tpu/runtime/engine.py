@@ -44,11 +44,11 @@ from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "sampling", "interpret"),
+    static_argnames=("cfg", "chunk", "sampling", "interpret", "mesh"),
     donate_argnames=("state",),
 )
 def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
-                  seeds=None, positions=None):
+                  seeds=None, positions=None, mesh=None):
     """Decode `chunk` tokens for every slot in one compiled scan.
 
     Returns (tokens [chunk, slots], state). Inactive slots (length 0)
@@ -66,7 +66,7 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
         state, tok = carry
         logits, state = forward_paged(
             params, cfg, tok[:, None], state, mode="decode",
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
         if sampling is None or sampling.temperature <= 0.0:
             nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -115,6 +115,7 @@ class ServingEngine:
         kv_dtype=None,  # jnp.int8 / jnp.float8_e4m3fn => quantized pages
         sampling=None,  # SamplingParams | None (None/temp<=0 => greedy)
         seed: int = 0,
+        mesh=None,  # jax.sharding.Mesh with a 'model' axis => TP serving
         interpret: bool | None = None,
     ):
         self.params = params
@@ -124,6 +125,7 @@ class ServingEngine:
         self.pages_per_seq = pages_per_seq
         self.sampling = sampling
         self.seed = seed
+        self.mesh = mesh
         self.interpret = interpret
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
@@ -138,6 +140,42 @@ class ServingEngine:
             self.state = create_paged_state(
                 cfg, num_pages, page_size, batch=slots,
                 pages_per_seq=pages_per_seq, dtype=dtype,
+            )
+
+        if mesh is not None:
+            # Tensor-parallel serving: KV heads of the page pool and the
+            # weights shard over 'model'; per-slot metadata replicates.
+            # (Data-parallel serving = one engine per replica; the mesh
+            # here is TP-only.)
+            assert dict(mesh.shape).get("data", 1) == 1, mesh.shape
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from flash_attention_cute_tpu.parallel.sharding import (
+                param_pspecs,
+            )
+
+            assert cfg.num_kv_heads % mesh.shape["model"] == 0
+            self.params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, param_pspecs(cfg),
+            )
+
+            def pool_spec(name, arr):
+                if name in ("page_table", "lengths"):
+                    return P()
+                return P(None, "model")  # [L, Hkv, ...]
+
+            self.state = dataclasses.replace(
+                self.state,
+                **{
+                    f.name: jax.device_put(
+                        getattr(self.state, f.name),
+                        NamedSharding(
+                            mesh, pool_spec(f.name, getattr(self.state, f.name))
+                        ),
+                    )
+                    for f in dataclasses.fields(self.state)
+                },
             )
 
         try:
@@ -269,6 +307,7 @@ class ServingEngine:
             self.params, self.cfg, jnp.asarray(last), self.state,
             chunk, self.sampling, self.interpret,
             seeds=jnp.asarray(seeds), positions=jnp.asarray(positions),
+            mesh=self.mesh,
         )
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
 
@@ -323,7 +362,7 @@ class ServingEngine:
         logits, sub = forward_paged(
             self.params, self.cfg, jnp.asarray(ids), sub, mode="prefill",
             valid_len=jnp.asarray([plen], jnp.int32),
-            interpret=self.interpret,
+            interpret=self.interpret, mesh=self.mesh,
         )
         # Merge back every pool field (k/v pages or quantized values+scales);
         # per-slot metadata stays with the engine's full-batch arrays.

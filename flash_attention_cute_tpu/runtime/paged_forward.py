@@ -39,7 +39,7 @@ from flash_attention_cute_tpu.runtime.paged_cache import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "interpret"),
+    static_argnames=("cfg", "mode", "interpret", "mesh"),
     donate_argnames=("state",),
 )
 def forward_paged(
@@ -50,6 +50,7 @@ def forward_paged(
     mode: str = "decode",
     valid_len: jax.Array | None = None,  # [B] real (unpadded) prompt lengths
     interpret: bool | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, PagedKVState]:
     """Returns (logits [B, S, V] fp32, updated state).
 
@@ -106,32 +107,59 @@ def forward_paged(
         if mode == "prefill":
             # Fresh request: no prior context, attention over the chunk
             # only; padded tail rows produce garbage that is discarded.
-            attn = flash_attention_forward(
-                q, k, v, causal=True, interpret=interpret
-            )
-        elif quant:
-            from flash_attention_cute_tpu.ops.quantized import (
-                QuantizedKV,
-                paged_attention_decode_quantized,
-            )
+            if mesh is not None:
+                from flash_attention_cute_tpu.parallel.sharding import (
+                    sharded_attention,
+                )
 
-            attn = paged_attention_decode_quantized(
-                q,
-                QuantizedKV(*k_slab),
-                QuantizedKV(*v_slab),
-                lengths + valid_len,
-                state.page_table,
-                interpret=bool(interpret),
-            )
+                attn = sharded_attention(
+                    mesh, q, k, v, causal=True, interpret=interpret
+                )
+            else:
+                attn = flash_attention_forward(
+                    q, k, v, causal=True, interpret=interpret
+                )
         else:
-            attn = paged_attention_decode(
-                q,
-                k_slab.astype(q.dtype),
-                v_slab.astype(q.dtype),
-                lengths + valid_len,
-                state.page_table,
-                interpret=bool(interpret),
-            )
+            if quant:
+                from flash_attention_cute_tpu.ops.quantized import (
+                    QuantizedKV,
+                    paged_attention_decode_quantized,
+                )
+
+                def attend(q_, k_slab_, v_slab_, lens_, tbl_):
+                    return paged_attention_decode_quantized(
+                        q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
+                        lens_, tbl_, interpret=bool(interpret),
+                    )
+            else:
+                def attend(q_, k_slab_, v_slab_, lens_, tbl_):
+                    return paged_attention_decode(
+                        q_, k_slab_.astype(q_.dtype),
+                        v_slab_.astype(q_.dtype), lens_, tbl_,
+                        interpret=bool(interpret),
+                    )
+
+            if mesh is not None:
+                # Pallas kernels have no SPMD partitioning rules: shard the
+                # paged gather-attention explicitly — q heads and the KV-head
+                # axis of the page pool ride 'model'; lengths/table replicate.
+                from jax.sharding import PartitionSpec as P
+
+                slab_spec = jax.tree.map(lambda _: P("model"), k_slab)
+                attn = jax.shard_map(
+                    attend,
+                    mesh=mesh,
+                    in_specs=(
+                        P(None, "model", None, None),
+                        slab_spec, slab_spec, P(), P(),
+                    ),
+                    out_specs=P(None, "model", None, None),
+                    check_vma=False,
+                )(q, k_slab, v_slab, lengths + valid_len, state.page_table)
+            else:
+                attn = attend(
+                    q, k_slab, v_slab, lengths + valid_len, state.page_table
+                )
 
         x = x + L.attention_output(attn, lp, cfg)
         h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)

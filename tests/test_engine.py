@@ -196,3 +196,49 @@ def test_engine_quantized_pages_match_contiguous_quantized(model):
         tok = int(jnp.argmax(logits[0, 0]))
         want.append(tok)
     assert results[0] == want, (results[0], want)
+
+
+def test_engine_tensor_parallel_matches_single_device(model):
+    """TP serving over a ('data','model') mesh must reproduce the
+    single-device engine exactly (KV heads + weights sharded, paged
+    attention under shard_map)."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, params = model  # tiny_test_config: 4 q heads, 2 kv heads
+    rng = np.random.default_rng(11)
+    prompts = {0: rng.integers(0, cfg.vocab_size, 7).tolist(),
+               1: rng.integers(0, cfg.vocab_size, 11).tolist()}
+
+    def run(mesh):
+        eng = ServingEngine(
+            params, cfg, slots=2, num_pages=17, page_size=8,
+            pages_per_seq=6, mesh=mesh, interpret=True,
+        )
+        for rid, p in prompts.items():
+            eng.submit(rid, p, 5)
+        return eng.run()
+
+    single = run(None)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    sharded = run(mesh)
+    assert single == sharded, (single, sharded)
+
+
+def test_engine_tensor_parallel_quantized(model):
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, params = model
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    def run(mesh):
+        eng = ServingEngine(
+            params, cfg, slots=1, num_pages=9, page_size=8, pages_per_seq=4,
+            kv_dtype=jnp.int8, mesh=mesh, interpret=True,
+        )
+        eng.submit(0, prompt, 5)
+        return eng.run()
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    assert run(None) == run(mesh)
