@@ -120,3 +120,15 @@ def test_varlen_single_sequence_equals_dense():
         np.asarray(out), np.asarray(jnp.swapaxes(want[0], 0, 1)),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_varlen_banded_max_seqlen():
+    """Band-limited kv grid (max_seqlen set) must not change numerics."""
+    lens = [100, 37, 256, 1, 190]
+    q, k, v, cu_q, cu_kv = pack(jax.random.key(5), lens, lens, 4, 2, 64)
+    o1 = flash_attention_varlen(q, k, v, cu_q, causal=True,
+                                block_q=128, block_kv=128, interpret=True)
+    o2 = flash_attention_varlen(q, k, v, cu_q, causal=True, max_seqlen=256,
+                                block_q=128, block_kv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
