@@ -246,6 +246,7 @@ def _flash_fwd_kernel_fused(
     kv_len_padded: int,
     mask_value: float,
     inner: int = 1,
+    stable: bool = True,
 ):
     """Fused-group variant: the whole G-head group rides in ONE pair of MXU
     ops per KV block — S^T = K (Qg)^T is [block_kv, G*block_q] — instead of
@@ -344,22 +345,33 @@ def _flash_fwd_kernel_fused(
                     ),
                 )
 
-            m_prev = m_scratch[:1]
-            l_prev = l_scratch[:1]
-            m_curr = jnp.max(s_t, axis=0, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            p_t = jnp.exp2(s_t - m_next)
-            p_op = p_t.astype(v.dtype)  # PV matmul operand
-            # (An MXU ones-row matmul for this sum measured ~7% SLOWER than
-            # the VPU reduction — the extra matmul serializes on the MXU
-            # while Mosaic overlaps the VPU tree with the PV matmul.)
-            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
+            if stable:
+                m_prev = m_scratch[:1]
+                l_prev = l_scratch[:1]
+                m_curr = jnp.max(s_t, axis=0, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p_t = jnp.exp2(s_t - m_next)
+                p_op = p_t.astype(v.dtype)  # PV matmul operand
+                # (An MXU ones-row matmul for this sum measured ~7% SLOWER
+                # than the VPU reduction — the extra matmul serializes on
+                # the MXU while Mosaic overlaps the VPU tree with PV.)
+                l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
 
-            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+                m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+                l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-            acc_scratch[...] *= alpha
+                acc_scratch[...] *= alpha
+            else:
+                # stable=False: skip the running max entirely — exp2 of the
+                # raw (log2-scaled) scores. f32 holds exp2(s) for s < 128,
+                # i.e. logits < 88.7 nats: safe for trained models, opt-in.
+                # mask_value is huge-negative: exp2 -> exact 0, no NaN path.
+                p_t = jnp.exp2(s_t)
+                p_op = p_t.astype(v.dtype)
+                l_next = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
+                l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
             acc_scratch[...] += jax.lax.dot_general(
                 v, p_op, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -389,7 +401,7 @@ def _flash_fwd_kernel_fused(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "window", "block_q", "block_kv",
-        "fuse_group", "inner_splits", "interpret", "debug",
+        "fuse_group", "inner_splits", "stable", "interpret", "debug",
     ),
 )
 def flash_attention_fwd(
@@ -403,6 +415,7 @@ def flash_attention_fwd(
     block_kv: int = 0,
     fuse_group: bool | None = None,
     inner_splits: int = 0,
+    stable: bool = True,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -500,7 +513,11 @@ def flash_attention_fwd(
         kv_len=skv,
         kv_len_padded=skv_pad,
         mask_value=DEFAULT_MASK_VALUE,
-        **({"inner": inner_splits} if fuse_group else {}),
+        **(
+            {"inner": inner_splits, "stable": stable}
+            if fuse_group
+            else {}
+        ),
     )
 
     flops_factor = 0.5 if causal else 1.0
