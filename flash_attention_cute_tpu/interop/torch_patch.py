@@ -23,8 +23,6 @@ Usage (mirrors the reference exactly):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

@@ -16,8 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from flash_attention_cute_tpu.api import flash_attention_forward
-from flash_attention_cute_tpu.models.config import ModelConfig, RopeScaling
+from flash_attention_cute_tpu.models.config import ModelConfig
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:

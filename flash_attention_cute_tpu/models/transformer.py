@@ -21,8 +21,6 @@ models/modeling_qwen2.py equivalents). TPU-first design choices:
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,6 @@ kernel as single-chip (zero communication during attention).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
