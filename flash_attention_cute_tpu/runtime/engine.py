@@ -116,6 +116,9 @@ class ServingEngine:
         sampling=None,  # SamplingParams | None (None/temp<=0 => greedy)
         seed: int = 0,
         mesh=None,  # jax.sharding.Mesh with a 'model' axis => TP serving
+        prefill_group: int = 1,  # >1: batch same-bucket admissions into one
+        # prefill program (wins under bursty arrivals; costs one compile per
+        # (bucket, pow2-group) and wasted compute on underfull groups)
         interpret: bool | None = None,
     ):
         self.params = params
@@ -126,6 +129,7 @@ class ServingEngine:
         self.sampling = sampling
         self.seed = seed
         self.mesh = mesh
+        self.prefill_group = max(1, prefill_group)
         self.interpret = interpret
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
@@ -332,36 +336,65 @@ class ServingEngine:
         before = {s: self.sched.slot_id(s) for s in range(self.slots)}
         if self.sched.admit() == 0:
             return
+        # Batch same-bucket admissions into one prefill program: a burst of
+        # arrivals costs one forward instead of one per request.
+        groups: dict[int, list[int]] = {}
         for s in range(self.slots):
             rid = self.sched.slot_id(s)
             if rid != -1 and before[s] == -1:
                 self._slot_req[s] = rid
-                self._prefill(s, self._requests[rid])
+                b = _bucket(len(self._requests[rid].prompt))
+                groups.setdefault(b, []).append(s)
+        for bucket, slots in groups.items():
+            step = self.prefill_group
+            for i in range(0, len(slots), step):
+                self._prefill_group(bucket, slots[i : i + step])
 
-    def _prefill(self, slot: int, req: _Request):
+    def _prefill_group(self, bucket: int, slots: list[int]):
         # Recompute semantics after preemption: greedy decoding replays the
-        # same tokens, so restarting from the prompt alone is equivalent.
-        self.stats["prefills"] += 1
-        req.generated = []
-        prompt = np.asarray(req.prompt, np.int32)
-        plen = len(prompt)
-        bucket = _bucket(plen)
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :plen] = prompt
-        self._sync_table(slot)
-        self._set_length(slot, 0)
+        # same tokens, so restarting from the prompt alone is equivalent
+        # (sampling uses per-(request, position) keys — also replay-stable).
+        g = len(slots)
+        reqs = [self._requests[self._slot_req[s]] for s in slots]
+        ids = np.zeros((g, bucket), np.int32)
+        plens = np.zeros((g,), np.int32)
+        for i, req in enumerate(reqs):
+            self.stats["prefills"] += 1
+            req.generated = []
+            plens[i] = len(req.prompt)
+            ids[i, : plens[i]] = req.prompt
+        for s in slots:
+            self._sync_table(s)
+            self._set_length(s, 0)
 
-        # jnp.copy: an identity slice (slots == 1) returns the SAME array,
-        # which forward_paged's donation would delete out from under
-        # self.state. The copies are [1]-/[1, pps]-sized — negligible.
+        # Pad the group to a power of two: one compile per (bucket, pow2)
+        # instead of per exact group size. Dummy rows carry an all-zeros
+        # page-table row, so their scatters land in the null page.
+        g_pad = 1 << (g - 1).bit_length()
+        if g_pad != g:
+            ids = np.pad(ids, ((0, g_pad - g), (0, 0)))
+            plens_in = np.concatenate(
+                [plens, np.ones((g_pad - g,), np.int32)]
+            )
+        else:
+            plens_in = plens
+
+        # Fancy-indexed gathers always copy, so donation of `sub` cannot
+        # delete the engine's full-batch metadata arrays.
+        idxs = np.asarray(slots, np.int64)
+        table = self.state.page_table[idxs]
+        if g_pad != g:
+            table = jnp.concatenate(
+                [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
+            )
         sub = dataclasses.replace(
             self.state,
-            page_table=jnp.copy(self.state.page_table[slot : slot + 1]),
-            lengths=jnp.copy(self.state.lengths[slot : slot + 1]),
+            page_table=table,
+            lengths=jnp.zeros((g_pad,), jnp.int32),
         )
         logits, sub = forward_paged(
             self.params, self.cfg, jnp.asarray(ids), sub, mode="prefill",
-            valid_len=jnp.asarray([plen], jnp.int32),
+            valid_len=jnp.asarray(plens_in),
             interpret=self.interpret, mesh=self.mesh,
         )
         # Merge back every pool field (k/v pages or quantized values+scales);
@@ -372,21 +405,40 @@ class ServingEngine:
         self.state = dataclasses.replace(
             self.state,
             **{name: getattr(sub, name) for name in pool_fields},
-            lengths=self.state.lengths.at[slot].set(plen),
+            lengths=self.state.lengths.at[jnp.asarray(idxs)].set(
+                jnp.asarray(plens)
+            ),
         )
+        # Select + sample on DEVICE; fetch only [g] token ids (full-vocab
+        # logits are half a megabyte per row over a tunneled link).
+        last_logits = logits[jnp.arange(g), plens - 1]  # [g, V] device
         if self.sampling is not None and self.sampling.temperature > 0.0:
             from flash_attention_cute_tpu.runtime.sampling import sample_token
 
-            key = jax.random.fold_in(
-                jax.random.fold_in(jax.random.key(0), self._req_seed(req.req_id)), 0
+            keys = [
+                jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.key(0), self._req_seed(req.req_id)
+                    ),
+                    0,
+                )
+                for req in reqs
+            ]
+            firsts = np.asarray(
+                jax.vmap(
+                    lambda lg, k_: sample_token(lg[None], k_, self.sampling)[0]
+                )(last_logits[:g], jnp.stack(keys)),
+                np.int32,
             )
-            first = int(sample_token(logits[:1, plen - 1], key, self.sampling)[0])
         else:
-            first = int(jnp.argmax(logits[0, plen - 1]))
-        req.generated.append(first)
-        # Count the sampled token against the budget/pages.
-        self.sched.step_slot(slot)
-        self._sync_table(slot)
+            firsts = np.asarray(
+                jnp.argmax(last_logits[:g], axis=-1), np.int32
+            )
+        for i, (s, req) in enumerate(zip(slots, reqs)):
+            req.generated.append(int(firsts[i]))
+            # Count the sampled token against the budget/pages.
+            self.sched.step_slot(s)
+            self._sync_table(s)
 
     def _req_seed(self, rid: int) -> int:
         """Per-request sampling seed: stable across preemption-recompute so
@@ -438,7 +490,8 @@ class ServingEngine:
                 rid = self.sched.slot_id(s)
                 if rid != -1 and self._slot_req[s] == -1:
                     self._slot_req[s] = rid
-                    self._prefill(s, self._requests[rid])
+                    req = self._requests[rid]
+                    self._prefill_group(_bucket(len(req.prompt)), [s])
             return True
         # Nothing admissible with an empty batch -> unservable requests.
         return False
