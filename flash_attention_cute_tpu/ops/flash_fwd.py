@@ -247,6 +247,7 @@ def _flash_fwd_kernel_fused(
     mask_value: float,
     inner: int = 1,
     stable: bool = True,
+    logit_softcap: float | None = None,
 ):
     """Fused-group variant: the whole G-head group rides in ONE pair of MXU
     ops per KV block — S^T = K (Qg)^T is [block_kv, G*block_q] — instead of
@@ -336,6 +337,12 @@ def _flash_fwd_kernel_fused(
                 k, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [sub_kv, group * block_q]
+            if logit_softcap is not None:
+                # Scores are in log2 units (Q pre-folded scale*log2e), so
+                # the cap scales by log2e too: log2e*c*tanh(s/(log2e*c))
+                # == log2e * (c*tanh(s_nat/c)). Applied pre-mask.
+                cap2 = logit_softcap * LOG2E
+                s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
             if needs_mask is not False:
                 s_t += jax.lax.cond(
                     needs_mask,
@@ -401,7 +408,8 @@ def _flash_fwd_kernel_fused(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "window", "block_q", "block_kv",
-        "fuse_group", "inner_splits", "stable", "interpret", "debug",
+        "fuse_group", "inner_splits", "stable", "logit_softcap",
+        "interpret", "debug",
     ),
 )
 def flash_attention_fwd(
@@ -416,6 +424,7 @@ def flash_attention_fwd(
     fuse_group: bool | None = None,
     inner_splits: int = 0,
     stable: bool = True,
+    logit_softcap: float | None = None,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -501,6 +510,8 @@ def flash_attention_fwd(
             + group * block_q * d_pad * q.dtype.itemsize
         )
         fuse_group = group > 1 and fused_bytes <= 12 * 1024 * 1024
+    if logit_softcap is not None:
+        fuse_group = True  # soft-capping lives in the fused kernel only
 
     kernel = functools.partial(
         _flash_fwd_kernel_fused if fuse_group else _flash_fwd_kernel,
@@ -514,7 +525,11 @@ def flash_attention_fwd(
         kv_len_padded=skv_pad,
         mask_value=DEFAULT_MASK_VALUE,
         **(
-            {"inner": inner_splits, "stable": stable}
+            {
+                "inner": inner_splits,
+                "stable": stable,
+                "logit_softcap": logit_softcap,
+            }
             if fuse_group
             else {}
         ),

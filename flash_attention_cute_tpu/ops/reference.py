@@ -38,6 +38,7 @@ def attention_reference(
     kv_length: jax.Array | None = None,
     q_offset: jax.Array | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     precision=None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale + mask) V computed in fp32, no tiling.
@@ -85,6 +86,9 @@ def attention_reference(
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", qf, kf, precision=precision
     ) * softmax_scale
+    if logit_softcap is not None:
+        # Gemma-style soft capping (applied pre-mask, like the models do).
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
 
     allowed = jnp.ones((b, 1, sq, skv), dtype=jnp.bool_)
     if causal:

@@ -153,3 +153,18 @@ def test_unstable_softmax_matches_stable():
                              block_q=128, block_kv=128, interpret=True)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_logit_softcap_matches_reference():
+    """Gemma-style tanh soft-capping (in log2-score space in-kernel)."""
+    q, k, v = make_qkv(jax.random.key(10), 1, 4, 2, 256, 256, 64, jnp.float32)
+    out = flash_attention_fwd(q, k, v, causal=True, logit_softcap=30.0,
+                              block_q=128, block_kv=128, interpret=True)
+    ref = attention_reference(q, k, v, causal=True, logit_softcap=30.0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+    # Must differ from the uncapped result (cap actually does something).
+    ref_uncapped = attention_reference(q, k, v, causal=True)
+    assert float(jnp.abs(ref - ref_uncapped).max()) > 1e-4
