@@ -36,6 +36,7 @@ def flash_attention_forward(
     window: int | None = None,
     *,
     stable: bool = True,
+    logit_softcap: float | None = None,
     block_config: dispatch.BlockConfig | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -61,6 +62,7 @@ def flash_attention_forward(
         return attention_reference(
             q, k, v, softmax_scale=softmax_scale, causal=causal,
             kv_length=kv_length, q_offset=q_offset, window=window,
+            logit_softcap=logit_softcap,
         )
 
     interp = bool(interpret)
@@ -76,12 +78,20 @@ def flash_attention_forward(
             kv_length=kv_length,
             sm_scale=softmax_scale,
             window=window,
+            logit_softcap=logit_softcap,
             num_splits=cfg.decode_num_splits,
             block_kv=cfg.decode_block_kv,
             interpret=interp,
         )
 
     if kv_length is not None or q_offset is not None:
+        if logit_softcap is not None:
+            # Soft-capping is not in the chunked kernel (yet): exact path.
+            return attention_reference(
+                q, k, v, softmax_scale=softmax_scale, causal=causal,
+                kv_length=kv_length, q_offset=q_offset, window=window,
+                logit_softcap=logit_softcap,
+            )
         # Chunked prefill over a partially filled cache (mode="extend"):
         # scalar-prefetch kernel, one compile for every fill level.
         from flash_attention_cute_tpu.ops.flash_chunked import (
@@ -106,6 +116,7 @@ def flash_attention_forward(
         block_q=cfg.block_q,
         block_kv=cfg.block_kv,
         stable=stable,
+        logit_softcap=logit_softcap,
         interpret=interp,
     )
 

@@ -53,6 +53,7 @@ def _flash_decode_kernel(
     *,
     sm_scale: float,
     window: int | None,
+    logit_softcap: float | None,
     block_kv: int,
     blocks_per_split: int,
     mask_value: float,
@@ -90,6 +91,8 @@ def _flash_decode_kernel(
             preferred_element_type=jnp.float32,
         )  # [g_pad, block_kv]
         s *= sm_scale
+        if logit_softcap is not None:
+            s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
         # Mask the cache tail in the block straddling `length`.
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
@@ -124,7 +127,8 @@ def _flash_decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "window", "num_splits", "block_kv", "interpret", "debug",
+        "sm_scale", "window", "logit_softcap", "num_splits", "block_kv",
+        "interpret", "debug",
     ),
 )
 def flash_attention_decode(
@@ -134,6 +138,7 @@ def flash_attention_decode(
     kv_length: jax.Array | None = None,
     sm_scale: float | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     num_splits: int = 0,
     block_kv: int = 2048,
     interpret: bool = False,
@@ -208,6 +213,7 @@ def flash_attention_decode(
         _flash_decode_kernel,
         sm_scale=sm_scale,
         window=window,
+        logit_softcap=logit_softcap,
         block_kv=block_kv,
         blocks_per_split=blocks_per_split,
         mask_value=DEFAULT_MASK_VALUE,

@@ -85,3 +85,33 @@ def test_jittable_and_meta_traceable():
     assert shape.shape == q.shape and shape.dtype == q.dtype
     out = fn(q, k, v)
     assert out.shape == q.shape
+
+
+def test_logit_softcap_through_api():
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attention_cute_tpu.api import flash_attention_forward
+    from flash_attention_cute_tpu.ops.reference import attention_reference
+
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (1, 4, 128, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 128, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 128, 64), jnp.float32)
+    out = flash_attention_forward(
+        q, k, v, causal=True, logit_softcap=20.0, interpret=True
+    )
+    ref = attention_reference(q, k, v, causal=True, logit_softcap=20.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-2)
+    # decode path (seq_q == 1)
+    out1 = flash_attention_forward(
+        q[:, :, :1], k, v, causal=True, logit_softcap=20.0, interpret=True
+    )
+    ref1 = attention_reference(
+        q[:, :, :1], k, v, causal=False, logit_softcap=20.0
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               atol=2e-5, rtol=2e-2)
