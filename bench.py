@@ -65,8 +65,15 @@ def main():
     flash_fn = functools.partial(flash_attention_fwd, causal=causal)
     ref_fn = functools.partial(attention_reference, causal=causal)
 
-    t_flash = (time_chained(lambda n: chain(flash_fn, n), (q, k, v))
-               if on_tpu else None)
+    # Long chains + repeats: run-to-run variance on the tunneled chip is
+    # ±5-10% with short chains.
+    t_flash = (
+        time_chained(
+            lambda n: chain(flash_fn, n), (q, k, v), n1=10, n2=60, repeats=3
+        )
+        if on_tpu
+        else None
+    )
 
     try:
         t_ref = time_chained(lambda n: chain(ref_fn, n), (q, k, v),
