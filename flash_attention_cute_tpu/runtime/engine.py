@@ -119,6 +119,7 @@ class ServingEngine:
         prefill_group: int = 1,  # >1: batch same-bucket admissions into one
         # prefill program (wins under bursty arrivals; costs one compile per
         # (bucket, pow2-group) and wasted compute on underfull groups)
+        eos_token_id: int | None = None,  # finish a request early at EOS
         interpret: bool | None = None,
     ):
         self.params = params
@@ -130,6 +131,7 @@ class ServingEngine:
         self.seed = seed
         self.mesh = mesh
         self.prefill_group = max(1, prefill_group)
+        self.eos_token_id = eos_token_id
         self.interpret = interpret
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
@@ -242,6 +244,7 @@ class ServingEngine:
         """
         self.stats["steps"] += 1
         self._admit()
+        self._finish_ready()  # e.g. EOS as the very first prefill token
         active = [s for s in range(self.slots) if self._slot_req[s] != -1]
         if not active:
             return self.sched.num_waiting > 0 and self._drain_unservable()
@@ -318,9 +321,27 @@ class ServingEngine:
         for s in active:
             rid = self._slot_req[s]
             req = self._requests[rid]
-            req.generated.extend(int(t) for t in tokens[:, s])
-            self.stats["tokens_generated"] += chunk
-            if len(req.generated) >= req.max_new_tokens:
+            new = [int(t) for t in tokens[:, s]]
+            if self.eos_token_id is not None and self.eos_token_id in new:
+                # EOS inside the chunk: keep it, drop the speculative tail
+                # (its page room frees with the slot release).
+                new = new[: new.index(self.eos_token_id) + 1]
+                req.max_new_tokens = len(req.generated) + len(new)
+            req.generated.extend(new)
+            self.stats["tokens_generated"] += len(new)
+        self._finish_ready()
+        return bool(self._requests) or self.sched.num_waiting > 0
+
+    def _finish_ready(self):
+        for s in range(self.slots):
+            rid = self._slot_req[s]
+            if rid == -1:
+                continue
+            req = self._requests[rid]
+            done = len(req.generated) >= req.max_new_tokens
+            if self.eos_token_id is not None and req.generated:
+                done = done or req.generated[-1] == self.eos_token_id
+            if done:
                 self.sched.release_slot(s, requeue=False)
                 self._done[rid] = req.generated
                 self.stats["requests_finished"] += 1
@@ -328,7 +349,6 @@ class ServingEngine:
                 self._slot_req[s] = -1
                 self._set_length(s, 0)
                 self._clear_table(s)
-        return bool(self._requests) or self.sched.num_waiting > 0
 
     # ---- internals ----
 

@@ -242,3 +242,20 @@ def test_engine_tensor_parallel_quantized(model):
 
     mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
     assert run(None) == run(mesh)
+
+
+def test_engine_eos_early_stop(model):
+    """EOS must truncate the chunk and finish the request early."""
+    cfg, params = model
+    prompt = [5, 3, 2, 9, 1, 7]
+    # Find what greedy generates, then use its 3rd token as the EOS id.
+    full = greedy_oracle(params, cfg, prompt, 8)
+    eos = full[2]
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=17, page_size=8, pages_per_seq=4,
+        eos_token_id=eos, interpret=True,
+    )
+    eng.submit(0, prompt, 8)
+    results = eng.run()
+    assert results[0] == full[:3], (results[0], full)
+    assert results[0][-1] == eos
