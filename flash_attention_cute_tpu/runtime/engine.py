@@ -224,6 +224,16 @@ class ServingEngine:
         for _ in range(max_steps):
             if not self.step():
                 break
+        # step() returned False with requests still queued: their prompts
+        # can never be admitted at this pool size — surface them as failed
+        # rather than dropping them silently.
+        for rid, req in list(self._requests.items()):
+            if rid not in dict(
+                (self._slot_req[s], s) for s in range(self.slots)
+            ):
+                self._failed.append(rid)
+                self.stats["requests_failed"] += 1
+                del self._requests[rid]
         return dict(self._done)
 
     @property

@@ -259,3 +259,17 @@ def test_engine_eos_early_stop(model):
     results = eng.run()
     assert results[0] == full[:3], (results[0], full)
     assert results[0][-1] == eos
+
+
+def test_engine_never_admittable_prompt_fails(model):
+    """A prompt larger than the entire pool must surface in `failed`,
+    not vanish silently."""
+    cfg, params = model
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=3, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    eng.submit(0, list(range(40)), 4)   # 5 pages needed, 2 usable
+    results = eng.run()
+    assert results == {}
+    assert eng.failed == [0]
