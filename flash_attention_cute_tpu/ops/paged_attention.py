@@ -80,6 +80,7 @@ def _paged_decode_kernel(
     page_size: int,
     ppcb: int,
     sm_scale: float,
+    window: int | None,
     mask_value: float,
 ):
     b = pl.program_id(0)
@@ -111,7 +112,6 @@ def _paged_decode_kernel(
         wait must match) — un-awaited DMAs at kernel end are an error.
         """
         within = (i_ + 1) * bk < lengths_ref[b_]
-        i_n = jnp.where(within, i_ + 1, 0)
         h_n = jnp.where(within, h_, h_ + 1)
         wrap = h_n == num_h
         h_n = jnp.where(wrap, 0, h_n)
@@ -124,9 +124,23 @@ def _paged_decode_kernel(
             return jnp.where(dead, bb + 1, bb)
 
         b_n = jax.lax.fori_loop(0, num_b, skip_dead, b_n)
+        # A new (b, h) stream starts at ITS first live block — with a
+        # sliding window that is the block containing length - window, not
+        # block 0 (prefetching a dead block would strand its DMA).
+        if window is not None:
+            lo = jnp.maximum(
+                lengths_ref[jnp.minimum(b_n, num_b - 1)] - window, 0
+            ) // bk
+        else:
+            lo = 0
+        i_n = jnp.where(within, i_ + 1, lo)
         return b_n, h_n, i_n
 
-    @pl.when(i * bk < length)
+    live = i * bk < length
+    if window is not None:
+        live = jnp.logical_and(live, (i + 1) * bk > length - window)
+
+    @pl.when(live)
     def _live():
         @pl.when(state_ref[1] == 1)
         def _first_fetch():
@@ -169,7 +183,10 @@ def _paged_decode_kernel(
         s *= sm_scale
 
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
-        s = jnp.where(cols < length, s, mask_value)
+        ok = cols < length
+        if window is not None:
+            ok &= cols >= length - window
+        s = jnp.where(ok, s, mask_value)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -212,7 +229,9 @@ def _paged_decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "pages_per_compute_block", "interpret", "debug"),
+    static_argnames=(
+        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+    ),
 )
 def paged_attention_decode(
     q: jax.Array,
@@ -221,6 +240,7 @@ def paged_attention_decode(
     lengths: jax.Array,
     page_table: jax.Array,
     sm_scale: float | None = None,
+    window: int | None = None,
     pages_per_compute_block: int = 0,
     interpret: bool = False,
     debug: bool = False,
@@ -274,6 +294,7 @@ def paged_attention_decode(
         page_size=page_size,
         ppcb=ppcb,
         sm_scale=sm_scale,
+        window=window,
         mask_value=DEFAULT_MASK_VALUE,
     )
 
