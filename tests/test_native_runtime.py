@@ -111,3 +111,46 @@ def test_scheduler_preemption_on_page_exhaustion():
 def test_make_page_allocator_prefers_native():
     a = native.make_page_allocator(8, 4, 4)
     assert isinstance(a, native.NativePageAllocator)
+
+
+def test_scheduler_lockstep_with_python():
+    """Random-driven parity: the C++ scheduler and the Python fallback
+    must make IDENTICAL decisions (admission, step results, preemption
+    victims, slot assignments) for the same request stream."""
+    from flash_attention_cute_tpu.runtime.engine import _PyScheduler
+
+    def mk():
+        return (
+            native.NativeScheduler(12, 4, 8, slots=3),
+            _PyScheduler(12, 4, 8, slots=3),
+        )
+
+    cc, py = mk()
+    rng = np.random.default_rng(7)
+    next_id = 0
+    for step in range(300):
+        op = rng.random()
+        if op < 0.25:
+            plen = int(rng.integers(1, 20))
+            mnew = int(rng.integers(1, 10))
+            cc.submit(next_id, plen, mnew)
+            py.submit(next_id, plen, mnew)
+            next_id += 1
+        elif op < 0.45:
+            assert cc.admit() == py.admit()
+        elif op < 0.85:
+            s = int(rng.integers(0, 3))
+            assert cc.step_slot(s) == py.step_slot(s), step
+        elif op < 0.95:
+            assert cc.preempt_youngest() == py.preempt_youngest(), step
+        else:
+            s = int(rng.integers(0, 3))
+            assert cc.finished(s) == py.finished(s)
+            if cc.finished(s):
+                cc.release_slot(s, requeue=False)
+                py.release_slot(s, requeue=False)
+        assert cc.num_waiting == py.num_waiting, step
+        assert cc.num_free_pages == py.num_free_pages, step
+        for s in range(3):
+            assert cc.slot_id(s) == py.slot_id(s), (step, s)
+            assert cc.slot_generated(s) == py.slot_generated(s), (step, s)
