@@ -85,7 +85,8 @@ def forward_paged(
     # Padding-token scatters stay in range via the page-table lookup; they
     # land in whatever page the tail maps to and are never read (masked by
     # lengths). Positions beyond the table map to the null page (0).
-    def layer(x, xs_l):
+    def make_layer(window):
+      def layer(x, xs_l):
         lp, k_slab, v_slab = xs_l
         h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = L.qkv_project(h, lp, cfg)
@@ -113,11 +114,12 @@ def forward_paged(
                 )
 
                 attn = sharded_attention(
-                    mesh, q, k, v, causal=True, interpret=interpret
+                    mesh, q, k, v, causal=True, window=window,
+                    interpret=interpret,
                 )
             else:
                 attn = flash_attention_forward(
-                    q, k, v, causal=True, interpret=interpret
+                    q, k, v, causal=True, window=window, interpret=interpret
                 )
         else:
             if quant:
@@ -125,6 +127,11 @@ def forward_paged(
                     QuantizedKV,
                     paged_attention_decode_quantized,
                 )
+                if window is not None:
+                    raise NotImplementedError(
+                        "sliding window + quantized pages: window is not in "
+                        "the quantized paged kernel yet (ROADMAP.md)"
+                    )
 
                 def attend(q_, k_slab_, v_slab_, lens_, tbl_):
                     return paged_attention_decode_quantized(
@@ -136,7 +143,7 @@ def forward_paged(
                     return paged_attention_decode(
                         q_, k_slab_.astype(q_.dtype),
                         v_slab_.astype(q_.dtype), lens_, tbl_,
-                        interpret=bool(interpret),
+                        window=window, interpret=bool(interpret),
                     )
 
             if mesh is not None:
@@ -166,6 +173,8 @@ def forward_paged(
         x = x + L.mlp(h, lp)
         return x, (k_slab, v_slab)
 
+      return layer
+
     if quant:
         xs = (
             params["layers"],
@@ -174,7 +183,30 @@ def forward_paged(
         )
     else:
         xs = (params["layers"], state.k_pages, state.v_pages)
-    x, (new_k, new_v) = jax.lax.scan(layer, x, xs)
+
+    # Sliding-window models (Qwen2 semantics): layers >= max_window_layers
+    # attend through the window — two scan segments, like
+    # models/transformer.py.
+    if cfg.use_sliding_window and cfg.sliding_window:
+        split = min(max(cfg.max_window_layers, 0), cfg.num_layers)
+        segments = [(0, split, None), (split, cfg.num_layers, cfg.sliding_window)]
+        segments = [(a, z, w) for (a, z, w) in segments if z > a]
+    else:
+        segments = [(0, cfg.num_layers, None)]
+
+    if len(segments) == 1:
+        x, (new_k, new_v) = jax.lax.scan(make_layer(segments[0][2]), x, xs)
+    else:
+        new_ks, new_vs = [], []
+        for (a, z, w) in segments:
+            xs_seg = jax.tree.map(lambda arr: arr[a:z], xs)
+            x, (nk, nv) = jax.lax.scan(make_layer(w), x, xs_seg)
+            new_ks.append(nk)
+            new_vs.append(nv)
+        cat = lambda trees: jax.tree.map(
+            lambda *xs_: jnp.concatenate(xs_), *trees
+        )
+        new_k, new_v = cat(new_ks), cat(new_vs)
 
     x = L.rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")

@@ -273,3 +273,41 @@ def test_engine_never_admittable_prompt_fails(model):
     results = eng.run()
     assert results == {}
     assert eng.failed == [0]
+
+
+def test_engine_sliding_window_model():
+    """Qwen2-style windowed layers through the paged serving engine:
+    outputs must match the contiguous-cache forward token by token."""
+    from flash_attention_cute_tpu.models import forward
+    from flash_attention_cute_tpu.models.cache import KVCache
+    from flash_attention_cute_tpu.models.config import tiny_test_config
+    from flash_attention_cute_tpu.models import init_params
+
+    cfg = tiny_test_config(
+        num_layers=4, sliding_window=12, use_sliding_window=True,
+        max_window_layers=2,
+    )
+    params = init_params(cfg, jax.random.key(5))
+    prompt = list(np.random.default_rng(3).integers(0, cfg.vocab_size, 20))
+    prompt = [int(t) for t in prompt]
+
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=9, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    eng.submit(0, prompt, 5)
+    results = eng.run()
+
+    cache = KVCache.create(cfg, batch=1, capacity=40)
+    ids = jnp.asarray([prompt], jnp.int32)
+    logits, cache = forward(params, cfg, ids, cache=cache, mode="prefill")
+    tok = int(jnp.argmax(logits[0, -1]))
+    want = [tok]
+    for _ in range(4):
+        logits, cache = forward(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache=cache,
+            mode="decode",
+        )
+        tok = int(jnp.argmax(logits[0, 0]))
+        want.append(tok)
+    assert results[0] == want, (results[0], want)
