@@ -342,6 +342,7 @@ def _quant_paged_kernel(
     page_size: int,
     ppcb: int,
     sm_scale: float,
+    window: int | None,
     mask_value: float,
     compute_dtype,
 ):
@@ -381,7 +382,6 @@ def _quant_paged_kernel(
 
     def next_live_block(b_, h_, i_):
         within = (i_ + 1) * bk < lengths_ref[b_]
-        i_n = jnp.where(within, i_ + 1, 0)
         h_n = jnp.where(within, h_, h_ + 1)
         wrap = h_n == num_h
         h_n = jnp.where(wrap, 0, h_n)
@@ -394,9 +394,22 @@ def _quant_paged_kernel(
             return jnp.where(dead, bb + 1, bb)
 
         b_n = jax.lax.fori_loop(0, num_b, skip_dead, b_n)
+        # New streams start at their window's first live block (a dead
+        # prefetch would strand its DMA — see ops/paged_attention.py).
+        if window is not None:
+            lo = jnp.maximum(
+                lengths_ref[jnp.minimum(b_n, num_b - 1)] - window, 0
+            ) // bk
+        else:
+            lo = 0
+        i_n = jnp.where(within, i_ + 1, lo)
         return b_n, h_n, i_n
 
-    @pl.when(i * bk < length)
+    live = i * bk < length
+    if window is not None:
+        live = jnp.logical_and(live, (i + 1) * bk > length - window)
+
+    @pl.when(live)
     def _live():
         @pl.when(state_ref[1] == 1)
         def _first_fetch():
@@ -430,7 +443,10 @@ def _quant_paged_kernel(
         s = s * (kscale[None, :] * sm_scale)
 
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
-        s = jnp.where(cols < length, s, mask_value)
+        ok = cols < length
+        if window is not None:
+            ok &= cols >= length - window
+        s = jnp.where(ok, s, mask_value)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -472,7 +488,9 @@ def _quant_paged_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "pages_per_compute_block", "interpret", "debug"),
+    static_argnames=(
+        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+    ),
 )
 def paged_attention_decode_quantized(
     q: jax.Array,
@@ -481,6 +499,7 @@ def paged_attention_decode_quantized(
     lengths: jax.Array,
     page_table: jax.Array,
     sm_scale: float | None = None,
+    window: int | None = None,
     pages_per_compute_block: int = 0,
     interpret: bool = False,
     debug: bool = False,
@@ -546,6 +565,7 @@ def paged_attention_decode_quantized(
         page_size=page_size,
         ppcb=ppcb,
         sm_scale=sm_scale,
+        window=window,
         mask_value=DEFAULT_MASK_VALUE,
         compute_dtype=compute_dtype,
     )

@@ -127,16 +127,11 @@ def forward_paged(
                     QuantizedKV,
                     paged_attention_decode_quantized,
                 )
-                if window is not None:
-                    raise NotImplementedError(
-                        "sliding window + quantized pages: window is not in "
-                        "the quantized paged kernel yet (ROADMAP.md)"
-                    )
-
                 def attend(q_, k_slab_, v_slab_, lens_, tbl_):
                     return paged_attention_decode_quantized(
                         q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
-                        lens_, tbl_, interpret=bool(interpret),
+                        lens_, tbl_, window=window,
+                        interpret=bool(interpret),
                     )
             else:
                 def attend(q_, k_slab_, v_slab_, lens_, tbl_):

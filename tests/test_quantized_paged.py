@@ -71,3 +71,23 @@ def test_quant_paged_gqa_block_sizes():
     np.testing.assert_allclose(
         np.asarray(o1), np.asarray(o2), atol=1e-5, rtol=1e-5
     )
+
+
+def test_quant_paged_windowed():
+    b, hq, hkv, pps, ps, d = 2, 8, 2, 6, 16, 64
+    q, kqz, vqz, tbl = setup(jax.random.key(4), b, hq, hkv, pps, ps, d)
+    lens = jnp.array([90, 33], jnp.int32)
+    window = 40
+    out = paged_attention_decode_quantized(
+        q, kqz, vqz, lens, tbl, window=window,
+        pages_per_compute_block=2, interpret=True,
+    )
+    kg = gather_dense(kqz, tbl, ps)
+    vg = gather_dense(vqz, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=False, kv_length=lens, window=window
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-3, rtol=2e-2,
+    )
