@@ -85,13 +85,6 @@ def flash_attention_forward(
         )
 
     if kv_length is not None or q_offset is not None:
-        if logit_softcap is not None:
-            # Soft-capping is not in the chunked kernel (yet): exact path.
-            return attention_reference(
-                q, k, v, softmax_scale=softmax_scale, causal=causal,
-                kv_length=kv_length, q_offset=q_offset, window=window,
-                logit_softcap=logit_softcap,
-            )
         # Chunked prefill over a partially filled cache (mode="extend"):
         # scalar-prefetch kernel, one compile for every fill level.
         from flash_attention_cute_tpu.ops.flash_chunked import (
@@ -105,6 +98,7 @@ def flash_attention_forward(
         return flash_attention_chunked(
             q, k, v, q_offset, kv_length,
             sm_scale=softmax_scale, causal=causal, window=window,
+            logit_softcap=logit_softcap,
             block_q=cfg.block_q, block_kv=cfg.block_kv, interpret=interp,
         )
 

@@ -57,6 +57,7 @@ def _flash_chunked_kernel(
     *,
     causal: bool,
     window: int | None,
+    logit_softcap: float | None,
     group: int,
     block_q: int,
     block_kv: int,
@@ -127,7 +128,13 @@ def _flash_chunked_kernel(
             s_t = jax.lax.dot_general(
                 k, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias
+            )
+            if logit_softcap is not None:
+                # Scores are in log2 units (scale*log2e folded into Q):
+                # cap scales by log2e (see ops/flash_fwd.py). Pre-mask.
+                cap2 = logit_softcap * LOG2E
+                s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
+            s_t = s_t + bias
 
             m_prev = m_scratch[g][:1]
             l_prev = l_scratch[g][:1]
@@ -160,8 +167,8 @@ def _flash_chunked_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "window", "block_q", "block_kv",
-        "interpret", "debug",
+        "sm_scale", "causal", "window", "logit_softcap", "block_q",
+        "block_kv", "interpret", "debug",
     ),
 )
 def flash_attention_chunked(
@@ -173,6 +180,7 @@ def flash_attention_chunked(
     sm_scale: float | None = None,
     causal: bool = True,
     window: int | None = None,
+    logit_softcap: float | None = None,
     block_q: int = 0,
     block_kv: int = 0,
     interpret: bool = False,
@@ -252,6 +260,7 @@ def flash_attention_chunked(
         _flash_chunked_kernel,
         causal=causal,
         window=window,
+        logit_softcap=logit_softcap,
         group=group,
         block_q=block_q,
         block_kv=block_kv,

@@ -133,3 +133,22 @@ def test_api_routes_extend_to_chunked_kernel():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-5, rtol=2e-2,
     )
+
+
+def test_chunked_logit_softcap():
+    b, hq, hkv, sq, cap, d = 2, 4, 2, 64, 256, 64
+    q, k, v = make(jax.random.key(6), b, hq, hkv, sq, cap, d)
+    q_off = jnp.array([100, 0], jnp.int32)
+    kv_len = q_off + sq
+    out = flash_attention_chunked(
+        q, k, v, q_off, kv_len, causal=True, logit_softcap=25.0,
+        block_q=64, block_kv=128, interpret=True,
+    )
+    ref = attention_reference(
+        q, k, v, causal=True, kv_length=kv_len, q_offset=q_off,
+        logit_softcap=25.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
