@@ -62,6 +62,7 @@ def _flash_varlen_kernel(
     *,
     causal: bool,
     window: int | None,
+    logit_softcap: float | None,
     equal_lengths: bool,
     group: int,
     block_q: int,
@@ -143,7 +144,11 @@ def _flash_varlen_kernel(
             s_t = jax.lax.dot_general(
                 k, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias
+            )
+            if logit_softcap is not None:
+                cap2 = logit_softcap * LOG2E  # scores are in log2 units
+                s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
+            s_t = s_t + bias
 
             m_prev = m_scratch[g][:1]
             l_prev = l_scratch[g][:1]
@@ -185,8 +190,8 @@ def _flash_varlen_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "window", "equal_lengths", "max_seqlen",
-        "block_q", "block_kv", "interpret", "debug",
+        "sm_scale", "causal", "window", "logit_softcap", "equal_lengths",
+        "max_seqlen", "block_q", "block_kv", "interpret", "debug",
     ),
 )
 def flash_attention_packed(
@@ -200,6 +205,7 @@ def flash_attention_packed(
     sm_scale: float | None = None,
     causal: bool = False,
     window: int | None = None,
+    logit_softcap: float | None = None,
     equal_lengths: bool = False,
     max_seqlen: int = 0,
     block_q: int = 0,
@@ -317,6 +323,7 @@ def flash_attention_packed(
         _flash_varlen_kernel,
         causal=causal,
         window=window,
+        logit_softcap=logit_softcap,
         equal_lengths=equal_lengths,
         group=group,
         block_q=block_q,
@@ -394,8 +401,8 @@ def _seg_metadata(cu: jax.Array, total: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "window", "equal_lengths", "max_seqlen",
-        "block_q", "block_kv", "interpret", "debug",
+        "sm_scale", "causal", "window", "logit_softcap", "equal_lengths",
+        "max_seqlen", "block_q", "block_kv", "interpret", "debug",
     ),
 )
 def flash_attention_varlen(
@@ -407,6 +414,7 @@ def flash_attention_varlen(
     sm_scale: float | None = None,
     causal: bool = False,
     window: int | None = None,
+    logit_softcap: float | None = None,
     equal_lengths: bool = False,
     max_seqlen: int = 0,
     block_q: int = 0,
@@ -458,6 +466,7 @@ def flash_attention_varlen(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        logit_softcap=logit_softcap,
         equal_lengths=equal_lengths,
         max_seqlen=max_seqlen,
         block_q=block_q,

@@ -81,6 +81,7 @@ def _paged_decode_kernel(
     ppcb: int,
     sm_scale: float,
     window: int | None,
+    logit_softcap: float | None,
     mask_value: float,
 ):
     b = pl.program_id(0)
@@ -181,6 +182,8 @@ def _paged_decode_kernel(
             preferred_element_type=jnp.float32,
         )
         s *= sm_scale
+        if logit_softcap is not None:
+            s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
         ok = cols < length
@@ -230,7 +233,8 @@ def _paged_decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+        "sm_scale", "window", "logit_softcap", "pages_per_compute_block",
+        "interpret", "debug",
     ),
 )
 def paged_attention_decode(
@@ -241,6 +245,7 @@ def paged_attention_decode(
     page_table: jax.Array,
     sm_scale: float | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     pages_per_compute_block: int = 0,
     interpret: bool = False,
     debug: bool = False,
@@ -295,6 +300,7 @@ def paged_attention_decode(
         ppcb=ppcb,
         sm_scale=sm_scale,
         window=window,
+        logit_softcap=logit_softcap,
         mask_value=DEFAULT_MASK_VALUE,
     )
 

@@ -132,3 +132,24 @@ def test_varlen_banded_max_seqlen():
                                 block_q=128, block_kv=128, interpret=True)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_varlen_logit_softcap():
+    lens = [90, 40]
+    q, k, v, cu_q, cu_kv = pack(jax.random.key(6), lens, lens, 4, 2, 64)
+    out = flash_attention_varlen(q, k, v, cu_q, causal=True,
+                                 logit_softcap=20.0,
+                                 block_q=128, block_kv=128, interpret=True)
+    want = []
+    for i in range(2):
+        a, b = int(cu_q[i]), int(cu_q[i + 1])
+        o = attention_reference(
+            jnp.swapaxes(q[a:b], 0, 1)[None], jnp.swapaxes(k[a:b], 0, 1)[None],
+            jnp.swapaxes(v[a:b], 0, 1)[None], causal=True, logit_softcap=20.0,
+        )
+        want.append(jnp.swapaxes(o[0], 0, 1))
+    want = jnp.concatenate(want, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )

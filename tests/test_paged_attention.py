@@ -210,3 +210,40 @@ def test_paged_decode_windowed():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-5, rtol=2e-2,
     )
+
+
+def test_paged_decode_logit_softcap():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flash_attention_cute_tpu.ops.paged_attention import (
+        paged_attention_decode,
+    )
+    from flash_attention_cute_tpu.ops.reference import attention_reference
+
+    B, HQ, HKV, D, PS, PPS = 2, 4, 2, 64, 16, 4
+    num_pages = B * PPS + 1
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (B, HQ, 1, D), jnp.float32)
+    kp = jax.random.normal(ks[1], (HKV, num_pages, PS, D), jnp.float32)
+    vp = jax.random.normal(ks[2], (HKV, num_pages, PS, D), jnp.float32)
+    tbl = jnp.arange(1, B * PPS + 1, dtype=jnp.int32).reshape(B, PPS)
+    lens = jnp.array([60, 17], jnp.int32)
+    out = paged_attention_decode(
+        q, kp, vp, lens, tbl, logit_softcap=15.0,
+        pages_per_compute_block=2, interpret=True,
+    )
+    flat = (tbl * PS)[:, :, None] + jnp.arange(PS)[None, None, :]
+    flat = flat.reshape(B, -1)
+    kd = kp.reshape(HKV, -1, D)
+    vd = vp.reshape(HKV, -1, D)
+    kg = jax.vmap(lambda f: kd[:, f])(flat)
+    vg = jax.vmap(lambda f: vd[:, f])(flat)
+    ref = attention_reference(
+        q, kg, vg, causal=False, kv_length=lens, logit_softcap=15.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
