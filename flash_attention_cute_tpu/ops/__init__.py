@@ -12,12 +12,28 @@ from flash_attention_cute_tpu.ops.flash_varlen import (
     flash_attention_packed,
     flash_attention_varlen,
 )
+from flash_attention_cute_tpu.ops.paged_attention import paged_attention_decode
+from flash_attention_cute_tpu.ops.quantized import (
+    QuantizedKV,
+    dequantize_kv,
+    flash_attention_decode_quantized,
+    paged_attention_decode_quantized,
+    quantize_kv,
+)
+from flash_attention_cute_tpu.ops.autodiff import flash_attention
 
 __all__ = [
     "attention_reference",
+    "flash_attention",
     "flash_attention_fwd",
     "flash_attention_decode",
     "flash_attention_chunked",
     "flash_attention_packed",
     "flash_attention_varlen",
+    "paged_attention_decode",
+    "flash_attention_decode_quantized",
+    "paged_attention_decode_quantized",
+    "QuantizedKV",
+    "quantize_kv",
+    "dequantize_kv",
 ]
