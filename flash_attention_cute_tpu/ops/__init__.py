@@ -20,11 +20,12 @@ from flash_attention_cute_tpu.ops.quantized import (
     paged_attention_decode_quantized,
     quantize_kv,
 )
-from flash_attention_cute_tpu.ops.autodiff import flash_attention
+# NOTE: ops.autodiff imports the dispatch API (which imports these kernel
+# modules), so it must be imported from its own module to avoid a cycle:
+#   from flash_attention_cute_tpu.ops.autodiff import flash_attention
 
 __all__ = [
     "attention_reference",
-    "flash_attention",
     "flash_attention_fwd",
     "flash_attention_decode",
     "flash_attention_chunked",
