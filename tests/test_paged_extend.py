@@ -1,0 +1,88 @@
+"""Paged-extend kernel (chunked prefill over pages) vs gathered oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.ops.paged_attention import paged_attention_extend
+from flash_attention_cute_tpu.ops.reference import attention_reference
+
+
+def setup(key, b, hq, hkv, sq, pps, ps, d):
+    num_pages = b * pps + 1
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), jnp.float32)
+    kp = jax.random.normal(kk, (hkv, num_pages, ps, d), jnp.float32)
+    vp = jax.random.normal(kv, (hkv, num_pages, ps, d), jnp.float32)
+    tbl = jnp.arange(1, b * pps + 1, dtype=jnp.int32).reshape(b, pps)
+    return q, kp, vp, tbl
+
+
+def gather(pages, tbl, ps):
+    hkv, p, _, d = pages.shape
+    flat = pages.reshape(hkv, p * ps, d)
+    idx = (tbl * ps)[:, :, None] + jnp.arange(ps)[None, None, :]
+    idx = idx.reshape(tbl.shape[0], -1)
+    return jax.vmap(lambda f: flat[:, f])(idx)
+
+
+@pytest.mark.parametrize("offsets", [[0, 0], [50, 17], [96, 0]])
+@pytest.mark.parametrize("sq", [16, 32])
+def test_paged_extend_matches_reference(offsets, sq):
+    b, hq, hkv, pps, ps, d = len(offsets), 4, 2, 16, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(0), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.array(offsets, jnp.int32)
+    kv_len = q_off + sq
+
+    out = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl,
+        pages_per_compute_block=2, interpret=True,
+    )
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+
+def test_paged_extend_inactive_slot():
+    """kv_length == 0 slots emit zeros and must not strand prefetch DMAs."""
+    b, hq, hkv, sq, pps, ps, d = 3, 4, 2, 8, 8, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(1), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.array([20, 0, 0], jnp.int32)
+    kv_len = jnp.array([20 + sq, 0, sq], jnp.int32)
+
+    out = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl,
+        pages_per_compute_block=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    for s_ in (0, 2):
+        ref = attention_reference(
+            q[s_ : s_ + 1], kg[s_ : s_ + 1], vg[s_ : s_ + 1], causal=True,
+            kv_length=kv_len[s_ : s_ + 1], q_offset=q_off[s_ : s_ + 1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[s_ : s_ + 1], np.float32),
+            np.asarray(ref, np.float32), atol=2e-5, rtol=2e-2,
+        )
+
+
+def test_paged_extend_block_invariance():
+    b, hq, hkv, sq, pps, ps, d = 1, 8, 2, 24, 16, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(2), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.array([77], jnp.int32)
+    kv_len = q_off + sq
+    o1 = paged_attention_extend(q, kp, vp, q_off, kv_len, tbl,
+                                pages_per_compute_block=2, interpret=True)
+    o2 = paged_attention_extend(q, kp, vp, q_off, kv_len, tbl,
+                                pages_per_compute_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
