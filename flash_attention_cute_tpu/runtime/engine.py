@@ -119,6 +119,10 @@ class ServingEngine:
         prefill_group: int = 1,  # >1: batch same-bucket admissions into one
         # prefill program (wins under bursty arrivals; costs one compile per
         # (bucket, pow2-group) and wasted compute on underfull groups)
+        prefill_chunk: int = 0,  # >0: CHUNKED admission — prompts prefill
+        # prefill_chunk tokens per engine round, interleaved with decode
+        # rounds of the other slots (bounds head-of-line blocking by long
+        # prompts; dense pages only). 0 = whole-prompt admission.
         eos_token_id: int | None = None,  # finish a request early at EOS
         interpret: bool | None = None,
     ):
@@ -131,8 +135,10 @@ class ServingEngine:
         self.seed = seed
         self.mesh = mesh
         self.prefill_group = max(1, prefill_group)
+        self.prefill_chunk = max(0, prefill_chunk)
         self.eos_token_id = eos_token_id
         self.interpret = interpret
+        self._prefilling: dict[int, int] = {}  # slot -> tokens scattered
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
                 create_quantized_paged_state,
@@ -255,8 +261,17 @@ class ServingEngine:
         self.stats["steps"] += 1
         self._admit()
         self._finish_ready()  # e.g. EOS as the very first prefill token
-        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        # Advance chunked admissions one chunk per round, interleaved with
+        # the decode phase below.
+        for s in list(self._prefilling):
+            self._prefill_advance(s)
+        active = [
+            s for s in range(self.slots)
+            if self._slot_req[s] != -1 and s not in self._prefilling
+        ]
         if not active:
+            if self._prefilling:
+                return True
             return self.sched.num_waiting > 0 and self._drain_unservable()
 
         chunk = min(
@@ -305,7 +320,10 @@ class ServingEngine:
             if ok:
                 self._sync_table(s)
 
-        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        active = [
+            s for s in range(self.slots)
+            if self._slot_req[s] != -1 and s not in self._prefilling
+        ]
         if not active:
             return (self.sched.num_waiting > 0) or bool(self._requests)
 
@@ -373,6 +391,16 @@ class ServingEngine:
             rid = self.sched.slot_id(s)
             if rid != -1 and before[s] == -1:
                 self._slot_req[s] = rid
+                if self.prefill_chunk > 0:
+                    # Chunked admission: mark the slot; chunks advance one
+                    # per engine round (interleaved with decode).
+                    req = self._requests[rid]
+                    self.stats["prefills"] += 1
+                    req.generated = []
+                    self._prefilling[s] = 0
+                    self._sync_table(s)
+                    self._set_length(s, 0)
+                    continue
                 b = _bucket(len(self._requests[rid].prompt))
                 groups.setdefault(b, []).append(s)
         for bucket, slots in groups.items():
@@ -466,9 +494,72 @@ class ServingEngine:
             )
         for i, (s, req) in enumerate(zip(slots, reqs)):
             req.generated.append(int(firsts[i]))
+            self.stats["tokens_generated"] += 1
             # Count the sampled token against the budget/pages.
             self.sched.step_slot(s)
             self._sync_table(s)
+
+    def _prefill_advance(self, slot: int):
+        """Scatter + attend ONE prompt chunk for a chunked admission.
+
+        The main state's length for this slot stays 0 until the whole
+        prompt is in (so decode rounds mask it); progress lives host-side
+        and flows into the extend forward via a batch-1 sub-state. The
+        prompt is padded to a chunk multiple: padded rows scatter K/V at
+        positions > plen, which per-row causality keeps invisible to real
+        rows and which decode overwrites before ever reading.
+        """
+        rid = self._slot_req[slot]
+        req = self._requests[rid]
+        progress = self._prefilling[slot]
+        plen = len(req.prompt)
+        c = self.prefill_chunk
+
+        ids = np.zeros((1, c), np.int32)
+        chunk_tokens = req.prompt[progress : progress + c]
+        ids[0, : len(chunk_tokens)] = chunk_tokens
+
+        sub = dataclasses.replace(
+            self.state,
+            page_table=self.state.page_table[
+                np.asarray([slot], np.int64)
+            ],
+            lengths=jnp.full((1,), progress, jnp.int32),
+        )
+        logits, sub = forward_paged(
+            self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
+            interpret=self.interpret, mesh=self.mesh,
+        )
+        pool_fields = {
+            f.name for f in dataclasses.fields(self.state)
+        } - {"page_table", "lengths"}
+        self.state = dataclasses.replace(
+            self.state,
+            **{name: getattr(sub, name) for name in pool_fields},
+        )
+
+        progress += c
+        if progress < plen:
+            self._prefilling[slot] = progress
+            return
+
+        # Admission complete: publish the real length, sample token 0.
+        del self._prefilling[slot]
+        self._set_length(slot, plen)
+        last_logits = logits[:1, (plen - 1) % c]
+        if self.sampling is not None and self.sampling.temperature > 0.0:
+            from flash_attention_cute_tpu.runtime.sampling import sample_token
+
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(0), self._req_seed(rid)), 0
+            )
+            first = int(sample_token(last_logits, key, self.sampling)[0])
+        else:
+            first = int(jnp.argmax(last_logits[0]))
+        req.generated.append(first)
+        self.stats["tokens_generated"] += 1
+        self.sched.step_slot(slot)
+        self._sync_table(slot)
 
     def _req_seed(self, rid: int) -> int:
         """Per-request sampling seed: stable across preemption-recompute so
@@ -508,6 +599,7 @@ class ServingEngine:
             self._failed.append(rid)
             self.stats["requests_failed"] += 1
             del self._requests[rid]
+        self._prefilling.pop(slot, None)
         self._slot_req[slot] = -1
         self._set_length(slot, 0)
         self._clear_table(slot)

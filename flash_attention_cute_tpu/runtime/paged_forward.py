@@ -60,7 +60,7 @@ def forward_paged(
     lengths advance by 1 for every ACTIVE (length > 0 at entry... callers
     mask inactive slots by passing length 0 and ignoring their logits).
     """
-    assert mode in ("prefill", "decode"), mode
+    assert mode in ("prefill", "decode", "extend"), mode
     b, s = input_ids.shape
     if mode == "decode":
         assert s == 1, s
@@ -69,6 +69,13 @@ def forward_paged(
     lengths = state.lengths
     if mode == "prefill":
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        if valid_len is None:
+            valid_len = jnp.full((b,), s, jnp.int32)
+    elif mode == "extend":
+        # Chunked admission: rows sit at global positions lengths..+s; the
+        # chunk attends the paged prefix + itself with per-row causality
+        # (ops/paged_attention.paged_attention_extend).
+        positions = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)
         if valid_len is None:
             valid_len = jnp.full((b,), s, jnp.int32)
     else:
@@ -122,7 +129,32 @@ def forward_paged(
                     q, k, v, causal=True, window=window, interpret=interpret
                 )
         else:
-            if quant:
+            if mode == "extend":
+                if quant:
+                    raise NotImplementedError(
+                        "chunked admission over QUANTIZED pages needs a "
+                        "quantized extend kernel (ROADMAP.md)"
+                    )
+                if window is not None:
+                    raise NotImplementedError(
+                        "chunked admission + sliding window: the paged "
+                        "extend kernel has no window yet (ROADMAP.md)"
+                    )
+                from flash_attention_cute_tpu.ops.paged_attention import (
+                    paged_attention_extend,
+                )
+
+                def attend(q_, k_slab_, v_slab_, lens_, tbl_):
+                    # lens_ = lengths + s (valid_len == s in extend), so the
+                    # chunk's global start is lens_ - s — no closure over
+                    # `lengths` (shard_map bodies may not close over arrays).
+                    return paged_attention_extend(
+                        q_, k_slab_.astype(q_.dtype),
+                        v_slab_.astype(q_.dtype),
+                        lens_ - q_.shape[2], lens_, tbl_,
+                        interpret=bool(interpret),
+                    )
+            elif quant:
                 from flash_attention_cute_tpu.ops.quantized import (
                     QuantizedKV,
                     paged_attention_decode_quantized,
