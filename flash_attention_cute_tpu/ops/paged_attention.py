@@ -374,6 +374,7 @@ def _paged_extend_kernel(
     ppcb: int,
     chunk: int,  # S (rows per head in the packed M dim)
     sm_scale: float,
+    window: int | None,
     mask_value: float,
 ):
     b = pl.program_id(0)
@@ -414,10 +415,24 @@ def _paged_extend_kernel(
             return jnp.where(dead, bb + 1, bb)
 
         b_n = jax.lax.fori_loop(0, num_b, skip_dead, b_n)
-        i_n = jnp.where(within, i_ + 1, 0)
+        # With a window, a new stream's first live block is the one holding
+        # the earliest visible key (q_off - window + 1) — starting at 0
+        # would strand its prefetch DMA.
+        if window is not None:
+            bsafe = jnp.minimum(b_n, num_b - 1)
+            lo = jnp.maximum(q_off_ref[bsafe] - window + 1, 0) // bk
+        else:
+            lo = 0
+        i_n = jnp.where(within, i_ + 1, lo)
         return b_n, h_n, i_n
 
-    @pl.when(i * bk < length)
+    live = i * bk < length
+    if window is not None:
+        live = jnp.logical_and(
+            live, (i + 1) * bk > jnp.maximum(q_off - window + 1, 0)
+        )
+
+    @pl.when(live)
     def _live():
         @pl.when(state_ref[1] == 1)
         def _first_fetch():
@@ -462,6 +477,8 @@ def _paged_extend_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % chunk
         ok = jnp.logical_and(cols <= q_off + rows, cols < length)
+        if window is not None:
+            ok = jnp.logical_and(ok, cols > q_off + rows - window)
         s = jnp.where(ok, s, mask_value)
 
         m_prev = m_scr[...]
@@ -500,7 +517,9 @@ def _paged_extend_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "pages_per_compute_block", "interpret", "debug"),
+    static_argnames=(
+        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+    ),
 )
 def paged_attention_extend(
     q: jax.Array,
@@ -510,6 +529,7 @@ def paged_attention_extend(
     kv_length: jax.Array,
     page_table: jax.Array,
     sm_scale: float | None = None,
+    window: int | None = None,
     pages_per_compute_block: int = 0,
     interpret: bool = False,
     debug: bool = False,
@@ -563,6 +583,7 @@ def paged_attention_extend(
         ppcb=ppcb,
         chunk=sq,
         sm_scale=sm_scale,
+        window=window,
         mask_value=DEFAULT_MASK_VALUE,
     )
 

@@ -135,11 +135,6 @@ def forward_paged(
                         "chunked admission over QUANTIZED pages needs a "
                         "quantized extend kernel (ROADMAP.md)"
                     )
-                if window is not None:
-                    raise NotImplementedError(
-                        "chunked admission + sliding window: the paged "
-                        "extend kernel has no window yet (ROADMAP.md)"
-                    )
                 from flash_attention_cute_tpu.ops.paged_attention import (
                     paged_attention_extend,
                 )
@@ -152,7 +147,7 @@ def forward_paged(
                         q_, k_slab_.astype(q_.dtype),
                         v_slab_.astype(q_.dtype),
                         lens_ - q_.shape[2], lens_, tbl_,
-                        interpret=bool(interpret),
+                        window=window, interpret=bool(interpret),
                     )
             elif quant:
                 from flash_attention_cute_tpu.ops.quantized import (

@@ -86,3 +86,25 @@ def test_paged_extend_block_invariance():
                                 pages_per_compute_block=8, interpret=True)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_paged_extend_windowed():
+    b, hq, hkv, sq, pps, ps, d = 2, 4, 2, 16, 16, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(3), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.array([80, 10], jnp.int32)
+    kv_len = q_off + sq
+    window = 30
+    out = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl, window=window,
+        pages_per_compute_block=2, interpret=True,
+    )
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off,
+        window=window,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
