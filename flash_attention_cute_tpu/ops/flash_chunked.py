@@ -51,18 +51,20 @@ def _flash_chunked_kernel(
     k_ref,  # [1, 1, block_kv, d]
     v_ref,  # [1, 1, block_kv, d]
     o_ref,  # [1, 1, g, block_q, d]
-    m_scratch,  # [g, NUM_SUBLANES, block_q] f32
-    l_scratch,  # [g, NUM_SUBLANES, block_q] f32
-    acc_scratch,  # [g, d, block_q] f32 — O^T accumulator
-    *,
+    *rest,  # with return_partials: m_out, l_out refs precede the scratch
     causal: bool,
     window: int | None,
     logit_softcap: float | None,
+    return_partials: bool,
     group: int,
     block_q: int,
     block_kv: int,
     mask_value: float,
 ):
+    if return_partials:
+        m_out, l_out, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        m_scratch, l_scratch, acc_scratch = rest
     b = pl.program_id(0)
     q_blk = pl.program_id(2)
     kv_blk = pl.program_id(3)
@@ -157,18 +159,25 @@ def _flash_chunked_kernel(
     def _store():
         # q_offset >= 0 implies every real q row sees at least its own
         # position; only padded q rows can have l == 0 (trimmed after).
+        # With return_partials the normalization is DEFERRED to the caller
+        # (ring/split combines): emit unnormalized acc plus (m, l).
         for g in range(group):
-            l = l_scratch[g][:1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_t = acc_scratch[g] * l_inv
-            o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
+            if return_partials:
+                o_ref[0, 0, g] = acc_scratch[g].T.astype(o_ref.dtype)
+                m_out[0, 0, g] = m_scratch[g]
+                l_out[0, 0, g] = l_scratch[g]
+            else:
+                l = l_scratch[g][:1]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_t = acc_scratch[g] * l_inv
+                o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "causal", "window", "logit_softcap", "block_q",
-        "block_kv", "interpret", "debug",
+        "sm_scale", "causal", "window", "logit_softcap", "return_partials",
+        "block_q", "block_kv", "interpret", "debug",
     ),
 )
 def flash_attention_chunked(
@@ -181,11 +190,12 @@ def flash_attention_chunked(
     causal: bool = True,
     window: int | None = None,
     logit_softcap: float | None = None,
+    return_partials: bool = False,
     block_q: int = 0,
     block_kv: int = 0,
     interpret: bool = False,
     debug: bool = False,
-) -> jax.Array:
+):
     """Chunked-prefill attention over a partially filled cache.
 
     Args:
@@ -198,8 +208,12 @@ def flash_attention_chunked(
       causal: top-left causality within the global sequence
         (kv_pos <= q_offset + row).
       window: optional sliding-window size (HF semantics).
+      return_partials: emit the UNNORMALIZED accumulator plus the online-
+        softmax statistics instead of the normalized output — the building
+        block for cross-device/-split combines (ring attention). Returns
+        (o_unnorm [B,Hq,S,D] f32, m [B,Hq,S] f32 log2-units, l [B,Hq,S]).
 
-    Returns: [B, Hq, S, D] in q's dtype.
+    Returns: [B, Hq, S, D] in q's dtype (or the partials triple).
     """
     b, hq, sq, d = q.shape
     bk, hkv, skv, dk = k.shape
@@ -261,11 +275,39 @@ def flash_attention_chunked(
         causal=causal,
         window=window,
         logit_softcap=logit_softcap,
+        return_partials=return_partials,
         group=group,
         block_q=block_q,
         block_kv=block_kv,
         mask_value=DEFAULT_MASK_VALUE,
     )
+
+    if return_partials:
+        out_specs = [
+            pl.BlockSpec((1, 1, group, block_q, d_pad), q_map),
+            pl.BlockSpec(
+                (1, 1, group, NUM_SUBLANES, block_q),
+                lambda b_, h, i, j, qoff, kvl: (b_, h, 0, 0, i),
+            ),
+            pl.BlockSpec(
+                (1, 1, group, NUM_SUBLANES, block_q),
+                lambda b_, h, i, j, qoff, kvl: (b_, h, 0, 0, i),
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hkv, group, sq_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, hkv, group, NUM_SUBLANES, sq_pad), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (b, hkv, group, NUM_SUBLANES, sq_pad), jnp.float32
+            ),
+        ]
+    else:
+        out_specs = pl.BlockSpec((1, 1, group, block_q, d_pad), q_map)
+        out_shape = jax.ShapeDtypeStruct(
+            (b, hkv, group, sq_pad, d_pad), q.dtype
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -277,16 +319,14 @@ def flash_attention_chunked(
                 pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
                 pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
             ],
-            out_specs=pl.BlockSpec((1, 1, group, block_q, d_pad), q_map),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
                 pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
                 pltpu.VMEM((group, d_pad, block_q), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, hkv, group, sq_pad, d_pad), q.dtype
-        ),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary",
@@ -296,6 +336,13 @@ def flash_attention_chunked(
         debug=debug,
         name="flash_attention_chunked",
     )(q_offset, kv_length, qg, k, v)
+
+    if return_partials:
+        o_u, m_o, l_o = out
+        o_u = o_u.reshape(b, hq, sq_pad, d_pad)[:, :, :sq, :d]
+        m_o = m_o[:, :, :, 0].reshape(b, hq, sq_pad)[:, :, :sq]
+        l_o = l_o[:, :, :, 0].reshape(b, hq, sq_pad)[:, :, :sq]
+        return o_u, m_o, l_o
 
     out = out.reshape(b, hq, sq_pad, d_pad)
     if sq_pad != sq or d_pad != d:

@@ -86,17 +86,26 @@ def ring_attention(
     axis: str = "sp",
     causal: bool = True,
     sm_scale: float | None = None,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Sequence-parallel attention with O(S_local) KV memory per chip.
 
     Per ring step, each shard holds one rotating KV chunk and folds it
     into running (m, l, acc) online-softmax state; `ppermute` moves chunks
-    to the next neighbor. The per-chunk partial is computed with XLA ops
-    (scores are [S_local, S_local] per head — VMEM-friendly at ring
-    scale); the combine math mirrors the in-kernel recurrence.
+    to the next neighbor. On TPU (or with interpret=True) the per-chunk
+    partial runs the PALLAS chunked kernel in return_partials mode — full
+    fused-kernel efficiency per chip; the causal cases (full / diagonal /
+    skip) collapse into one traced q_offset value (+S / 0 / -S). Off-
+    accelerator the partial is computed with XLA ops.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+
+    use_kernel = bool(interpret) or (interpret is None and not _off_accel())
+    if use_kernel:
+        return _ring_attention_kernel(
+            q, k, v, mesh, axis, causal, sm_scale, bool(interpret)
+        )
 
     def inner(q, k, v):
         n = jax.lax.axis_size(axis)
@@ -156,6 +165,64 @@ def ring_attention(
         acc0 = jnp.zeros((b, hq, s_local, d), jnp.float32)
         (k_f, v_f, m, l, acc), _ = jax.lax.scan(
             step, (k_, v_, m0, l0, acc0), jnp.arange(n)
+        )
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        return (acc * l_inv[..., None]).astype(q.dtype)
+
+    spec = P(None, None, axis, None)
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def _ring_attention_kernel(q, k, v, mesh, axis, causal, sm_scale, interpret):
+    """Ring attention with per-chunk Pallas partials (log2-unit stats)."""
+
+    def inner(q, k, v):
+        n = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        b, hq, s_local, d = q.shape
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        kv_len = jnp.full((b,), s_local, jnp.int32)
+
+        def step(carry, t):
+            k_t, v_t, m, l, acc = carry
+            src = (idx - t) % n  # global chunk id currently held
+            if causal:
+                # One traced offset encodes all three causal cases:
+                #   src < idx: fully visible  (bound = S + r >= any col)
+                #   src == idx: diagonal      (bound = r)
+                #   src > idx: fully masked   (bound = r - S < 0)
+                off = jnp.where(
+                    src < idx, s_local, jnp.where(src == idx, 0, -s_local)
+                )
+            else:
+                off = s_local
+            q_off = jnp.full((b,), 0, jnp.int32) + off
+
+            o_u, m_c, l_c = flash_attention_chunked(
+                q, k_t, v_t, q_off, kv_len,
+                sm_scale=sm_scale, causal=True, return_partials=True,
+                interpret=interpret,
+            )
+
+            m_new = jnp.maximum(m, m_c)
+            safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            a_old = jnp.where(jnp.isneginf(m), 0.0, jnp.exp2(m - safe))
+            a_new = jnp.where(jnp.isneginf(m_c), 0.0, jnp.exp2(m_c - safe))
+            l_next = a_old * l + a_new * l_c
+            acc_next = a_old[..., None] * acc + a_new[..., None] * o_u
+
+            k_n = jax.lax.ppermute(k_t, axis, perm)
+            v_n = jax.lax.ppermute(v_t, axis, perm)
+            return (k_n, v_n, m_new, l_next, acc_next), None
+
+        m0 = jnp.full((b, hq, s_local), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, hq, s_local), jnp.float32)
+        acc0 = jnp.zeros((b, hq, s_local, d), jnp.float32)
+        (_, _, m, l, acc), _ = jax.lax.scan(
+            step, (k, v, m0, l0, acc0), jnp.arange(n)
         )
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         return (acc * l_inv[..., None]).astype(q.dtype)

@@ -71,3 +71,16 @@ def test_ring_matches_allgather(sp_mesh):
         np.asarray(o1, np.float32), np.asarray(o2, np.float32),
         atol=2e-5, rtol=2e-2,
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_pallas_partials(sp_mesh, causal):
+    """Ring attention with in-kernel partials (interpret mode) must match
+    the dense reference and the XLA-partials ring path."""
+    q, k, v = make(jax.random.key(5), 1, 4, 2, 512, 64)
+    out = ring_attention(q, k, v, sp_mesh, causal=causal, interpret=True)
+    ref = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
