@@ -64,17 +64,80 @@ def _to_torch(a, like):
     return torch.from_numpy(np.array(a)).to(like.device, like.dtype)
 
 
-def _flash_attention_core(q, k, v, softmax_scale, causal, window):
+def _flash_attention_core(q, k, v, softmax_scale, causal, window,
+                          kv_length=None):
     """torch [B, H, S, D] -> torch [B, H, S, D] through the JAX kernels
-    (reference: models/rope_attn_fwd.py:40-64 `_flash_attention_forward`)."""
+    (reference: models/rope_attn_fwd.py:40-64 `_flash_attention_forward`).
+
+    `kv_length` (torch int [B] or None) marks the valid kv prefix of a
+    RIGHT-padded batch; with it, prefill causality is top-left aligned
+    (row i is absolute position i — right padding keeps real tokens at the
+    front, so bottom-right alignment would shift every row's bound)."""
+    import jax.numpy as jnp
+
     from flash_attention_cute_tpu.api import flash_attention_forward
 
     qj, kj, vj = _to_jax(q), _to_jax(k), _to_jax(v)
+    kwargs = {}
+    if kv_length is not None:
+        kwargs["kv_length"] = jnp.asarray(
+            kv_length.cpu().numpy(), jnp.int32
+        )
+        if q.shape[2] > 1:
+            kwargs["q_offset"] = jnp.zeros((q.shape[0],), jnp.int32)
     oj = flash_attention_forward(
         qj, kj, vj, softmax_scale=softmax_scale, causal=causal,
-        window=window,
+        window=window, **kwargs,
     )
     return _to_torch(oj, like=q)
+
+
+def _padding_kv_lengths(mask, skv, window):
+    """Per-sequence valid kv length from an HF attention mask, or None.
+
+    Returns None when the mask keeps every position (including the pure
+    sliding-window exclusion the kernel already applies natively), an int
+    [B] tensor for RIGHT-padded batches (each row a prefix of ones), and
+    raises for left-padded / arbitrary masks — silently attending to
+    padding tokens was the round-1 advisor finding; the reference forwards
+    its mask to the flash call (reference: models/rope_attn_fwd.py)."""
+    torch = _torch()
+    if mask.dim() == 4:
+        # Processed additive (float) or boolean [B, 1, Sq, Skv] mask: under
+        # causal semantics the LAST query row sees every non-pad key, so
+        # that row is the padding pattern.
+        row = mask[:, 0, -1, :skv]
+        if row.is_floating_point():
+            valid = row > torch.finfo(row.dtype).min / 2
+        else:
+            valid = row.to(torch.bool)
+    elif mask.dim() == 2:
+        valid = mask[:, :skv].to(torch.bool)
+    else:
+        raise NotImplementedError(
+            f"attention_mask of rank {mask.dim()} is not supported by the "
+            "TPU interop path"
+        )
+    valid = valid.cpu()
+    n = valid.shape[-1]
+    lengths = valid.sum(-1)
+    if bool((lengths >= n).all()):
+        return None
+    ar = torch.arange(n)
+    if bool(((ar[None, :] < lengths[:, None]) == valid).all()):
+        return lengths.to(torch.int32)
+    if window is not None and mask.dim() == 4:
+        # A sliding-window causal mask with no padding: last row keeps the
+        # trailing `window` positions. The kernel applies the window
+        # natively, so no length restriction is needed.
+        if bool(((ar[None, :] >= n - int(window)) == valid).all()):
+            return None
+    raise NotImplementedError(
+        "the TPU interop path supports unpadded or RIGHT-padded attention "
+        "masks; left-padded or arbitrary masks would silently attend to "
+        "padding tokens (use tokenizer.padding_side = 'right', or the "
+        "native serving engine for generation)"
+    )
 
 
 def attention_forward(
@@ -130,11 +193,16 @@ def attention_forward(
         if self.layer_idx >= getattr(cfg, "max_window_layers", 0):
             window = cfg.sliding_window
 
+    kv_length = None
+    if attention_mask is not None:
+        kv_length = _padding_kv_lengths(attention_mask, k.shape[2], window)
+
     o = _flash_attention_core(
         q, k, v,
         softmax_scale=head_dim ** -0.5,
         causal=True,
         window=window,
+        kv_length=kv_length,
     )
 
     o = o.transpose(1, 2).reshape(b, s, -1)

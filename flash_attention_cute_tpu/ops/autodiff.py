@@ -2,15 +2,17 @@
 
 The reference is strictly forward-only — no backward kernel exists
 (reference: SURVEY.md §2.2 "forward only (no backward, no dropout...)").
-This module goes one step further than parity: the Pallas forward kernel
-gets a `jax.custom_vjp` whose backward is the analytic attention gradient
-evaluated with plain XLA ops (fp32, recompute-from-residuals — i.e.
-FlashAttention-style "store nothing, recompute scores"), so `jax.grad`
-works through the fused kernel on TPU for fine-tuning / RL loops.
+This module goes one step further than parity: `jax.grad` works through
+the fused kernel for fine-tuning / RL loops.
 
-The backward materializes one [block-free] S_q x S_kv score matrix per
-(batch, head) in fp32 — reference-grade, not a Pallas backward kernel
-(tracked as future work); prefer moderate sequence lengths for training.
+Backend routing:
+  * TPU (or interpret=True): Pallas forward with the log-sum-exp residual
+    (flash_attention_fwd(return_lse=True)) + the Pallas RECOMPUTE backward
+    (ops/flash_bwd.py) — FlashAttention-2-style dQ/dK/dV, O(S) memory, no
+    S_q x S_kv matrix ever materialized.
+  * elsewhere: the analytic XLA gradient below (fp32, materializes one
+    S_q x S_kv score tile per (batch, head)) — it doubles as the oracle
+    the Pallas backward is tested against.
 """
 
 from __future__ import annotations
@@ -23,7 +25,13 @@ import jax.numpy as jnp
 from flash_attention_cute_tpu.api import flash_attention_forward
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _use_pallas(interpret) -> bool:
+    from flash_attention_cute_tpu import dispatch
+
+    return dispatch.on_tpu() or bool(interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -31,20 +39,30 @@ def flash_attention(
     sm_scale: float | None = None,
     causal: bool = False,
     window: int | None = None,
+    interpret: bool | None = None,
 ) -> jax.Array:
-    """Differentiable attention: Pallas forward, analytic XLA backward.
+    """Differentiable attention: Pallas forward + Pallas backward on TPU.
 
     Layout [B, H, S, D] like `flash_attn_func`; GQA/MQA supported (KV
     gradients sum over the query-head group).
     """
     return flash_attention_forward(
-        q, k, v, softmax_scale=sm_scale, causal=causal, window=window
+        q, k, v, softmax_scale=sm_scale, causal=causal, window=window,
+        interpret=interpret,
     )
 
 
-def _fwd(q, k, v, sm_scale, causal, window):
-    out = flash_attention(q, k, v, sm_scale, causal, window)
-    return out, (q, k, v)
+def _fwd(q, k, v, sm_scale, causal, window, interpret):
+    if _use_pallas(interpret):
+        from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
+
+        out, lse = flash_attention_fwd(
+            q, k, v, sm_scale=sm_scale, causal=causal, window=window,
+            return_lse=True, interpret=bool(interpret),
+        )
+        return out, (q, k, v, out, lse)
+    out = flash_attention(q, k, v, sm_scale, causal, window, interpret)
+    return out, (q, k, v, None, None)
 
 
 def _mask(sq, skv, causal, window):
@@ -59,8 +77,17 @@ def _mask(sq, skv, causal, window):
     return allowed
 
 
-def _bwd(sm_scale, causal, window, res, g):
-    q, k, v = res
+def _bwd(sm_scale, causal, window, interpret, res, g):
+    q, k, v, out, lse = res
+    if out is not None:
+        from flash_attention_cute_tpu.ops.flash_bwd import (
+            flash_attention_bwd,
+        )
+
+        return flash_attention_bwd(
+            q, k, v, out, g, lse, sm_scale=sm_scale, causal=causal,
+            window=window, interpret=bool(interpret),
+        )
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5

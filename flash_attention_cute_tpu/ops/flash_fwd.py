@@ -88,6 +88,7 @@ def _flash_fwd_kernel(
     kv_len: int,  # real (unpadded) key/value length
     kv_len_padded: int,
     mask_value: float,
+    lse_ref=None,  # [1, 1, g, block_q] f32 — log2-sum-exp residual (bwd)
 ):
     q_blk = pl.program_id(2)
     kv_blk = pl.program_id(3)
@@ -225,6 +226,15 @@ def _flash_fwd_kernel(
                 l_inv = jnp.where(dead, 0.0, l_inv)
             o_t = acc_scratch[g] * l_inv  # [d, block_q]
             o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
+            if lse_ref is not None:
+                # Residual for the backward: log2-sum-exp of the (scaled,
+                # log2-unit) scores. +inf for empty/fully-masked rows so
+                # the backward's exp2(s - lse) is exactly 0 there.
+                lse = m_scratch[g][:1] + jnp.log2(l)
+                lse = jnp.where(l == 0.0, jnp.inf, lse)
+                if dead is not None:
+                    lse = jnp.where(dead, jnp.inf, lse)
+                lse_ref[0, 0, g : g + 1] = lse
 
 
 def _flash_fwd_kernel_fused(
@@ -248,6 +258,7 @@ def _flash_fwd_kernel_fused(
     inner: int = 1,
     stable: bool = True,
     logit_softcap: float | None = None,
+    lse_ref=None,  # [1, 1, g, block_q] f32 — log2-sum-exp residual (bwd)
 ):
     """Fused-group variant: the whole G-head group rides in ONE pair of MXU
     ops per KV block — S^T = K (Qg)^T is [block_kv, G*block_q] — instead of
@@ -402,6 +413,19 @@ def _flash_fwd_kernel_fused(
         o_ref[0, 0] = (
             o_t.T.reshape(group, block_q, d_pad).astype(o_ref.dtype)
         )
+        if lse_ref is not None:
+            # Backward residual in log2 units of the scaled scores; with
+            # stable=False there is no running max, so lse = log2(l) (the
+            # backward's exp2(s - lse) = exp2(s)/l still holds). +inf for
+            # empty / fully-masked rows -> backward p is exactly 0.
+            if stable:
+                lse = m_scratch[:1] + jnp.log2(l)
+            else:
+                lse = jnp.log2(l)
+            lse = jnp.where(l == 0.0, jnp.inf, lse)
+            if dead is not None:
+                lse = jnp.where(dead, jnp.inf, lse)
+            lse_ref[0, 0] = lse.reshape(group, block_q)
 
 
 @functools.partial(
@@ -409,7 +433,7 @@ def _flash_fwd_kernel_fused(
     static_argnames=(
         "sm_scale", "causal", "window", "block_q", "block_kv",
         "fuse_group", "inner_splits", "stable", "logit_softcap",
-        "interpret", "debug",
+        "return_lse", "interpret", "debug",
     ),
 )
 def flash_attention_fwd(
@@ -425,6 +449,7 @@ def flash_attention_fwd(
     inner_splits: int = 0,
     stable: bool = True,
     logit_softcap: float | None = None,
+    return_lse: bool = False,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -446,8 +471,12 @@ def flash_attention_fwd(
       fuse_group: compute the whole GQA q-head group in single wide MXU
         ops (S^T is [block_kv, G*block_q]) instead of a per-head loop.
         None = auto (on when the fused tile fits VMEM comfortably).
+      return_lse: additionally return the per-row log2-sum-exp of the
+        scaled scores ([B, Hq, Sq] f32, +inf on empty/fully-masked rows) —
+        the residual the Pallas backward (ops/flash_bwd.py) needs.
 
-    Returns: [B, Hq, Sq, D] in q's dtype.
+    Returns: [B, Hq, Sq, D] in q's dtype; with return_lse, a tuple
+    (out, lse).
     """
     b, hq, sq, d = q.shape
     bk, hkv, skv, dk = k.shape
@@ -534,6 +563,11 @@ def flash_attention_fwd(
             else {}
         ),
     )
+    if return_lse:
+        base_kernel = kernel
+
+        def kernel(q_r, k_r, v_r, o_r, lse_r, *scratch):
+            base_kernel(q_r, k_r, v_r, o_r, *scratch, lse_ref=lse_r)
 
     flops_factor = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -563,6 +597,23 @@ def flash_attention_fwd(
             jj = jnp.maximum(jj, jnp.clip(first, 0, num_kv_blk - 1))
         return (b_, h, jj, 0)
 
+    out_specs = pl.BlockSpec(
+        (1, 1, group, block_q, d_pad),
+        lambda b_, h, i, j: (b_, h, 0, i, 0),
+    )
+    out_shape = jax.ShapeDtypeStruct((b, hkv, group, sq_pad, d_pad), q.dtype)
+    if return_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 1, group, block_q), lambda b_, h, i, j: (b_, h, 0, i)
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b, hkv, group, sq_pad), jnp.float32),
+        ]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -574,13 +625,8 @@ def flash_attention_fwd(
             pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
             pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group, block_q, d_pad),
-            lambda b_, h, i, j: (b_, h, 0, i, 0),
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, hkv, group, sq_pad, d_pad), q.dtype
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=(
             [
                 pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
@@ -603,7 +649,12 @@ def flash_attention_fwd(
         name="flash_attention_fwd",
     )(qg, k, v)
 
+    if return_lse:
+        out, lse = out
+        lse = lse.reshape(b, hq, sq_pad)[:, :, :sq]
     out = out.reshape(b, hq, sq_pad, d_pad)
     if sq_pad != sq or d_pad != d:
         out = out[:, :, :sq, :d]
+    if return_lse:
+        return out, lse
     return out

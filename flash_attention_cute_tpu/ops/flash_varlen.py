@@ -310,12 +310,21 @@ def flash_attention_packed(
 
     if max_seqlen <= 0:
         max_seqlen = tkv
-    # A q block can span many segments; its kv band is bounded by one
-    # max-length segment plus the block's own extent (plus tile slack).
-    kv_steps = min(
-        num_kv_blocks,
-        -(-(max_seqlen + block_q) // block_kv) + 1,
-    )
+    # Band-limiting the kv walk is only sound for EQUAL q/kv packing: there
+    # a q block's kv extent is bounded by one max-length segment plus the
+    # block's own extent (kv positions advance in lockstep with q). With
+    # cu_seqlens_kv != cu_seqlens_q (kv longer than q — e.g. chunked-prefill
+    # packing) one q block of block_q tokens can span many segments whose
+    # combined kv extent is unbounded by max_seqlen + block_q, so the full
+    # kv grid must be walked (the [first, last] per-block range still elides
+    # the DMAs and compute of dead steps — only the grid is worst-case).
+    if equal_lengths:
+        kv_steps = min(
+            num_kv_blocks,
+            -(-(max_seqlen + block_q) // block_kv) + 1,
+        )
+    else:
+        kv_steps = num_kv_blocks
 
     grid = (hkv, num_q_blocks, kv_steps)
 

@@ -618,3 +618,325 @@ def paged_attention_decode_quantized(
 
     o = out[:, :, :g, :d].reshape(b, hq, 1, d)
     return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantized paged EXTEND (chunked prefill over quantized pages): the missing
+# composition of the two flagship serving features — an engine configured
+# with kv_dtype=int8 AND prefill_chunk>0 lands here. Per-row causality and
+# the page-gather walk mirror ops/paged_attention._paged_extend_kernel; the
+# scale folding mirrors _quant_paged_kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _quant_paged_extend_kernel(
+    # scalar prefetch
+    q_off_ref,  # [B] int32: global position of the chunk's first row
+    kv_len_ref,  # [B] int32: valid length INCLUDING the chunk (q_off + S)
+    page_tbl_ref,  # [B, pages_per_seq] int32
+    # inputs
+    q_ref,  # [1, 1, m_pad, d] VMEM — G*S packed rows
+    kp_ref,  # [Hkv, P, ps, d] ANY int8/fp8
+    ksc_ref,  # [Hkv, P, ps] ANY f32
+    vp_ref,
+    vsc_ref,
+    # outputs
+    o_ref,  # [1, 1, m_pad, d] f32
+    # scratch
+    k_buf, ksc_buf, v_buf, vsc_buf,
+    sem_k, sem_ks, sem_v, sem_vs,
+    m_scr, l_scr, acc_scr,
+    state_ref,  # SMEM (2,)
+    *,
+    page_size: int,
+    ppcb: int,
+    chunk: int,  # S (rows per head in the packed M dim)
+    sm_scale: float,
+    window: int | None,
+    mask_value: float,
+    compute_dtype,
+):
+    from flash_attention_cute_tpu.ops.paged_attention import _fetch_block
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_b = pl.num_programs(0)
+    num_h = pl.num_programs(1)
+
+    bk = page_size * ppcb
+    q_off = q_off_ref[b]
+    length = kv_len_ref[b]
+
+    @pl.when((b == 0) & (h == 0) & (i == 0))
+    def _global_init():
+        state_ref[0] = 0
+        state_ref[1] = 1
+
+    @pl.when(i == 0)
+    def _seq_init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def fetch_all(b_, i_, slot, h_):
+        copies = []
+        for ref, buf, sem in (
+            (kp_ref, k_buf, sem_k),
+            (ksc_ref, ksc_buf, sem_ks),
+            (vp_ref, v_buf, sem_v),
+            (vsc_ref, vsc_buf, sem_vs),
+        ):
+            copies += _fetch_block(ref, buf, sem, page_tbl_ref, b_, i_,
+                                   slot, ppcb, h_)
+        return copies
+
+    def next_live_block(b_, h_, i_):
+        # Walk live blocks of (b, h) streams, skipping zero-length slots so
+        # every started DMA has a matching wait (see paged_attention.py).
+        within = (i_ + 1) * bk < kv_len_ref[b_]
+        h_n = jnp.where(within, h_, h_ + 1)
+        wrap = h_n == num_h
+        h_n = jnp.where(wrap, 0, h_n)
+        b_n = jnp.where(wrap, b_ + 1, b_)
+
+        def skip_dead(_, bb):
+            dead = jnp.logical_and(
+                bb < num_b, kv_len_ref[jnp.minimum(bb, num_b - 1)] == 0
+            )
+            return jnp.where(dead, bb + 1, bb)
+
+        b_n = jax.lax.fori_loop(0, num_b, skip_dead, b_n)
+        # With a window a new stream starts at the block holding the
+        # earliest visible key (q_off - window + 1), not block 0.
+        if window is not None:
+            bsafe = jnp.minimum(b_n, num_b - 1)
+            lo = jnp.maximum(q_off_ref[bsafe] - window + 1, 0) // bk
+        else:
+            lo = 0
+        i_n = jnp.where(within, i_ + 1, lo)
+        return b_n, h_n, i_n
+
+    live = i * bk < length
+    if window is not None:
+        live = jnp.logical_and(
+            live, (i + 1) * bk > jnp.maximum(q_off - window + 1, 0)
+        )
+
+    @pl.when(live)
+    def _live():
+        @pl.when(state_ref[1] == 1)
+        def _first_fetch():
+            for c in fetch_all(b, i, 0, h):
+                c.start()
+            state_ref[0] = 0
+            state_ref[1] = 0
+
+        slot = state_ref[0]
+        b_n, h_n, i_n = next_live_block(b, h, i)
+
+        @pl.when(b_n < num_b)
+        def _prefetch():
+            for c in fetch_all(b_n, i_n, 1 - slot, h_n):
+                c.start()
+
+        for c in (
+            _fetch_block(kp_ref, k_buf, sem_k, page_tbl_ref, b, i, slot, ppcb, h)
+            + _fetch_block(ksc_ref, ksc_buf, sem_ks, page_tbl_ref, b, i, slot, ppcb, h)
+        ):
+            c.wait()
+
+        q = q_ref[0, 0]  # [m_pad, d], rows packed (g, r) head-major
+        k = k_buf[slot].reshape(bk, -1).astype(compute_dtype)
+        kscale = ksc_buf[slot].reshape(bk).astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [m_pad, bk]
+        s = s * (kscale[None, :] * sm_scale)
+
+        # Causal per ROW: row m is chunk row r = m % chunk at global
+        # position q_off + r (ops/paged_attention._paged_extend_kernel).
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % chunk
+        ok = jnp.logical_and(cols <= q_off + rows, cols < length)
+        if window is not None:
+            ok = jnp.logical_and(ok, cols > q_off + rows - window)
+        s = jnp.where(ok, s, mask_value)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        for c in (
+            _fetch_block(vp_ref, v_buf, sem_v, page_tbl_ref, b, i, slot, ppcb, h)
+            + _fetch_block(vsc_ref, vsc_buf, sem_vs, page_tbl_ref, b, i, slot, ppcb, h)
+        ):
+            c.wait()
+        v = v_buf[slot].reshape(bk, -1).astype(compute_dtype)
+        vscale = vsc_buf[slot].reshape(bk).astype(jnp.float32)
+
+        pv_in = (p * vscale[None, :]).astype(compute_dtype)
+        acc_scr[...] *= alpha
+        acc_scr[...] += jax.lax.dot_general(
+            pv_in, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        state_ref[0] = 1 - slot
+
+        @pl.when((i + 1) * bk >= length)
+        def _store():
+            l = l_scr[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = acc_scr[...] * l_inv
+
+    @pl.when((i == pl.num_programs(2) - 1) & (length == 0))
+    def _store_empty():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+    ),
+)
+def paged_attention_extend_quantized(
+    q: jax.Array,
+    k_pages: QuantizedKV,
+    v_pages: QuantizedKV,
+    q_offset: jax.Array,
+    kv_length: jax.Array,
+    page_table: jax.Array,
+    sm_scale: float | None = None,
+    window: int | None = None,
+    pages_per_compute_block: int = 0,
+    interpret: bool = False,
+    debug: bool = False,
+) -> jax.Array:
+    """Chunked prefill over a QUANTIZED paged cache.
+
+    Args:
+      q: [B, Hq, S, D] — the chunk's queries (global rows q_offset..+S).
+      k_pages/v_pages: QuantizedKV with values [Hkv, P, page_size, D]
+        (int8/fp8) and scales [Hkv, P, page_size] f32; the chunk's own K/V
+        are already quantized+scattered at positions [q_offset, q_offset+S).
+      q_offset / kv_length: [B] int32, kv_length = q_offset + S for active
+        sequences, 0 for inactive slots (their output is zeros).
+      page_table: [B, pages_per_seq] int32.
+
+    Returns: [B, Hq, S, D] in q's dtype. Causality is top-left within the
+    global sequence (col <= q_offset + row), like paged_attention_extend.
+    """
+    b, hq, sq, d = q.shape
+    hkv, num_pages, page_size, dk = k_pages.values.shape
+    assert d == dk and hq % hkv == 0
+    assert k_pages.scales.shape == (hkv, num_pages, page_size)
+    assert page_size % 8 == 0
+    from flash_attention_cute_tpu import dispatch
+
+    if dispatch.on_tpu() and not interpret and page_size % 128 != 0:
+        raise ValueError(
+            "quantized paged attention requires page_size % 128 == 0 on "
+            f"TPU (got {page_size}): per-page scale vectors must fill "
+            "full 128-lane tiles"
+        )
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+
+    g = hq // hkv
+    m = g * sq
+    m_pad = max(8, _round_up(m, 8))
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+
+    pages_per_seq = page_table.shape[1]
+    if pages_per_compute_block <= 0:
+        pages_per_compute_block = max(1, 8192 // page_size)
+    ppcb = min(pages_per_compute_block, pages_per_seq)
+    pps_pad = _round_up(pages_per_seq, ppcb)
+    if pps_pad != pages_per_seq:
+        page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
+    num_blocks = pps_pad // ppcb
+
+    # Pack rows head-major: [B, Hkv, G, S, D] -> [B, Hkv, G*S, D]; pad M.
+    qp = q.reshape(b, hkv, g, sq, d).reshape(b, hkv, m, d)
+    if m_pad != m:
+        qp = jnp.pad(qp, [(0, 0), (0, 0), (0, m_pad - m), (0, 0)])
+    kv = k_pages.values
+    vv = v_pages.values
+    if d_pad != d:
+        qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
+        kv = jnp.pad(kv, [(0, 0)] * 3 + [(0, d_pad - d)])
+        vv = jnp.pad(vv, [(0, 0)] * 3 + [(0, d_pad - d)])
+
+    compute_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
+
+    kernel = functools.partial(
+        _quant_paged_extend_kernel,
+        page_size=page_size,
+        ppcb=ppcb,
+        chunk=sq,
+        sm_scale=sm_scale,
+        window=window,
+        mask_value=DEFAULT_MASK_VALUE,
+        compute_dtype=compute_dtype,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, hkv, num_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, m_pad, d_pad),
+                    lambda b_, h, i, qo, kvl, tbl: (b_, h, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, m_pad, d_pad),
+                lambda b_, h, i, qo, kvl, tbl: (b_, h, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ppcb, page_size, d_pad), kv.dtype),
+                pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+                pltpu.VMEM((2, ppcb, page_size, d_pad), vv.dtype),
+                pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((m_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((m_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((m_pad, d_pad), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, m_pad, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        debug=debug,
+        name="paged_attention_extend_quantized",
+    )(
+        q_offset.astype(jnp.int32),
+        jnp.minimum(kv_length.astype(jnp.int32), pages_per_seq * page_size),
+        page_table.astype(jnp.int32),
+        qp, kv, k_pages.scales, vv, v_pages.scales,
+    )
+
+    o = out[:, :, :m, :d].reshape(b, hkv, g, sq, d).reshape(b, hq, sq, d)
+    return o.astype(q.dtype)

@@ -105,16 +105,20 @@ def sharded_attention(
     Requires num_kv_heads % mesh.shape['model'] == 0 (GQA co-location) and
     batch % mesh.shape['data'] == 0.
     """
-    tp = mesh.shape["model"]
-    dp = mesh.shape["data"]
+    shape = dict(mesh.shape)
+    tp = shape["model"]
+    # TP-only meshes (e.g. a DP replica's ('model',) submesh) have no data
+    # axis: batch replicates.
+    data_axis = "data" if "data" in shape else None
+    dp = shape.get("data", 1)
     assert k.shape[1] % tp == 0, (
         f"num_kv_heads {k.shape[1]} not divisible by model axis {tp}; "
         "replicate KV heads instead (guide §14)"
     )
     assert q.shape[0] % dp == 0, (q.shape, dp)
 
-    qkv_spec = P("data", "model", None, None)
-    len_spec = P("data")
+    qkv_spec = P(data_axis, "model", None, None)
+    len_spec = P(data_axis)
 
     args = [q, k, v]
     in_specs = [qkv_spec, qkv_spec, qkv_spec]

@@ -12,8 +12,11 @@ from flash_attention_cute_tpu.runtime.generate import (
 )
 from flash_attention_cute_tpu.runtime.sampling import sample_token
 from flash_attention_cute_tpu.runtime.engine import ServingEngine
+from flash_attention_cute_tpu.runtime.dp_engine import (
+    DataParallelServingEngine,
+)
 
 __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
-    "ServingEngine",
+    "ServingEngine", "DataParallelServingEngine",
 ]

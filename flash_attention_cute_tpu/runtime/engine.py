@@ -157,9 +157,14 @@ class ServingEngine:
         if mesh is not None:
             # Tensor-parallel serving: KV heads of the page pool and the
             # weights shard over 'model'; per-slot metadata replicates.
-            # (Data-parallel serving = one engine per replica; the mesh
-            # here is TP-only.)
-            assert dict(mesh.shape).get("data", 1) == 1, mesh.shape
+            if dict(mesh.shape).get("data", 1) != 1:
+                raise ValueError(
+                    "ServingEngine is a single TP replica (its pool and "
+                    "slot metadata replicate over any data axis); for a "
+                    "mesh with data > 1 use "
+                    "runtime.dp_engine.DataParallelServingEngine — one "
+                    "engine per data shard behind a shared admission queue"
+                )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from flash_attention_cute_tpu.parallel.sharding import (
@@ -227,19 +232,24 @@ class ServingEngine:
 
     def run(self, max_steps: int = 100000) -> dict[int, list[int]]:
         """Drive until all submitted requests finish. Returns generations."""
+        drained = False
         for _ in range(max_steps):
             if not self.step():
+                drained = True
                 break
-        # step() returned False with requests still queued: their prompts
-        # can never be admitted at this pool size — surface them as failed
-        # rather than dropping them silently.
-        for rid, req in list(self._requests.items()):
-            if rid not in dict(
-                (self._slot_req[s], s) for s in range(self.slots)
-            ):
-                self._failed.append(rid)
-                self.stats["requests_failed"] += 1
-                del self._requests[rid]
+        # Only when step() returned False with requests still queued are
+        # those requests truly unservable at this pool size — surface them
+        # as failed rather than dropping them silently. When the loop ends
+        # because max_steps ran out, the remaining requests are merely
+        # unfinished, not unservable: leave them queued.
+        if drained:
+            for rid, req in list(self._requests.items()):
+                if rid not in dict(
+                    (self._slot_req[s], s) for s in range(self.slots)
+                ):
+                    self._failed.append(rid)
+                    self.stats["requests_failed"] += 1
+                    del self._requests[rid]
         return dict(self._done)
 
     @property
@@ -261,10 +271,9 @@ class ServingEngine:
         self.stats["steps"] += 1
         self._admit()
         self._finish_ready()  # e.g. EOS as the very first prefill token
-        # Advance chunked admissions one chunk per round, interleaved with
-        # the decode phase below.
-        for s in list(self._prefilling):
-            self._prefill_advance(s)
+        # Advance ALL chunked admissions one chunk per round in a single
+        # extend forward, interleaved with the decode phase below.
+        self._advance_prefills()
         active = [
             s for s in range(self.slots)
             if self._slot_req[s] != -1 and s not in self._prefilling
@@ -499,32 +508,50 @@ class ServingEngine:
             self.sched.step_slot(s)
             self._sync_table(s)
 
-    def _prefill_advance(self, slot: int):
-        """Scatter + attend ONE prompt chunk for a chunked admission.
+    def _advance_prefills(self):
+        """Scatter + attend ONE prompt chunk for EVERY chunk-admitting slot
+        in a single extend forward (batched over slots).
 
-        The main state's length for this slot stays 0 until the whole
-        prompt is in (so decode rounds mask it); progress lives host-side
-        and flows into the extend forward via a batch-1 sub-state. The
-        prompt is padded to a chunk multiple: padded rows scatter K/V at
-        positions > plen, which per-row causality keeps invisible to real
-        rows and which decode overwrites before ever reading.
+        Each main-state length stays 0 until that slot's whole prompt is in
+        (so decode rounds mask it); progress lives host-side and flows into
+        the extend forward via a sub-state whose rows are the admitting
+        slots, padded to a power-of-two row count (one compile per pow2
+        group, not per slot count). Prompts are padded to a chunk multiple:
+        padded rows scatter K/V at positions > plen, which per-row
+        causality keeps invisible to real rows and which decode overwrites
+        before ever reading. Batching matters because per-slot dispatch is
+        the dominant cost of serial admission (N prefilling slots used to
+        cost N device round trips per round).
         """
-        rid = self._slot_req[slot]
-        req = self._requests[rid]
-        progress = self._prefilling[slot]
-        plen = len(req.prompt)
+        slots = sorted(self._prefilling)
+        if not slots:
+            return
         c = self.prefill_chunk
+        g = len(slots)
+        g_pad = 1 << (g - 1).bit_length()
 
-        ids = np.zeros((1, c), np.int32)
-        chunk_tokens = req.prompt[progress : progress + c]
-        ids[0, : len(chunk_tokens)] = chunk_tokens
+        ids = np.zeros((g_pad, c), np.int32)
+        progress = np.zeros((g_pad,), np.int32)
+        for j, s in enumerate(slots):
+            req = self._requests[self._slot_req[s]]
+            p = self._prefilling[s]
+            chunk_tokens = req.prompt[p : p + c]
+            ids[j, : len(chunk_tokens)] = chunk_tokens
+            progress[j] = p
 
+        # Fancy-indexed gathers copy, so donating `sub` cannot delete the
+        # engine's full-batch metadata arrays. Dummy pad rows carry the
+        # all-zeros table: their scatters land in the null page.
+        idxs = np.asarray(slots, np.int64)
+        table = self.state.page_table[idxs]
+        if g_pad != g:
+            table = jnp.concatenate(
+                [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
+            )
         sub = dataclasses.replace(
             self.state,
-            page_table=self.state.page_table[
-                np.asarray([slot], np.int64)
-            ],
-            lengths=jnp.full((1,), progress, jnp.int32),
+            page_table=table,
+            lengths=jnp.asarray(progress),
         )
         logits, sub = forward_paged(
             self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
@@ -538,28 +565,36 @@ class ServingEngine:
             **{name: getattr(sub, name) for name in pool_fields},
         )
 
-        progress += c
-        if progress < plen:
-            self._prefilling[slot] = progress
-            return
+        for j, s in enumerate(slots):
+            rid = self._slot_req[s]
+            req = self._requests[rid]
+            p = self._prefilling[s] + c
+            plen = len(req.prompt)
+            if p < plen:
+                self._prefilling[s] = p
+                continue
+            # Admission complete: publish the real length, sample token 0.
+            del self._prefilling[s]
+            self._set_length(s, plen)
+            last_logits = logits[j : j + 1, (plen - 1) % c]
+            if self.sampling is not None and self.sampling.temperature > 0.0:
+                from flash_attention_cute_tpu.runtime.sampling import (
+                    sample_token,
+                )
 
-        # Admission complete: publish the real length, sample token 0.
-        del self._prefilling[slot]
-        self._set_length(slot, plen)
-        last_logits = logits[:1, (plen - 1) % c]
-        if self.sampling is not None and self.sampling.temperature > 0.0:
-            from flash_attention_cute_tpu.runtime.sampling import sample_token
-
-            key = jax.random.fold_in(
-                jax.random.fold_in(jax.random.key(0), self._req_seed(rid)), 0
-            )
-            first = int(sample_token(last_logits, key, self.sampling)[0])
-        else:
-            first = int(jnp.argmax(last_logits[0]))
-        req.generated.append(first)
-        self.stats["tokens_generated"] += 1
-        self.sched.step_slot(slot)
-        self._sync_table(slot)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.key(0), self._req_seed(rid)
+                    ),
+                    0,
+                )
+                first = int(sample_token(last_logits, key, self.sampling)[0])
+            else:
+                first = int(jnp.argmax(last_logits[0]))
+            req.generated.append(first)
+            self.stats["tokens_generated"] += 1
+            self.sched.step_slot(s)
+            self._sync_table(s)
 
     def _req_seed(self, rid: int) -> int:
         """Per-request sampling seed: stable across preemption-recompute so

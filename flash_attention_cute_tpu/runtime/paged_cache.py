@@ -56,6 +56,40 @@ def create_paged_state(
     )
 
 
+def _scatter_indices(
+    page_table: jax.Array,  # [B, pages_per_seq]
+    lengths: jax.Array,  # [B] (lengths BEFORE the append)
+    s: int,
+    ps: int,
+    total: int,  # p * ps — one-past-the-end of the flat pool
+    active: jax.Array | None,  # [B] bool; False rows scatter nothing
+) -> jax.Array:
+    """Flat pool indices [B*S] for an append; rows that must not land
+    anywhere are sent to `total`, which is out of range, and every scatter
+    below uses mode='drop' so those updates are discarded (NOT wrapped —
+    negative indices would wrap under jnp's .at semantics).
+
+    Two classes of dropped rows:
+      * positions past the page table (prompt padding beyond the allocated
+        tail) — previously relied on take_along_axis's implicit OOB fill;
+      * `active == False` slots — a slot mid chunked-admission has
+        lengths == 0 while its page table already holds real pages, so an
+        unmasked dummy scatter would corrupt the admitting prompt's
+        position 0 on every decode round.
+    """
+    pos = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)  # [B, S]
+    page_slot = pos // ps
+    n_slots = page_table.shape[1]
+    page = jnp.take_along_axis(
+        page_table, jnp.minimum(page_slot, n_slots - 1), axis=1
+    )  # [B, S]
+    flat_idx = page * ps + pos % ps
+    drop = page_slot >= n_slots
+    if active is not None:
+        drop = jnp.logical_or(drop, jnp.logical_not(active)[:, None])
+    return jnp.where(drop, total, flat_idx).reshape(-1)  # [B*S]
+
+
 def paged_append_layer(
     k_pages_l: jax.Array,  # [Hkv, P, ps, D]
     v_pages_l: jax.Array,
@@ -63,19 +97,18 @@ def paged_append_layer(
     v_new: jax.Array,
     page_table: jax.Array,  # [B, pages_per_seq]
     lengths: jax.Array,  # [B] (lengths BEFORE the append)
+    active: jax.Array | None = None,  # [B] bool; False => drop the row
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter S new tokens per sequence into the page pool (one layer)."""
     hkv, p, ps, d = k_pages_l.shape
     b, _, s, _ = k_new.shape
 
-    pos = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)  # [B, S]
-    page = jnp.take_along_axis(page_table, pos // ps, axis=1)  # [B, S]
-    flat_idx = (page * ps + pos % ps).reshape(-1)  # [B*S]
+    flat_idx = _scatter_indices(page_table, lengths, s, ps, p * ps, active)
 
     def scatter(pages, new):
         flat = pages.reshape(hkv, p * ps, d)
         vals = new.astype(pages.dtype).transpose(1, 0, 2, 3).reshape(hkv, b * s, d)
-        return flat.at[:, flat_idx].set(vals).reshape(hkv, p, ps, d)
+        return flat.at[:, flat_idx].set(vals, mode="drop").reshape(hkv, p, ps, d)
 
     return scatter(k_pages_l, k_new), scatter(v_pages_l, v_new)
 
@@ -127,6 +160,7 @@ def paged_append_layer_quantized(
     new: jax.Array,  # [B, Hkv, S, D] (unquantized)
     page_table: jax.Array,
     lengths: jax.Array,
+    active: jax.Array | None = None,  # [B] bool; False => drop the row
 ) -> tuple:
     """Quantize new tokens per token, scatter values+scales into pages."""
     from flash_attention_cute_tpu.ops.quantized import quantize_kv
@@ -136,17 +170,15 @@ def paged_append_layer_quantized(
     b, _, s, _ = new.shape
 
     nq = quantize_kv(new, dtype=vals.dtype)  # values [B,Hkv,S,D], scales [B,Hkv,S]
-    pos = lengths[:, None] + jnp.arange(s, dtype=jnp.int32)  # [B, S]
-    page = jnp.take_along_axis(page_table, pos // ps, axis=1)
-    flat_idx = (page * ps + pos % ps).reshape(-1)  # [B*S]
+    flat_idx = _scatter_indices(page_table, lengths, s, ps, p * ps, active)
 
     vflat = vals.reshape(hkv, p * ps, d)
     nv = nq.values.transpose(1, 0, 2, 3).reshape(hkv, b * s, d)
-    vals = vflat.at[:, flat_idx].set(nv).reshape(hkv, p, ps, d)
+    vals = vflat.at[:, flat_idx].set(nv, mode="drop").reshape(hkv, p, ps, d)
 
     sflat = scl.reshape(hkv, p * ps)
     nsc = nq.scales.transpose(1, 0, 2).reshape(hkv, b * s)
-    scl = sflat.at[:, flat_idx].set(nsc).reshape(hkv, p, ps)
+    scl = sflat.at[:, flat_idx].set(nsc, mode="drop").reshape(hkv, p, ps)
     return (vals, scl)
 
 

@@ -89,9 +89,13 @@ def forward_paged(
 
     quant = isinstance(state, QuantizedPagedKVState)
 
-    # Padding-token scatters stay in range via the page-table lookup; they
-    # land in whatever page the tail maps to and are never read (masked by
-    # lengths). Positions beyond the table map to the null page (0).
+    # Slots that are not advancing this call (valid_len == 0 — empty slots
+    # AND slots mid chunked-admission, whose page tables already hold real
+    # pages) must scatter NOTHING: their rows are routed out of range and
+    # dropped (paged_cache._scatter_indices). Prompt-padding positions past
+    # the page table are dropped the same way.
+    active = valid_len > 0
+
     def make_layer(window):
       def layer(x, xs_l):
         lp, k_slab, v_slab = xs_l
@@ -102,14 +106,14 @@ def forward_paged(
 
         if quant:
             k_slab = paged_append_layer_quantized(
-                k_slab, k, state.page_table, lengths
+                k_slab, k, state.page_table, lengths, active
             )
             v_slab = paged_append_layer_quantized(
-                v_slab, v, state.page_table, lengths
+                v_slab, v, state.page_table, lengths, active
             )
         else:
             k_slab, v_slab = paged_append_layer(
-                k_slab, v_slab, k, v, state.page_table, lengths
+                k_slab, v_slab, k, v, state.page_table, lengths, active
             )
 
         if mode == "prefill":
@@ -131,24 +135,33 @@ def forward_paged(
         else:
             if mode == "extend":
                 if quant:
-                    raise NotImplementedError(
-                        "chunked admission over QUANTIZED pages needs a "
-                        "quantized extend kernel (ROADMAP.md)"
+                    from flash_attention_cute_tpu.ops.quantized import (
+                        QuantizedKV,
+                        paged_attention_extend_quantized,
                     )
-                from flash_attention_cute_tpu.ops.paged_attention import (
-                    paged_attention_extend,
-                )
 
-                def attend(q_, k_slab_, v_slab_, lens_, tbl_):
-                    # lens_ = lengths + s (valid_len == s in extend), so the
-                    # chunk's global start is lens_ - s — no closure over
-                    # `lengths` (shard_map bodies may not close over arrays).
-                    return paged_attention_extend(
-                        q_, k_slab_.astype(q_.dtype),
-                        v_slab_.astype(q_.dtype),
-                        lens_ - q_.shape[2], lens_, tbl_,
-                        window=window, interpret=bool(interpret),
+                    def attend(q_, k_slab_, v_slab_, lens_, tbl_):
+                        return paged_attention_extend_quantized(
+                            q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
+                            lens_ - q_.shape[2], lens_, tbl_,
+                            window=window, interpret=bool(interpret),
+                        )
+                else:
+                    from flash_attention_cute_tpu.ops.paged_attention import (
+                        paged_attention_extend,
                     )
+
+                    def attend(q_, k_slab_, v_slab_, lens_, tbl_):
+                        # lens_ = lengths + s (valid_len == s in extend), so
+                        # the chunk's global start is lens_ - s — no closure
+                        # over `lengths` (shard_map bodies may not close
+                        # over arrays).
+                        return paged_attention_extend(
+                            q_, k_slab_.astype(q_.dtype),
+                            v_slab_.astype(q_.dtype),
+                            lens_ - q_.shape[2], lens_, tbl_,
+                            window=window, interpret=bool(interpret),
+                        )
             elif quant:
                 from flash_attention_cute_tpu.ops.quantized import (
                     QuantizedKV,

@@ -134,6 +134,29 @@ def test_varlen_banded_max_seqlen():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_varlen_banded_unequal_lengths():
+    """Regression (round-1 advisor, high): with cu_seqlens_kv != cu_seqlens_q
+    (kv longer than q — chunked-prefill packing), one q block spans many
+    segments whose combined kv extent is unbounded by max_seqlen + block_q.
+    The band must therefore not apply (max_seqlen is only a hint for equal
+    packing); previously trailing kv blocks were silently never visited
+    (max error 0.52)."""
+    lens_q = [16] * 8
+    lens_kv = [256] * 8
+    q, k, v, cu_q, cu_kv = pack(
+        jax.random.key(7), lens_q, lens_kv, 4, 2, 64
+    )
+    out = flash_attention_varlen(
+        q, k, v, cu_q, cu_seqlens_kv=cu_kv, causal=True, max_seqlen=256,
+        block_q=128, block_kv=128, interpret=True,
+    )
+    want = oracle(q, k, v, cu_q, cu_kv, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+
 def test_varlen_logit_softcap():
     lens = [90, 40]
     q, k, v, cu_q, cu_kv = pack(jax.random.key(6), lens, lens, 4, 2, 64)

@@ -8,6 +8,7 @@ import pytest
 from flash_attention_cute_tpu.ops.quantized import (
     QuantizedKV,
     paged_attention_decode_quantized,
+    paged_attention_extend_quantized,
     quantize_kv,
 )
 from flash_attention_cute_tpu.ops.reference import attention_reference
@@ -71,6 +72,94 @@ def test_quant_paged_gqa_block_sizes():
     np.testing.assert_allclose(
         np.asarray(o1), np.asarray(o2), atol=1e-5, rtol=1e-5
     )
+
+
+def setup_extend(key, b, hq, hkv, sq, pps, ps, d, qdtype=jnp.int8):
+    num_pages = b * pps + 1
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), jnp.float32)
+    k_dense = jax.random.normal(kk, (hkv, num_pages, ps, d), jnp.float32)
+    v_dense = jax.random.normal(kv, (hkv, num_pages, ps, d), jnp.float32)
+    kqz = quantize_kv(k_dense, qdtype)
+    vqz = quantize_kv(v_dense, qdtype)
+    tbl = jnp.arange(1, b * pps + 1, dtype=jnp.int32).reshape(b, pps)
+    return q, kqz, vqz, tbl
+
+
+@pytest.mark.parametrize("offsets", [[0, 0], [50, 17]])
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quant_paged_extend_matches_oracle(offsets, qdtype):
+    """Chunked prefill over quantized pages (round-1 NotImplementedError):
+    per-row causality against the gathered-dequantized oracle."""
+    b, hq, hkv, sq, pps, ps, d = len(offsets), 4, 2, 16, 16, 8, 64
+    q, kqz, vqz, tbl = setup_extend(
+        jax.random.key(2), b, hq, hkv, sq, pps, ps, d, qdtype
+    )
+    q_off = jnp.array(offsets, jnp.int32)
+    kv_len = q_off + sq
+
+    out = paged_attention_extend_quantized(
+        q, kqz, vqz, q_off, kv_len, tbl,
+        pages_per_compute_block=2, interpret=True,
+    )
+    kg = gather_dense(kqz, tbl, ps)
+    vg = gather_dense(vqz, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-3, rtol=2e-2,
+    )
+
+
+def test_quant_paged_extend_windowed_and_inactive():
+    """Sliding window composes with quantized extend; a kv_length == 0 slot
+    emits zeros without stranding prefetch DMAs."""
+    b, hq, hkv, sq, pps, ps, d = 3, 8, 2, 8, 16, 8, 64
+    q, kqz, vqz, tbl = setup_extend(
+        jax.random.key(3), b, hq, hkv, sq, pps, ps, d
+    )
+    window = 24
+    q_off = jnp.array([60, 0, 4], jnp.int32)
+    kv_len = jnp.array([60 + sq, 0, 4 + sq], jnp.int32)
+
+    out = paged_attention_extend_quantized(
+        q, kqz, vqz, q_off, kv_len, tbl, window=window,
+        pages_per_compute_block=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    kg = gather_dense(kqz, tbl, ps)
+    vg = gather_dense(vqz, tbl, ps)
+    for s_ in (0, 2):
+        ref = attention_reference(
+            q[s_ : s_ + 1], kg[s_ : s_ + 1], vg[s_ : s_ + 1], causal=True,
+            kv_length=kv_len[s_ : s_ + 1], q_offset=q_off[s_ : s_ + 1],
+            window=window,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[s_ : s_ + 1], np.float32),
+            np.asarray(ref, np.float32), atol=3e-3, rtol=2e-2,
+        )
+
+
+def test_quant_paged_extend_block_invariance():
+    b, hq, hkv, sq, pps, ps, d = 1, 8, 2, 24, 16, 8, 64
+    q, kqz, vqz, tbl = setup_extend(
+        jax.random.key(5), b, hq, hkv, sq, pps, ps, d
+    )
+    q_off = jnp.array([77], jnp.int32)
+    kv_len = q_off + sq
+    o1 = paged_attention_extend_quantized(
+        q, kqz, vqz, q_off, kv_len, tbl,
+        pages_per_compute_block=2, interpret=True,
+    )
+    o2 = paged_attention_extend_quantized(
+        q, kqz, vqz, q_off, kv_len, tbl,
+        pages_per_compute_block=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_quant_paged_windowed():

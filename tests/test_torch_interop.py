@@ -100,6 +100,48 @@ def test_patched_qwen2_generate_matches(patched_qwen2):
     np.testing.assert_array_equal(got, want)
 
 
+def test_patched_llama_right_padded_batch(patched_llama):
+    """A right-padded batch (2-D attention_mask) must mask padding keys —
+    regression for the round-1 advisor finding that the mask was silently
+    ignored. Oracle: the unpatched eager model with the same mask."""
+    model = tiny_llama()
+    ids = torch.tensor([
+        [1, 5, 9, 2, 7, 3, 11, 4],
+        [6, 2, 8, 3, 0, 0, 0, 0],  # 4 real tokens + right padding
+    ])
+    mask = torch.tensor([
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 1, 1, 1, 0, 0, 0, 0],
+    ])
+    with torch.no_grad():
+        got = model(ids, attention_mask=mask).logits.float().numpy()
+
+    from transformers.models.llama import modeling_llama
+    orig_fwd = modeling_llama.LlamaAttention.forward
+    modeling_llama.LlamaAttention.forward = (
+        test_patched_llama_logits_match._orig
+    )
+    try:
+        with torch.no_grad():
+            want = model(ids, attention_mask=mask).logits.float().numpy()
+    finally:
+        modeling_llama.LlamaAttention.forward = orig_fwd
+    # Compare only real (non-pad) rows; pad rows are garbage both ways.
+    np.testing.assert_allclose(got[0], want[0], atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(got[1, :4], want[1, :4], atol=2e-4, rtol=2e-3)
+
+
+def test_patched_llama_left_padding_rejected(patched_llama):
+    """Left padding cannot be expressed as a valid-prefix length: the
+    interop path must refuse loudly instead of attending to padding."""
+    model = tiny_llama()
+    ids = torch.tensor([[0, 0, 0, 6, 2, 8, 3, 9]])
+    mask = torch.tensor([[0, 0, 0, 1, 1, 1, 1, 1]])
+    with pytest.raises(NotImplementedError):
+        with torch.no_grad():
+            model(ids, attention_mask=mask)
+
+
 def _stash_originals():
     from transformers.models.llama import modeling_llama
     from transformers.models.qwen2 import modeling_qwen2
