@@ -76,8 +76,11 @@ def select_block_config(
       * Shorter sequences clamp the blocks (handled again in the wrappers).
       * Larger head dims shrink block_kv to keep the K/V working set bounded.
     """
-    block_q = 512 if causal else 1024
-    block_kv = 512
+    # v5e sweep (round 2, lazy-max kernel): causal wants 512x512 (fine
+    # diagonal granularity); non-causal wants 512x1024 with 8 inner
+    # sub-blocks (147 TF/s vs 119 at the old 1024x512).
+    block_q = 512
+    block_kv = 512 if causal else 1024
     d_pad = max(128, -(-head_dim // 128) * 128)
     if d_pad > 128:
         block_q = min(block_q, 512)

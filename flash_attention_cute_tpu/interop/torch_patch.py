@@ -64,8 +64,8 @@ def _to_torch(a, like):
     return torch.from_numpy(np.array(a)).to(like.device, like.dtype)
 
 
-def _flash_attention_core(q, k, v, softmax_scale, causal, window,
-                          kv_length=None):
+def _flash_attention_eager(q, k, v, softmax_scale, causal, window,
+                           kv_length=None):
     """torch [B, H, S, D] -> torch [B, H, S, D] through the JAX kernels
     (reference: models/rope_attn_fwd.py:40-64 `_flash_attention_forward`).
 
@@ -90,6 +90,65 @@ def _flash_attention_core(q, k, v, softmax_scale, causal, window,
         window=window, **kwargs,
     )
     return _to_torch(oj, like=q)
+
+
+_custom_op = None
+
+
+def _get_custom_op():
+    """Register `flash_attention_cute_tpu::forward` as a torch.library
+    custom op with a fake (meta) kernel, so models patched onto the TPU
+    kernels stay traceable under torch.compile / FakeTensor / meta devices
+    (the reference's own pattern: torch.library.custom_op +
+    `flash_attention_forward_fake`, reference:
+    flash_attention/flash_attention.py:6, :40-43). Falls back to the plain
+    eager function on torch builds without torch.library.custom_op."""
+    global _custom_op
+    if _custom_op is not None:
+        return _custom_op
+    torch = _torch()
+    try:
+        # Explicit schema: `from __future__ import annotations` makes the
+        # function annotations strings, which infer_schema cannot resolve
+        # without torch importable at module scope.
+        @torch.library.custom_op(
+            "flash_attention_cute_tpu::forward", mutates_args=(),
+            schema=(
+                "(Tensor q, Tensor k, Tensor v, float softmax_scale, "
+                "bool causal, int window, Tensor? kv_length=None) -> Tensor"
+            ),
+        )
+        def _op(q, k, v, softmax_scale, causal, window, kv_length=None):
+            return _flash_attention_eager(
+                q, k, v, softmax_scale, causal,
+                None if window <= 0 else window, kv_length,
+            ).contiguous()
+
+        @_op.register_fake
+        def _op_fake(q, k, v, softmax_scale, causal, window,
+                     kv_length=None):
+            # Freshly-allocated contiguous output (NOT empty_like: q is
+            # often a transposed view and the real op returns contiguous —
+            # inductor asserts the fake's strides match the real ones).
+            return torch.empty(q.shape, dtype=q.dtype, device=q.device)
+
+        def call(q, k, v, softmax_scale, causal, window, kv_length=None):
+            return _op(
+                q, k, v, softmax_scale, causal,
+                0 if window is None else int(window), kv_length,
+            )
+
+        _custom_op = call
+    except (AttributeError, RuntimeError):
+        _custom_op = _flash_attention_eager
+    return _custom_op
+
+
+def _flash_attention_core(q, k, v, softmax_scale, causal, window,
+                          kv_length=None):
+    return _get_custom_op()(
+        q, k, v, softmax_scale, causal, window, kv_length
+    )
 
 
 def _padding_kv_lengths(mask, skv, window):

@@ -256,8 +256,9 @@ def _flash_fwd_kernel_fused(
     kv_len_padded: int,
     mask_value: float,
     inner: int = 1,
-    stable: bool = True,
+    stable: bool | str = True,
     logit_softcap: float | None = None,
+    mask_inline: bool = False,
     lse_ref=None,  # [1, 1, g, block_q] f32 — log2-sum-exp residual (bwd)
 ):
     """Fused-group variant: the whole G-head group rides in ONE pair of MXU
@@ -279,7 +280,13 @@ def _flash_fwd_kernel_fused(
 
     @pl.when(kv_blk == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        # stable=True (lazy max) references the running max from BEFORE the
+        # current block, so it must start finite: 0, not -inf (the
+        # reference point cancels in o = acc / l, so any finite init is
+        # exact). strict mode keeps the classic -inf.
+        m_scratch[...] = jnp.full_like(
+            m_scratch, -jnp.inf if stable == "strict" else 0.0
+        )
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -355,15 +362,27 @@ def _flash_fwd_kernel_fused(
                 cap2 = logit_softcap * LOG2E
                 s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
             if needs_mask is not False:
-                s_t += jax.lax.cond(
-                    needs_mask,
-                    build_bias,
-                    lambda: jnp.zeros(
-                        (sub_kv, group * block_q), jnp.float32
-                    ),
-                )
+                if mask_inline:
+                    # Straight-line bias build: measured +8% on v5e when
+                    # most computed blocks straddle the diagonal (short S)
+                    # — lax.cond itself serializes Mosaic's cross-sub-block
+                    # pipeline. The wrapper picks this statically when the
+                    # straddle fraction of the causal geometry is high.
+                    s_t += build_bias()
+                else:
+                    s_t += jax.lax.cond(
+                        needs_mask,
+                        build_bias,
+                        lambda: jnp.zeros(
+                            (sub_kv, group * block_q), jnp.float32
+                        ),
+                    )
 
-            if stable:
+            if stable == "strict":
+                # Classic FA2 chain: the current block's max gates p, so
+                # the max tree and the acc rescale sit ON the QK->exp2->PV
+                # critical path (measured -10..-20 TF/s vs lazy on v5e).
+                # Always exact; keep for adversarial inputs.
                 m_prev = m_scratch[:1]
                 l_prev = l_scratch[:1]
                 m_curr = jnp.max(s_t, axis=0, keepdims=True)
@@ -380,6 +399,43 @@ def _flash_fwd_kernel_fused(
                 l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
                 acc_scratch[...] *= alpha
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_op, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [d, group * block_q]
+            elif stable:
+                # stable=True — LAZY running max (the round-2 overlap fix,
+                # benchmarks/experiment_probe.py): p is referenced to the
+                # max from BEFORE this sub-block, which is known before the
+                # QK^T matmul finishes, so the critical path is just
+                # QK -> exp2 -> PV; the max tree, alpha, and the acc
+                # rescale all overlap the matmuls (measured: softmax cost
+                # fully hidden — 140 vs 120 TF/s non-causal on v5e).
+                # Exactness: the reference point cancels in o = acc / l;
+                # the clamp only guards f32 exp2 overflow, so results are
+                # exact unless a score exceeds the previous running max by
+                # > 110 log2-units (~76 nats) — far outside trained-model
+                # logits; beyond it the row saturates gracefully (no NaN).
+                m_prev = m_scratch[:1]
+                p_t = jnp.exp2(jnp.minimum(s_t - m_prev, 110.0))
+                p_op = p_t.astype(v.dtype)
+                l_tmp = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s_t, axis=0, keepdims=True)
+                )
+                alpha = jnp.exp2(m_prev - m_next)
+                m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+                l_scratch[...] = jnp.broadcast_to(
+                    l_tmp * alpha, l_scratch.shape
+                )
+                # Accumulate in the OLD units first, then rescale both acc
+                # and l to the new reference — the rescale overlaps the
+                # next sub-block's QK^T.
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_op, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scratch[...] *= alpha
             else:
                 # stable=False: skip the running max entirely — exp2 of the
                 # raw (log2-scaled) scores. f32 holds exp2(s) for s < 128,
@@ -389,11 +445,10 @@ def _flash_fwd_kernel_fused(
                 p_op = p_t.astype(v.dtype)
                 l_next = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
                 l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-
-            acc_scratch[...] += jax.lax.dot_general(
-                v, p_op, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [d, group * block_q]
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_op, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     @pl.when(kv_blk == num_kv_blocks - 1)
     def _store():
@@ -447,7 +502,7 @@ def flash_attention_fwd(
     block_kv: int = 0,
     fuse_group: bool | None = None,
     inner_splits: int = 0,
-    stable: bool = True,
+    stable: bool | str = True,
     logit_softcap: float | None = None,
     return_lse: bool = False,
     interpret: bool = False,
@@ -471,6 +526,17 @@ def flash_attention_fwd(
       fuse_group: compute the whole GQA q-head group in single wide MXU
         ops (S^T is [block_kv, G*block_q]) instead of a per-head loop.
         None = auto (on when the fused tile fits VMEM comfortably).
+      stable: softmax stabilization mode.
+        True (default) — LAZY running max: p is referenced to the running
+          max from before the current sub-block, keeping the max tree and
+          rescale off the QK->exp2->PV critical path (+15-25% on v5e).
+          Exact unless a score exceeds the previous running max by more
+          than 110 log2-units (~76 nats) — then the row saturates
+          gracefully (no NaN/inf).
+        "strict" — classic FA2 current-block max; exact for any finite
+          input; slower.
+        False — no running max at all (exp2 of raw scores): fastest, safe
+          only while logits stay below ~88 nats; opt-in for trusted data.
       return_lse: additionally return the per-row log2-sum-exp of the
         scaled scores ([B, Hq, Sq] f32, +inf on empty/fully-masked rows) —
         the residual the Pallas backward (ops/flash_bwd.py) needs.
@@ -489,15 +555,15 @@ def flash_attention_fwd(
         assert window > 0, window
     group = hq // hkv
 
-    # Tuned on v5e (benchmarks/sweep_flash.py + inline sweeps): with the
-    # KV-DMA clamp making skipped blocks free, larger tiles win; causal
-    # additionally wants inner splits (MXU/VPU overlap across sub-blocks).
+    # Tuned on v5e (benchmarks/experiment_probe.py, round-2 lazy-max
+    # kernel): causal 512x512/4 (fine diagonal granularity), non-causal
+    # 512x1024/8 (147 TF/s = 75% MXU vs 119 at the old 1024x512/1).
     if block_q <= 0:
-        block_q = 512 if causal else 1024
+        block_q = 512
     if block_kv <= 0:
-        block_kv = 512
+        block_kv = 512 if causal else 1024
     if inner_splits <= 0:
-        inner_splits = 4 if causal else 1
+        inner_splits = 4 if causal else 8
 
     # ---- padding to hardware-friendly shapes ----
     d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
@@ -542,6 +608,45 @@ def flash_attention_fwd(
     if logit_softcap is not None:
         fuse_group = True  # soft-capping lives in the fused kernel only
 
+    # Static mask policy: count straddling vs computed grid cells for this
+    # exact geometry. When a large fraction of the causal/window work sits
+    # on diagonal tiles (short S relative to the block sizes — e.g. the
+    # S=1024 headline), building the bias straight-line beats lax.cond by
+    # ~8% on v5e (the cond serializes Mosaic's cross-sub-block pipeline);
+    # with interiors dominating (long S), the cond skips the build cost.
+    mask_inline = False
+    if causal or window is not None or skv_pad != skv:
+        offset0 = skv - sq
+        num_q_b = sq_pad // block_q
+        num_kv_b = skv_pad // block_kv
+        computed = straddle = 0
+        for i in range(num_q_b):
+            for j in range(num_kv_b):
+                run = True
+                if causal:
+                    run = j * block_kv <= (i + 1) * block_q - 1 + offset0
+                if window is not None:
+                    below = (
+                        (j + 1) * block_kv - 1
+                        <= i * block_q + offset0 - window
+                    )
+                    run = run and not below
+                if not run:
+                    continue
+                computed += 1
+                s = False
+                if causal:
+                    s = s or ((j + 1) * block_kv - 1 > i * block_q + offset0)
+                if window is not None:
+                    s = s or (
+                        j * block_kv
+                        <= i * block_q + block_q - 1 + offset0 - window
+                    )
+                if skv_pad != skv and j == num_kv_b - 1:
+                    s = True
+                straddle += bool(s)
+        mask_inline = computed > 0 and straddle / computed >= 0.3
+
     kernel = functools.partial(
         _flash_fwd_kernel_fused if fuse_group else _flash_fwd_kernel,
         causal=causal,
@@ -558,6 +663,7 @@ def flash_attention_fwd(
                 "inner": inner_splits,
                 "stable": stable,
                 "logit_softcap": logit_softcap,
+                "mask_inline": mask_inline,
             }
             if fuse_group
             else {}

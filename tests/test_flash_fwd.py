@@ -155,6 +155,37 @@ def test_unstable_softmax_matches_stable():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_lazy_max_matches_strict():
+    """stable=True (lazy running max — the round-2 overlap fix) must agree
+    with stable='strict' (classic current-block max) to float tolerance:
+    the max reference point cancels in o = acc / l. Checked with large
+    score magnitudes (scaled q) so the running max actually moves, across
+    causal and windowed paths."""
+    q, k, v = make_qkv(jax.random.key(11), 1, 8, 2, 384, 384, 64, jnp.float32)
+    q = q * 4.0  # logits span tens of nats: the max chain is exercised
+    for kwargs in (
+        dict(causal=True),
+        dict(causal=False),
+        dict(causal=True, window=100),
+    ):
+        o_lazy = flash_attention_fwd(
+            q, k, v, fuse_group=True, block_q=128, block_kv=128,
+            interpret=True, **kwargs,
+        )
+        o_strict = flash_attention_fwd(
+            q, k, v, fuse_group=True, stable="strict", block_q=128,
+            block_kv=128, interpret=True, **kwargs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_lazy), np.asarray(o_strict), atol=1e-5, rtol=1e-4
+        )
+        ref = attention_reference(q, k, v, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(o_lazy, np.float32), np.asarray(ref, np.float32),
+            atol=2e-5, rtol=2e-2,
+        )
+
+
 def test_logit_softcap_matches_reference():
     """Gemma-style tanh soft-capping (in log2-score space in-kernel)."""
     q, k, v = make_qkv(jax.random.key(10), 1, 4, 2, 256, 256, 64, jnp.float32)

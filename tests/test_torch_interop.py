@@ -142,6 +142,39 @@ def test_patched_llama_left_padding_rejected(patched_llama):
             model(ids, attention_mask=mask)
 
 
+def test_custom_op_fake_kernel_traces():
+    """The attention core is a torch.library custom op with a fake kernel
+    (reference: flash_attention/flash_attention.py:40-43): under
+    FakeTensorMode the op must produce a correctly-shaped fake tensor
+    WITHOUT crossing into JAX — the property torch.compile and meta-device
+    loading rely on."""
+    from torch._subclasses.fake_tensor import FakeTensorMode
+
+    from flash_attention_cute_tpu.interop.torch_patch import _get_custom_op
+
+    op = _get_custom_op()
+    with FakeTensorMode():
+        q = torch.empty(1, 4, 8, 64)
+        k = torch.empty(1, 2, 8, 64)
+        v = torch.empty(1, 2, 8, 64)
+        o = op(q, k, v, 0.125, True, 0)
+        assert o.shape == q.shape and o.dtype == q.dtype
+
+
+def test_patched_llama_torch_compile(patched_llama):
+    """A patched model must run under torch.compile (the custom op's fake
+    kernel makes the graph traceable; the real kernel runs via the JAX
+    bridge at execution time)."""
+    model = tiny_llama()
+    ids = torch.tensor([[1, 5, 9, 2, 7, 3, 11, 4]])
+    with torch.no_grad():
+        want = model(ids).logits.float().numpy()
+    compiled = torch.compile(model, dynamic=False)
+    with torch.no_grad():
+        got = compiled(ids).logits.float().numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
 def _stash_originals():
     from transformers.models.llama import modeling_llama
     from transformers.models.qwen2 import modeling_qwen2
