@@ -35,7 +35,7 @@ def flash_attention_forward(
     q_offset: jax.Array | None = None,
     window: int | None = None,
     *,
-    stable: bool = True,
+    stable: bool | str = True,
     logit_softcap: float | None = None,
     block_config: dispatch.BlockConfig | None = None,
     interpret: bool | None = None,
@@ -48,10 +48,12 @@ def flash_attention_forward(
     `col <= q_offset + row`). `window` is the sliding-window size in
     HF/Qwen2 semantics (the reference raises on sliding windows,
     models/modeling_qwen2.py:261-269; here supported natively).
-    `stable=False` drops the online-softmax running max in the prefill
-    kernel (+12% on v5e): safe while attention logits stay below ~88 nats
-    (f32 exp2 range) — true for trained models, NOT for adversarial
-    inputs; keep the default for anything untrusted.
+    `stable` picks the prefill softmax mode: True (default) = lazy running
+    max (max tree off the critical path; exact unless a score jumps >110
+    log2-units past the running max, then graceful saturation);
+    "strict" = classic FA2 current-block max (always exact, slower);
+    False = no running max at all (fastest; safe only below ~88 nats —
+    keep the default for anything untrusted).
     """
     dispatch.validate_inputs(q, k, v)
     b, hq, sq, d = q.shape
