@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from flash_attention_cute_tpu.models import forward, init_params
-from flash_attention_cute_tpu.models.cache import KVCache, create_cache
+from flash_attention_cute_tpu.models.cache import KVCache
 from flash_attention_cute_tpu.models.llama import llama3_8b_config
 from flash_attention_cute_tpu.utils.timing import time_chained
 
@@ -52,9 +52,12 @@ def main():
         return f
 
     B = 8
+    import sys
+
+    tight = "--tight" in sys.argv
     for fill in (16, 1024, 4096):
-        cap = max(4096 + 64, fill + 64)
-        cache = create_cache(cfg, batch=B, capacity=cap)
+        cap = fill + 64 if tight else max(4096 + 64, fill + 64)
+        cache = KVCache.create(cfg, batch=B, capacity=cap)
         # Pretend the cache is filled to `fill` (contents are zeros; decode
         # reads exactly `fill` tokens' K/V per layer either way).
         cache = dataclasses.replace(

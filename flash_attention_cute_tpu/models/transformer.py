@@ -174,21 +174,47 @@ def _layer_forward_carry(
                 interpret=interpret,
             )
     else:
+        from flash_attention_cute_tpu import dispatch
+        from flash_attention_cute_tpu.ops.flash_decode import (
+            flash_attention_decode,
+        )
+
         ck = ck.at[layer_idx, bidx, hidx, pos].set(k.astype(ck.dtype))
         cv = cv.at[layer_idx, bidx, hidx, pos].set(v.astype(cv.dtype))
 
-        k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
-        attn = attn_fn(
-            q,
-            k_l.astype(q.dtype),
-            v_l.astype(q.dtype),
-            causal=(mode == "extend"),
-            kv_length=new_len,
-            q_offset=lengths if mode == "extend" else None,
-            window=window,
-            interpret=interpret,
-        )
+        use_kernel = dispatch.on_tpu() or bool(interpret)
+        if (
+            mode == "decode"
+            and use_kernel
+            and mesh is None
+            and ck.dtype == q.dtype
+        ):
+            # STACKED-cache decode: the kernel indexes the [L,B,Hkv,C,D]
+            # carry directly through a prefetched layer scalar. Slicing the
+            # layer host-side (dynamic_index_in_dim) copies the whole layer
+            # slab every step — measured ~2.5 ms/token of pure copy at 4k
+            # capacity on an 8-layer 8B-width model.
+            attn = flash_attention_decode(
+                q, ck, cv, kv_length=new_len, layer=layer_idx,
+                window=window, interpret=bool(interpret),
+            )
+        else:
+            k_l = jax.lax.dynamic_index_in_dim(
+                ck, layer_idx, 0, keepdims=False
+            )
+            v_l = jax.lax.dynamic_index_in_dim(
+                cv, layer_idx, 0, keepdims=False
+            )
+            attn = attn_fn(
+                q,
+                k_l.astype(q.dtype),
+                v_l.astype(q.dtype),
+                causal=(mode == "extend"),
+                kv_length=new_len,
+                q_offset=lengths if mode == "extend" else None,
+                window=window,
+                interpret=interpret,
+            )
 
     x = x + L.attention_output(attn, lp, cfg)
     h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)

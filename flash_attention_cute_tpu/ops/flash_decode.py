@@ -41,9 +41,10 @@ from flash_attention_cute_tpu.ops.flash_fwd import (
 
 def _flash_decode_kernel(
     lengths_ref,  # [B] int32, scalar-prefetch (SMEM)
+    layer_ref,  # [1] int32, scalar-prefetch: layer index into the stacked cache
     q_ref,  # [1, 1, g_pad, d]
-    k_ref,  # [1, 1, block_kv, d]
-    v_ref,  # [1, 1, block_kv, d]
+    k_ref,  # [1, 1, 1, block_kv, d] (leading dim: cache layer)
+    v_ref,  # [1, 1, 1, block_kv, d]
     o_ref,  # [1, 1, 1, g_pad, d]  unnormalized partial accumulator
     m_ref,  # [1, 1, 1, g_pad, NUM_LANES]
     l_ref,  # [1, 1, 1, g_pad, NUM_LANES]
@@ -55,8 +56,9 @@ def _flash_decode_kernel(
     window: int | None,
     logit_softcap: float | None,
     block_kv: int,
-    blocks_per_split: int,
+    num_splits: int,
     mask_value: float,
+    kv_cap: int,  # true (unpadded) cache capacity
 ):
     b = pl.program_id(0)
     split = pl.program_id(2)
@@ -69,7 +71,13 @@ def _flash_decode_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     length = lengths_ref[b]
-    blk = split * blocks_per_split + t
+    # SPLIT-MINOR (interleaved) block assignment: split s owns blocks
+    # s, s+S, s+2S, ... — live blocks spread evenly over splits, so the
+    # DYNAMIC grid bound cdiv(cdiv(max_len, block_kv), S) on the t axis
+    # trims every step past the live region (dead cache capacity used to
+    # cost ~0.5 us of grid overhead per skipped step — the dominant decode
+    # overhead at large capacity).
+    blk = t * num_splits + split
     blk_start = blk * block_kv
 
     # Skip KV blocks entirely past the valid cache length (the decode analog
@@ -83,8 +91,17 @@ def _flash_decode_kernel(
     @pl.when(visible)
     def _run():
         q = q_ref[0, 0]  # [g_pad, d]
-        k = k_ref[0, 0]  # [block_kv, d]
-        v = v_ref[0, 0]
+        k = k_ref[0, 0, 0]  # [block_kv, d]
+        v = v_ref[0, 0, 0]
+        if kv_cap % block_kv:
+            # The cache's ragged final block is NOT padded host-side (a
+            # jnp.pad would copy the whole cache per step); its tail rows
+            # are uninitialized memory. p is exactly 0 there, but
+            # 0 * garbage-NaN = NaN in the PV matmul — zero the V tail.
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + blk_start
+            )
+            v = jnp.where(rows < kv_cap, v, 0.0)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -117,7 +134,7 @@ def _flash_decode_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(t == blocks_per_split - 1)
+    @pl.when(t == pl.num_programs(3) - 1)
     def _store():
         o_ref[0, 0, 0] = acc_scratch[...]
         m_ref[0, 0, 0] = m_scratch[...]
@@ -141,6 +158,7 @@ def flash_attention_decode(
     logit_softcap: float | None = None,
     num_splits: int = 0,
     block_kv: int = 2048,
+    layer: jax.Array | None = None,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -148,18 +166,31 @@ def flash_attention_decode(
 
     Args:
       q: [B, Hq, 1, D]
-      k: [B, Hkv, Skv, D] KV cache (padded to capacity)
-      v: [B, Hkv, Skv, D]
+      k: [B, Hkv, Skv, D] KV cache (padded to capacity), or — with `layer`
+        — the FULL stacked cache [L, B, Hkv, Skv, D]. The stacked form
+        exists so a scan-over-layers decode can hand the kernel the whole
+        carry and a traced layer index: slicing the layer out host-side
+        (dynamic_index_in_dim) copies the entire layer slab every step
+        (~0.5 GB at 4k capacity), which dominated decode time.
+      v: like k.
       kv_length: [B] int32 valid lengths; None means the cache is full.
       window: sliding-window size — only the last `window` cache positions
         are attended (reference raises on sliding windows,
         models/modeling_qwen2.py:261-269; here native).
       num_splits: KV-axis parallel splits; 0 picks a heuristic.
+      layer: traced scalar int32 selecting the cache layer (requires the
+        5-D stacked k/v layout).
 
     Returns: [B, Hq, 1, D] in q's dtype.
     """
     b, hq, sq, d = q.shape
-    _, hkv, skv, _ = k.shape
+    if k.ndim == 4:
+        assert layer is None
+        k = k[None]
+        v = v[None]
+        layer = jnp.zeros((), jnp.int32)
+    assert k.ndim == 5 and layer is not None
+    _, _, hkv, skv, _ = k.shape
     assert sq == 1, f"decode kernel requires seqlen_q == 1, got {sq}"
     assert hq % hkv == 0
     if sm_scale is None:
@@ -193,21 +224,32 @@ def flash_attention_decode(
     if g_pad != g:
         qp = jnp.pad(qp, [(0, 0), (0, 0), (0, g_pad - g), (0, 0)])
     if d_pad != d:
-        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
-        qp = jnp.pad(qp, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-    if skv_pad != skv:
-        pad = [(0, 0), (0, 0), (0, skv_pad - skv), (0, 0)]
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+        qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
+        # NB: padding a STACKED cache copies all layers — d < 128 models
+        # should prefer the per-layer (4-D) form on the hot path.
+        pad5 = [(0, 0)] * 4 + [(0, d_pad - d)]
+        k = jnp.pad(k, pad5)
+        v = jnp.pad(v, pad5)
+    # The KV seq axis is deliberately NOT padded to a block multiple:
+    # jnp.pad would copy the ENTIRE cache every decode step (measured
+    # +6.8 ms/token on an 8-layer 8B-width model at 4160-token capacity —
+    # the whole gap to the weights-streaming floor). Pallas handles the
+    # ragged trailing block natively, and the in-kernel `cols < length`
+    # mask already covers its garbage tail.
 
     if kv_length is None:
         lengths = jnp.full((b,), skv, jnp.int32)
     else:
         lengths = jnp.minimum(kv_length.astype(jnp.int32), skv)
 
-    grid = (b, hkv, num_splits, blocks_per_split)
+    # DYNAMIC grid bound on the block axis: only live blocks (up to the
+    # batch's max fill) get grid steps — dead cache capacity costs nothing
+    # (neither DMA nor grid-step overhead). Interleaved split assignment
+    # (blk = t * num_splits + s) keeps the live blocks evenly spread.
+    num_t = jnp.maximum(
+        pl.cdiv(pl.cdiv(jnp.max(lengths), block_kv), num_splits), 1
+    )
+    grid = (b, hkv, num_splits, num_t)
 
     kernel = functools.partial(
         _flash_decode_kernel,
@@ -215,31 +257,45 @@ def flash_attention_decode(
         window=window,
         logit_softcap=logit_softcap,
         block_kv=block_kv,
-        blocks_per_split=blocks_per_split,
+        num_splits=num_splits,
         mask_value=DEFAULT_MASK_VALUE,
+        kv_cap=skv,
     )
 
-    bps = blocks_per_split
+    ns = num_splits
 
-    # Index maps receive the scalar-prefetch ref as a trailing argument.
-    def q_map(b_, h, s, t, lens):
+    # Index maps receive the scalar-prefetch refs as trailing arguments.
+    def q_map(b_, h, s, t, lens, lay):
         return (b_, h, 0, 0)
 
-    def kv_map(b_, h, s, t, lens):
-        return (b_, h, s * bps + t, 0)
+    def kv_blk(b_, s, t, lens):
+        # Clamp dead blocks (past this sequence's valid length / below the
+        # window) to the nearest live block: revisited indices elide the
+        # HBM->VMEM copy, so shorter-than-max sequences stream only their
+        # own live cache.
+        blk = t * ns + s
+        last = jnp.maximum(pl.cdiv(lens[b_], block_kv) - 1, 0)
+        blk = jnp.minimum(blk, last)
+        if window is not None:
+            first = jnp.maximum(lens[b_] - window, 0) // block_kv
+            blk = jnp.maximum(blk, jnp.minimum(first, last))
+        return blk
 
-    def part_map(b_, h, s, t, lens):
+    def kv_map(b_, h, s, t, lens, lay):
+        return (lay[0], b_, h, kv_blk(b_, s, t, lens), 0)
+
+    def part_map(b_, h, s, t, lens, lay):
         return (b_, h, s, 0, 0)
 
     acc, m_part, l_part = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
-                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, 1, g_pad, d_pad), part_map),
@@ -263,7 +319,7 @@ def flash_attention_decode(
         interpret=interpret,
         debug=debug,
         name="flash_attention_decode",
-    )(lengths, qp, k, v)
+    )(lengths, jnp.asarray(layer, jnp.int32).reshape(1), qp, k, v)
 
     # ---- cross-split online-softmax combine (XLA, negligible cost) ----
     m_s = m_part[..., 0]  # [B, Hkv, S, g_pad]

@@ -378,7 +378,7 @@ def _flash_fwd_kernel_fused(
                         ),
                     )
 
-            if stable == "strict":
+            if stable == "strict" or (stable is True and si == 0):
                 # Classic FA2 chain: the current block's max gates p, so
                 # the max tree and the acc rescale sit ON the QK->exp2->PV
                 # critical path (measured -10..-20 TF/s vs lazy on v5e).
@@ -412,10 +412,14 @@ def _flash_fwd_kernel_fused(
                 # rescale all overlap the matmuls (measured: softmax cost
                 # fully hidden — 140 vs 120 TF/s non-causal on v5e).
                 # Exactness: the reference point cancels in o = acc / l;
-                # the clamp only guards f32 exp2 overflow, so results are
-                # exact unless a score exceeds the previous running max by
-                # > 110 log2-units (~76 nats) — far outside trained-model
-                # logits; beyond it the row saturates gracefully (no NaN).
+                # the clamp only guards f32 exp2 overflow. Sub-block 0 of
+                # every KV block runs the strict branch above, anchoring
+                # the running max at that block's own maximum — so results
+                # are exact unless a LATER sub-block of the same KV block
+                # exceeds that anchor by > 110 log2-units (~76 nats of
+                # within-block spread; random-init test models with
+                # +-120-nat logits pass, trained models are far inside).
+                # Beyond it the row saturates gracefully (no NaN).
                 m_prev = m_scratch[:1]
                 p_t = jnp.exp2(jnp.minimum(s_t - m_prev, 110.0))
                 p_op = p_t.astype(v.dtype)

@@ -87,9 +87,10 @@ def _quant_decode_kernel(
     sm_scale: float,
     window: int | None,
     block_kv: int,
-    blocks_per_split: int,
+    num_splits: int,
     mask_value: float,
     compute_dtype,
+    kv_cap: int,  # true (unpadded) cache capacity
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -103,7 +104,8 @@ def _quant_decode_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     length = lengths_ref[b]
-    blk = split * blocks_per_split + t
+    # Interleaved split assignment + dynamic t bound (ops/flash_decode.py).
+    blk = t * num_splits + split
     blk_start = blk * block_kv
 
     visible = blk_start < length
@@ -146,7 +148,14 @@ def _quant_decode_kernel(
         v = v_ref[0, 0].astype(compute_dtype)
         vscale = vs_ref[0, h].astype(jnp.float32)  # [block_kv]
         # Fold V's dequant scale into P before the PV matmul.
-        pv_in = (p * vscale[None, :]).astype(compute_dtype)
+        pv_in = p * vscale[None, :]
+        if kv_cap % block_kv:
+            # Ragged final block: the unpadded tail is uninitialized —
+            # p is 0 there but 0 * NaN = NaN via a garbage f32 scale; kill
+            # the tail columns (int8 values are finite, the scale fold is
+            # the NaN path). `cols` is the 2-D position iota from above.
+            pv_in = jnp.where(cols < kv_cap, pv_in, 0.0)
+        pv_in = pv_in.astype(compute_dtype)
 
         acc_scratch[...] *= alpha
         acc_scratch[...] += jax.lax.dot_general(
@@ -154,7 +163,7 @@ def _quant_decode_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(t == blocks_per_split - 1)
+    @pl.when(t == pl.num_programs(3) - 1)
     def _store():
         o_ref[0, 0, 0] = acc_scratch[...]
         m_ref[0, 0, 0] = m_scratch[...]
@@ -219,14 +228,9 @@ def flash_attention_decode_quantized(
     if d_pad != d:
         qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
         kv_vals = [jnp.pad(x, [(0, 0)] * 3 + [(0, d_pad - d)]) for x in kv_vals]
-    if skv_pad != skv:
-        kv_vals = [
-            jnp.pad(x, [(0, 0), (0, 0), (0, skv_pad - skv), (0, 0)])
-            for x in kv_vals
-        ]
-        kv_scales = [
-            jnp.pad(x, [(0, 0), (0, 0), (0, skv_pad - skv)]) for x in kv_scales
-        ]
+    # KV seq axis NOT padded: a jnp.pad here copies the whole cache every
+    # step (see ops/flash_decode.py); Pallas handles the ragged trailing
+    # block and `cols < length` masks its garbage.
     kq, vq = kv_vals
     ks, vs = kv_scales
 
@@ -235,17 +239,33 @@ def flash_attention_decode_quantized(
     else:
         lengths = jnp.minimum(kv_length.astype(jnp.int32), skv)
 
-    grid = (b, hkv, num_splits, blocks_per_split)
-    bps = blocks_per_split
+    # Dynamic t bound: only live blocks get grid steps (ops/flash_decode.py).
+    num_t = jnp.maximum(
+        pl.cdiv(pl.cdiv(jnp.max(lengths), block_kv), num_splits), 1
+    )
+    grid = (b, hkv, num_splits, num_t)
+    ns = num_splits
 
     def q_map(b_, h, s_, t, lens):
         return (b_, h, 0, 0)
 
+    def kv_blk(b_, s_, t, lens):
+        # Clamp dead blocks to the nearest live one so their HBM->VMEM
+        # copies are elided (see ops/flash_decode.py — without this the
+        # kernel streams the full padded capacity every step).
+        blk = t * ns + s_
+        last = jnp.maximum(pl.cdiv(lens[b_], block_kv) - 1, 0)
+        blk = jnp.minimum(blk, last)
+        if window is not None:
+            first = jnp.maximum(lens[b_] - window, 0) // block_kv
+            blk = jnp.maximum(blk, jnp.minimum(first, last))
+        return blk
+
     def kv_map(b_, h, s_, t, lens):
-        return (b_, h, s_ * bps + t, 0)
+        return (b_, h, kv_blk(b_, s_, t, lens), 0)
 
     def sc_map(b_, h, s_, t, lens):
-        return (b_, 0, s_ * bps + t)
+        return (b_, 0, kv_blk(b_, s_, t, lens))
 
     def part_map(b_, h, s_, t, lens):
         return (b_, h, s_, 0, 0)
@@ -255,9 +275,10 @@ def flash_attention_decode_quantized(
         sm_scale=sm_scale,
         window=window,
         block_kv=block_kv,
-        blocks_per_split=blocks_per_split,
+        num_splits=num_splits,
         mask_value=DEFAULT_MASK_VALUE,
         compute_dtype=q.dtype if q.dtype != jnp.float32 else jnp.float32,
+        kv_cap=skv,
     )
 
     acc, m_part, l_part = pl.pallas_call(
