@@ -570,7 +570,19 @@ def flash_attention_fwd(
         inner_splits = 4 if causal else 8
 
     # ---- padding to hardware-friendly shapes ----
-    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+    if d <= NUM_LANES:
+        d_pad = NUM_LANES
+    elif d % NUM_LANES == 0:
+        d_pad = d
+    else:
+        # 128 < D not a lane multiple (e.g. 192): keep the NATIVE head dim
+        # as the lane axis instead of padding to the next 128-multiple.
+        # Mosaic pads the physical VMEM tile, but HBM blocks, DMAs and the
+        # jnp.pad materialization stay at true D. Measured on v5e at D=192
+        # S=2048 (benchmarks/experiment_d192.py): non-causal 134.8 vs
+        # 115.9 TF/s padded (+16%), causal 85.7 vs 70.7 (+21%) — the
+        # round-1 "pads to 256 lanes" waste is gone.
+        d_pad = _round_up(d, NUM_SUBLANES)
     block_q = min(block_q, _round_up(sq, NUM_LANES))
     block_kv = min(block_kv, _round_up(skv, NUM_LANES))
     sq_pad = _round_up(sq, block_q)

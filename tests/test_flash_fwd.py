@@ -64,10 +64,13 @@ def test_dtypes(dtype):
     check(q, k, v, True, block_q=128, block_kv=128)
 
 
-@pytest.mark.parametrize("d", [64, 128, 96, 80])
+@pytest.mark.parametrize("d", [64, 128, 96, 80, 192, 200, 256])
 def test_head_dims(d):
     # 96/80 exercise the lane-padding path (reference pads headdim to %8,
-    # flash_attention/flash_attention.py:26-31; TPU pads to the 128-lane tile).
+    # flash_attention/flash_attention.py:26-31; TPU pads to the 128-lane
+    # tile). 192/200 exercise the NATIVE-lane layout for 128 < D < 256
+    # (no padding to the next 128-multiple — measured +16-21% on v5e);
+    # 256 the exact two-tile case.
     q, k, v = make_qkv(jax.random.key(2), 1, 4, 4, 128, 128, d, jnp.float32)
     check(q, k, v, True, block_q=128, block_kv=128)
 
