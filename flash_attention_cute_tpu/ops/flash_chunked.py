@@ -60,6 +60,7 @@ def _flash_chunked_kernel(
     block_q: int,
     block_kv: int,
     mask_value: float,
+    kv_cap: int,  # true (unpadded) cache capacity
 ):
     if return_partials:
         m_out, l_out, m_scratch, l_scratch, acc_scratch = rest
@@ -92,6 +93,18 @@ def _flash_chunked_kernel(
     def _run():
         k = k_ref[0, 0]
         v = v_ref[0, 0]
+        if kv_cap % block_kv:
+            # The cache's seq axis is NOT padded host-side (a jnp.pad would
+            # copy the whole cache per call — see ops/flash_decode.py); the
+            # ragged final block's tail rows are uninitialized. Zero BOTH
+            # tails: V because p = 0 does not save the PV matmul from
+            # 0 * NaN, and K because this kernel masks with an ADDITIVE
+            # bias (NaN + mask_value is still NaN).
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + blk_start
+            )
+            v = jnp.where(rows < kv_cap, v, 0.0)
+            k = jnp.where(rows < kv_cap, k, 0.0)
 
         def build_bias():
             kv_pos = jax.lax.broadcasted_iota(
@@ -155,7 +168,9 @@ def _flash_chunked_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-    @pl.when(kv_blk == num_kv_blocks - 1)
+    del num_kv_blocks  # grid's kv axis is DYNAMIC; see wrapper
+
+    @pl.when(kv_blk == pl.num_programs(3) - 1)
     def _store():
         # q_offset >= 0 implies every real q row sees at least its own
         # position; only padded q rows can have l == 0 (trimmed after).
@@ -233,7 +248,6 @@ def flash_attention_chunked(
     block_q = min(block_q, _round_up(sq, NUM_LANES))
     block_kv = min(block_kv, _round_up(skv, NUM_LANES))
     sq_pad = _round_up(sq, block_q)
-    skv_pad = _round_up(skv, block_kv)
 
     q = (q.astype(jnp.float32) * (sm_scale * LOG2E)).astype(q.dtype)
 
@@ -242,17 +256,19 @@ def flash_attention_chunked(
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
     if sq_pad != sq:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, sq_pad - sq), (0, 0)])
-    if skv_pad != skv:
-        pad = [(0, 0), (0, 0), (0, skv_pad - skv), (0, 0)]
-        k, v = (jnp.pad(x, pad) for x in (k, v))
+    # The cache seq axis is NOT padded (that would copy the whole cache
+    # per call); the kernel zeroes the ragged final block's V tail.
 
     qg = q.reshape(b, hkv, group, sq_pad, d_pad)
 
     q_offset = q_offset.astype(jnp.int32)
     kv_length = jnp.minimum(kv_length.astype(jnp.int32), skv)
 
-    grid = (b, hkv, sq_pad // block_q, skv_pad // block_kv)
-    num_kv_blocks = skv_pad // block_kv
+    # DYNAMIC kv-grid bound: only blocks up to the batch's max fill get
+    # grid steps (dead capacity used to cost ~0.5 us of overhead per
+    # skipped step — see ops/flash_decode.py).
+    num_kv_dyn = jnp.maximum(pl.cdiv(jnp.max(kv_length), block_kv), 1)
+    grid = (b, hkv, sq_pad // block_q, num_kv_dyn)
 
     def q_map(b_, h, i, j, qoff, kvl):
         return (b_, h, 0, i, 0)
@@ -280,6 +296,7 @@ def flash_attention_chunked(
         block_q=block_q,
         block_kv=block_kv,
         mask_value=DEFAULT_MASK_VALUE,
+        kv_cap=skv,
     )
 
     if return_partials:

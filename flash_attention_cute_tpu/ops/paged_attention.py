@@ -284,7 +284,6 @@ def paged_attention_decode(
     pps_pad = _round_up(pages_per_seq, ppcb)
     if pps_pad != pages_per_seq:
         page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
-    num_blocks = pps_pad // ppcb
 
     qp = q.reshape(b, hkv, g, d)
     if g_pad != g:
@@ -293,6 +292,16 @@ def paged_attention_decode(
         qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
         k_pages = jnp.pad(k_pages, [(0, 0)] * 3 + [(0, d_pad - d)])
         v_pages = jnp.pad(v_pages, [(0, 0)] * 3 + [(0, d_pad - d)])
+
+    lengths = jnp.minimum(
+        lengths.astype(jnp.int32), pages_per_seq * page_size
+    )
+    # DYNAMIC grid bound: only compute blocks up to the batch's max fill
+    # get grid steps (dead pool capacity used to cost ~0.5 us of grid
+    # overhead per skipped step — see ops/flash_decode.py).
+    num_blocks = jnp.clip(
+        pl.cdiv(jnp.max(lengths), page_size * ppcb), 1, pps_pad // ppcb
+    )
 
     kernel = functools.partial(
         _paged_decode_kernel,
@@ -339,7 +348,7 @@ def paged_attention_decode(
         interpret=interpret,
         debug=debug,
         name="paged_attention_decode",
-    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), qp, k_pages, v_pages)
+    )(lengths, page_table.astype(jnp.int32), qp, k_pages, v_pages)
 
     o = out[:, :, :g, :d].reshape(b, hq, 1, d)
     return o.astype(q.dtype)
@@ -566,7 +575,13 @@ def paged_attention_extend(
     pps_pad = _round_up(pages_per_seq, ppcb)
     if pps_pad != pages_per_seq:
         page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
-    num_blocks = pps_pad // ppcb
+    kv_length = jnp.minimum(
+        kv_length.astype(jnp.int32), pages_per_seq * page_size
+    )
+    # Dynamic grid bound by the batch's max fill (ops/flash_decode.py).
+    num_blocks = jnp.clip(
+        pl.cdiv(jnp.max(kv_length), page_size * ppcb), 1, pps_pad // ppcb
+    )
 
     # Pack rows head-major: [B, Hkv, G, S, D] -> [B, Hkv, G*S, D]; pad M.
     qp = q.reshape(b, hkv, g, sq, d).reshape(b, hkv, m, d)
@@ -624,7 +639,7 @@ def paged_attention_extend(
         name="paged_attention_extend",
     )(
         q_offset.astype(jnp.int32),
-        jnp.minimum(kv_length.astype(jnp.int32), pages_per_seq * page_size),
+        kv_length,
         page_table.astype(jnp.int32),
         qp, k_pages, v_pages,
     )

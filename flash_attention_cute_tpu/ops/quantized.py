@@ -567,7 +567,13 @@ def paged_attention_decode_quantized(
     pps_pad = _round_up(pages_per_seq, ppcb)
     if pps_pad != pages_per_seq:
         page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
-    num_blocks = pps_pad // ppcb
+    lengths = jnp.minimum(
+        lengths.astype(jnp.int32), pages_per_seq * page_size
+    )
+    # Dynamic grid bound by the batch's max fill (ops/flash_decode.py).
+    num_blocks = jnp.clip(
+        pl.cdiv(jnp.max(lengths), page_size * ppcb), 1, pps_pad // ppcb
+    )
 
     qp = q.reshape(b, hkv, g, d)
     if g_pad != g:
@@ -633,7 +639,7 @@ def paged_attention_decode_quantized(
         debug=debug,
         name="paged_attention_decode_quantized",
     )(
-        lengths.astype(jnp.int32), page_table.astype(jnp.int32),
+        lengths, page_table.astype(jnp.int32),
         qp, kv, k_pages.scales, vv, v_pages.scales,
     )
 
@@ -885,7 +891,13 @@ def paged_attention_extend_quantized(
     pps_pad = _round_up(pages_per_seq, ppcb)
     if pps_pad != pages_per_seq:
         page_table = jnp.pad(page_table, [(0, 0), (0, pps_pad - pages_per_seq)])
-    num_blocks = pps_pad // ppcb
+    kv_length = jnp.minimum(
+        kv_length.astype(jnp.int32), pages_per_seq * page_size
+    )
+    # Dynamic grid bound by the batch's max fill (ops/flash_decode.py).
+    num_blocks = jnp.clip(
+        pl.cdiv(jnp.max(kv_length), page_size * ppcb), 1, pps_pad // ppcb
+    )
 
     # Pack rows head-major: [B, Hkv, G, S, D] -> [B, Hkv, G*S, D]; pad M.
     qp = q.reshape(b, hkv, g, sq, d).reshape(b, hkv, m, d)
@@ -954,7 +966,7 @@ def paged_attention_extend_quantized(
         name="paged_attention_extend_quantized",
     )(
         q_offset.astype(jnp.int32),
-        jnp.minimum(kv_length.astype(jnp.int32), pages_per_seq * page_size),
+        kv_length,
         page_table.astype(jnp.int32),
         qp, kv, k_pages.scales, vv, v_pages.scales,
     )
