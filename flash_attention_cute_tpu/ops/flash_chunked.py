@@ -61,7 +61,20 @@ def _flash_chunked_kernel(
     block_kv: int,
     mask_value: float,
     kv_cap: int,  # true (unpadded) cache capacity
+    inner: int,
 ):
+    """Fused-group chunked kernel with the ANCHORED LAZY running max.
+
+    Round-2 structure transplant from ops/flash_fwd._flash_fwd_kernel_fused:
+    the whole GQA group rides one wide matmul pair per sub-block, the mask
+    bias is built straight-line (chunk geometry is straddle-heavy — every
+    call has a length tail and usually a diagonal), and sub-block 0 of
+    every KV block anchors the running max strictly while later sub-blocks
+    reference it lazily, keeping the max tree and rescale off the
+    QK -> exp2 -> PV critical path (measured on the prefill kernel:
+    softmax cost fully hidden; exact up to ~76 nats of within-block score
+    spread, saturating gracefully beyond).
+    """
     if return_partials:
         m_out, l_out, m_scratch, l_scratch, acc_scratch = rest
     else:
@@ -69,14 +82,17 @@ def _flash_chunked_kernel(
     b = pl.program_id(0)
     q_blk = pl.program_id(2)
     kv_blk = pl.program_id(3)
-    num_kv_blocks = pl.num_programs(3)
+    sub_kv = block_kv // inner
 
     q_off = q_off_ref[b]
     kv_len = kv_len_ref[b]
 
     @pl.when(kv_blk == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        # Lazy max references the running max from BEFORE the current
+        # sub-block; the strict anchor at each block's sub-block 0 rewrites
+        # it, so any finite init is exact (it cancels in o = acc / l).
+        m_scratch[...] = jnp.zeros_like(m_scratch)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -91,101 +107,121 @@ def _flash_chunked_kernel(
 
     @pl.when(should_run)
     def _run():
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        if kv_cap % block_kv:
-            # The cache's seq axis is NOT padded host-side (a jnp.pad would
-            # copy the whole cache per call — see ops/flash_decode.py); the
-            # ragged final block's tail rows are uninitialized. Zero BOTH
-            # tails: V because p = 0 does not save the PV matmul from
-            # 0 * NaN, and K because this kernel masks with an ADDITIVE
-            # bias (NaN + mask_value is still NaN).
-            rows = (
-                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + blk_start
-            )
-            v = jnp.where(rows < kv_cap, v, 0.0)
-            k = jnp.where(rows < kv_cap, k, 0.0)
+        q = q_ref[0, 0].reshape(group * block_q, q_ref.shape[-1])
 
-        def build_bias():
+        for si in range(inner):
+            sub_start = blk_start + si * sub_kv
+            k = k_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
+            v = v_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
+            if kv_cap % block_kv:
+                # The cache's seq axis is NOT padded host-side (a jnp.pad
+                # would copy the whole cache per call — see
+                # ops/flash_decode.py); the ragged final block's tail rows
+                # are uninitialized. Zero BOTH tails: V because p = 0 does
+                # not save the PV matmul from 0 * NaN, and K because the
+                # mask is an ADDITIVE bias (NaN + mask_value stays NaN).
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                    + sub_start
+                )
+                v = jnp.where(rows < kv_cap, v, 0.0)
+                k = jnp.where(rows < kv_cap, k, 0.0)
+
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [sub_kv, group * block_q]
+            if logit_softcap is not None:
+                # Scores are in log2 units (scale*log2e folded into Q):
+                # cap scales by log2e (see ops/flash_fwd.py). Pre-mask.
+                cap2 = logit_softcap * LOG2E
+                s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
+
+            # Straight-line mask build: chunk calls are straddle-heavy
+            # (length tail + diagonal on most blocks), where inline beats
+            # the lax.cond by ~8% (the cond serializes Mosaic's pipeline).
             kv_pos = jax.lax.broadcasted_iota(
-                jnp.int32, (block_kv, block_q), 0
-            ) + blk_start
+                jnp.int32, (sub_kv, block_q), 0
+            ) + sub_start
             q_pos = jax.lax.broadcasted_iota(
-                jnp.int32, (block_kv, block_q), 1
+                jnp.int32, (sub_kv, block_q), 1
             ) + q_blk * block_q + q_off
             allowed = kv_pos < kv_len
             if causal:
                 allowed &= kv_pos <= q_pos
             if window is not None:
                 allowed &= kv_pos > q_pos - window
-            return jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+            bias = jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+            s_t = s_t + jnp.tile(bias, (1, group))
 
-        # Traced straddle tests (all per-batch-dynamic), same geometry as
-        # the static kernel's needs_mask.
-        needs_mask = blk_start + block_kv > kv_len
-        if causal:
-            needs_mask |= (
-                blk_start + block_kv - 1 > q_off + q_blk * block_q
-            )
-        if window is not None:
-            needs_mask |= (
-                blk_start <= q_off + q_blk * block_q + block_q - 1 - window
-            )
-
-        bias = jax.lax.cond(
-            needs_mask,
-            build_bias,
-            lambda: jnp.zeros((block_kv, block_q), jnp.float32),
-        )
-
-        for g in range(group):
-            q = q_ref[0, 0, g]
-            s_t = jax.lax.dot_general(
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if logit_softcap is not None:
-                # Scores are in log2 units (scale*log2e folded into Q):
-                # cap scales by log2e (see ops/flash_fwd.py). Pre-mask.
-                cap2 = logit_softcap * LOG2E
-                s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
-            s_t = s_t + bias
-
-            m_prev = m_scratch[g][:1]
-            l_prev = l_scratch[g][:1]
-            m_curr = jnp.max(s_t, axis=0, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            p_t = jnp.exp2(s_t - m_next)
-            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
-
-            m_scratch[g] = jnp.broadcast_to(m_next, m_scratch.shape[1:])
-            l_scratch[g] = jnp.broadcast_to(l_next, l_scratch.shape[1:])
-
-            acc_scratch[g] *= alpha
-            acc_scratch[g] += jax.lax.dot_general(
-                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-    del num_kv_blocks  # grid's kv axis is DYNAMIC; see wrapper
+            m_prev = m_scratch[:1]
+            if si == 0:
+                # Strict anchor once per KV block (see flash_fwd.py).
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s_t, axis=0, keepdims=True)
+                )
+                alpha = jnp.exp2(m_prev - m_next)
+                p_t = jnp.exp2(s_t - m_next)
+                l_next = alpha * l_scratch[:1] + jnp.sum(
+                    p_t, axis=0, keepdims=True
+                )
+                m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+                l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+                acc_scratch[...] *= alpha
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                # Lazy: p referenced to the anchor — exp2 starts without
+                # waiting for this sub-block's max tree.
+                p_t = jnp.exp2(jnp.minimum(s_t - m_prev, 110.0))
+                l_tmp = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s_t, axis=0, keepdims=True)
+                )
+                alpha = jnp.exp2(m_prev - m_next)
+                m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+                l_scratch[...] = jnp.broadcast_to(
+                    l_tmp * alpha, l_scratch.shape
+                )
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scratch[...] *= alpha
 
     @pl.when(kv_blk == pl.num_programs(3) - 1)
     def _store():
         # q_offset >= 0 implies every real q row sees at least its own
         # position; only padded q rows can have l == 0 (trimmed after).
         # With return_partials the normalization is DEFERRED to the caller
-        # (ring/split combines): emit unnormalized acc plus (m, l).
-        for g in range(group):
-            if return_partials:
-                o_ref[0, 0, g] = acc_scratch[g].T.astype(o_ref.dtype)
-                m_out[0, 0, g] = m_scratch[g]
-                l_out[0, 0, g] = l_scratch[g]
-            else:
-                l = l_scratch[g][:1]
-                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-                o_t = acc_scratch[g] * l_inv
-                o_ref[0, 0, g] = o_t.T.astype(o_ref.dtype)
+        # (ring/split combines): emit unnormalized acc plus (m, l). The
+        # combine algebra is exact for ANY reference point m, so the lazy
+        # m (which may sit at its 0 init for dead chunks) composes — dead
+        # chunks still contribute exp2(m - safe) * l = 0.
+        d_pad_k = acc_scratch.shape[0]
+        l_row = l_scratch[:1]  # [1, g * block_q]
+        m_row = m_scratch[:1]
+        if return_partials:
+            o_ref[0, 0] = (
+                acc_scratch[...].T.reshape(group, block_q, d_pad_k)
+                .astype(o_ref.dtype)
+            )
+            m_out[0, 0] = jnp.broadcast_to(
+                m_row.reshape(group, 1, block_q),
+                (group, NUM_SUBLANES, block_q),
+            )
+            l_out[0, 0] = jnp.broadcast_to(
+                l_row.reshape(group, 1, block_q),
+                (group, NUM_SUBLANES, block_q),
+            )
+        else:
+            l_inv = jnp.where(l_row == 0.0, 1.0, 1.0 / l_row)
+            o_t = acc_scratch[...] * l_inv
+            o_ref[0, 0] = (
+                o_t.T.reshape(group, block_q, d_pad_k).astype(o_ref.dtype)
+            )
 
 
 @functools.partial(
@@ -286,6 +322,12 @@ def flash_attention_chunked(
             limit = jnp.minimum(limit, jnp.maximum(last_causal, 0))
         return (b_, h, jnp.minimum(j, limit), 0)
 
+    # Inner sub-blocks expose the lazy max's cross-sub-block MXU/VPU
+    # overlap (see flash_fwd.py); sub-blocks need >= 8 sublanes.
+    inner = 4
+    while inner > 1 and (block_kv % inner or block_kv // inner < 8):
+        inner -= 1
+
     kernel = functools.partial(
         _flash_chunked_kernel,
         causal=causal,
@@ -297,6 +339,7 @@ def flash_attention_chunked(
         block_kv=block_kv,
         mask_value=DEFAULT_MASK_VALUE,
         kv_cap=skv,
+        inner=inner,
     )
 
     if return_partials:
@@ -338,9 +381,9 @@ def flash_attention_chunked(
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
-                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
-                pltpu.VMEM((group, d_pad, block_q), jnp.float32),
+                pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
+                pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
+                pltpu.VMEM((d_pad, group * block_q), jnp.float32),
             ],
         ),
         out_shape=out_shape,
