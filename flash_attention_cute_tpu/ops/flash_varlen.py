@@ -56,9 +56,9 @@ def _flash_varlen_kernel(
     k_ref,  # [1, block_kv, d]
     v_ref,  # [1, block_kv, d]
     o_ref,  # [1, g, block_q, d]
-    m_scratch,  # [g, NUM_SUBLANES, block_q] f32
+    m_scratch,  # [NUM_SUBLANES, g * block_q] f32 (row 0 live)
     l_scratch,
-    acc_scratch,  # [g, d, block_q] f32
+    acc_scratch,  # [d, g * block_q] f32
     *,
     causal: bool,
     window: int | None,
@@ -68,10 +68,16 @@ def _flash_varlen_kernel(
     block_q: int,
     block_kv: int,
     mask_value: float,
+    inner: int,
 ):
+    """Fused-group varlen kernel with the ANCHORED LAZY running max
+    (round-2 structure transplant from ops/flash_fwd; see there for the
+    measured rationale — softmax fully hidden behind the matmuls, exact
+    up to ~76 nats of within-KV-block score spread)."""
     q_blk = pl.program_id(1)
     t = pl.program_id(2)
     num_steps = pl.num_programs(2)
+    sub_kv = block_kv // inner
     # Band-limited grid: the kv step walks [first, last] of THIS q block
     # only, instead of every kv block of the packed batch (the grid is
     # sized by max_seqlen, not total tokens — O(T * max_len), not O(T^2)).
@@ -79,7 +85,9 @@ def _flash_varlen_kernel(
 
     @pl.when(t == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        # Any finite init is exact for the lazy max (it cancels in
+        # o = acc / l; the strict anchor at sub-block 0 rewrites it).
+        m_scratch[...] = jnp.zeros_like(m_scratch)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -99,73 +107,81 @@ def _flash_varlen_kernel(
 
     @pl.when(should_run)
     def _run():
-        k = k_ref[0]
-        v = v_ref[0]
+        q = q_ref[0].reshape(group * block_q, q_ref.shape[-1])
 
-        def build_bias():
-            kseg = kseg_ref[0].reshape(block_kv, 1)  # [block_kv, 1]
-            qseg = qseg_ref[0].reshape(1, block_q)  # [1, block_q]
-            allowed = kseg == qseg
-            if causal or window is not None:
-                kpos = kpos_ref[0].reshape(block_kv, 1)
-                qbound = qbound_ref[0].reshape(1, block_q)
-            if causal:
-                allowed &= kpos <= qbound
-            if window is not None:
-                allowed &= kpos > qbound - window
-            return jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+        for si in range(inner):
+            k = k_ref[0, si * sub_kv : (si + 1) * sub_kv]
+            v = v_ref[0, si * sub_kv : (si + 1) * sub_kv]
 
-        # Interior tiles (single shared segment, fully below the causal
-        # diagonal) skip mask construction entirely.
-        uniform_seg = jnp.logical_and(qs_lo == qs_hi, ks_lo == ks_hi)
-        uniform_seg = jnp.logical_and(uniform_seg, qs_lo == ks_lo)
-        interior = uniform_seg
-        if causal:
-            if equal_lengths:
-                below = (kv_blk + 1) * block_kv - 1 <= q_blk * block_q
-            else:
-                below = kpos_ref[0, block_kv - 1] <= qbound_ref[0, 0]
-            interior = jnp.logical_and(interior, below)
-        if window is not None:
-            above_window = (
-                kpos_ref[0, 0]
-                > qbound_ref[0, block_q - 1] - window
-            )
-            interior = jnp.logical_and(interior, above_window)
-
-        bias = jax.lax.cond(
-            jnp.logical_not(interior),
-            build_bias,
-            lambda: jnp.zeros((block_kv, block_q), jnp.float32),
-        )
-
-        for g in range(group):
-            q = q_ref[0, g]
             s_t = jax.lax.dot_general(
                 k, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # [sub_kv, group * block_q]
             if logit_softcap is not None:
                 cap2 = logit_softcap * LOG2E  # scores are in log2 units
                 s_t = jnp.tanh(s_t * (1.0 / cap2)) * cap2
-            s_t = s_t + bias
 
-            m_prev = m_scratch[g][:1]
-            l_prev = l_scratch[g][:1]
-            m_curr = jnp.max(s_t, axis=0, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            p_t = jnp.exp2(s_t - m_next)
-            l_next = alpha * l_prev + jnp.sum(p_t, axis=0, keepdims=True)
+            # Straight-line mask build: measured on v5e (32 ragged seqs of
+            # 100-2048 tokens, 512-blocks) 5.27 ms inline vs 6.27 ms with
+            # a lax.cond interior-skip — at ragged-packing tile geometry
+            # most tiles straddle a segment or the diagonal, and the cond
+            # itself serializes Mosaic's pipeline (see flash_fwd.py).
+            def build_bias(si=si):
+                kseg = kseg_ref[0, si * sub_kv : (si + 1) * sub_kv].reshape(
+                    sub_kv, 1
+                )
+                qseg = qseg_ref[0].reshape(1, block_q)
+                allowed = kseg == qseg
+                if causal or window is not None:
+                    kpos = kpos_ref[
+                        0, si * sub_kv : (si + 1) * sub_kv
+                    ].reshape(sub_kv, 1)
+                    qbound = qbound_ref[0].reshape(1, block_q)
+                if causal:
+                    allowed &= kpos <= qbound
+                if window is not None:
+                    allowed &= kpos > qbound - window
+                bias = jnp.where(allowed, 0.0, mask_value).astype(
+                    jnp.float32
+                )
+                return jnp.tile(bias, (1, group))
 
-            m_scratch[g] = jnp.broadcast_to(m_next, m_scratch.shape[1:])
-            l_scratch[g] = jnp.broadcast_to(l_next, l_scratch.shape[1:])
+            s_t = s_t + build_bias()
 
-            acc_scratch[g] *= alpha
-            acc_scratch[g] += jax.lax.dot_general(
-                v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            m_prev = m_scratch[:1]
+            if si == 0:
+                # Strict anchor once per KV block (see flash_fwd.py).
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s_t, axis=0, keepdims=True)
+                )
+                alpha = jnp.exp2(m_prev - m_next)
+                p_t = jnp.exp2(s_t - m_next)
+                l_next = alpha * l_scratch[:1] + jnp.sum(
+                    p_t, axis=0, keepdims=True
+                )
+                m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+                l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+                acc_scratch[...] *= alpha
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                p_t = jnp.exp2(jnp.minimum(s_t - m_prev, 110.0))
+                l_tmp = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s_t, axis=0, keepdims=True)
+                )
+                alpha = jnp.exp2(m_prev - m_next)
+                m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+                l_scratch[...] = jnp.broadcast_to(
+                    l_tmp * alpha, l_scratch.shape
+                )
+                acc_scratch[...] += jax.lax.dot_general(
+                    v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scratch[...] *= alpha
 
     @pl.when(t == num_steps - 1)
     def _store():
@@ -174,17 +190,14 @@ def _flash_varlen_kernel(
         # Rows whose l is polluted by mask_value terms inside a visited
         # tile are killed via bound < 0 (no kv position can satisfy
         # pos <= bound < 0).
+        d_pad_k = acc_scratch.shape[0]
+        l_row = l_scratch[:1]  # [1, g * block_q]
+        l_inv = jnp.where(l_row == 0.0, 1.0, 1.0 / l_row)
         if causal:
-            dead = (qbound_ref[0].reshape(1, block_q) < 0)
-        else:
-            dead = None
-        for g in range(group):
-            l = l_scratch[g][:1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            if dead is not None:
-                l_inv = jnp.where(dead, 0.0, l_inv)
-            o_t = acc_scratch[g] * l_inv
-            o_ref[0, g] = o_t.T.astype(o_ref.dtype)
+            dead = jnp.tile(qbound_ref[0].reshape(1, block_q) < 0, (1, group))
+            l_inv = jnp.where(dead, 0.0, l_inv)
+        o_t = acc_scratch[...] * l_inv
+        o_ref[0] = o_t.T.reshape(group, block_q, d_pad_k).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -234,9 +247,9 @@ def flash_attention_packed(
         assert q_bounds is not None and kv_positions is not None
 
     if block_q <= 0:
-        block_q = 256
+        block_q = 512
     if block_kv <= 0:
-        block_kv = 256
+        block_kv = 512
 
     d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
     block_q = min(block_q, _round_up(tq, NUM_LANES))
@@ -328,6 +341,10 @@ def flash_attention_packed(
 
     grid = (hkv, num_q_blocks, kv_steps)
 
+    inner = 4
+    while inner > 1 and (block_kv % inner or block_kv // inner < 8):
+        inner -= 1
+
     kernel = functools.partial(
         _flash_varlen_kernel,
         causal=causal,
@@ -338,6 +355,7 @@ def flash_attention_packed(
         block_q=block_q,
         block_kv=block_kv,
         mask_value=DEFAULT_MASK_VALUE,
+        inner=inner,
     )
 
     def qmeta_map(h, i, t, first, last):
@@ -374,9 +392,9 @@ def flash_attention_packed(
                 lambda h, i, t, first, last: (h, 0, i, 0),
             ),
             scratch_shapes=[
-                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
-                pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),
-                pltpu.VMEM((group, d_pad, block_q), jnp.float32),
+                pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
+                pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
+                pltpu.VMEM((d_pad, group * block_q), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((hkv, group, tq_pad, d_pad), q.dtype),
