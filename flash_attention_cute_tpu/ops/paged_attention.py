@@ -385,6 +385,7 @@ def _paged_extend_kernel(
     sm_scale: float,
     window: int | None,
     mask_value: float,
+    inner: int = 1,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -469,47 +470,77 @@ def _paged_extend_kernel(
         for c in _fetch_block(k_pages_ref, k_buf, sem_k, page_tbl_ref,
                               b, i, slot, ppcb, h):
             c.wait()
-
-        q = q_ref[0, 0]  # [m_pad, d], rows packed (g, r) head-major
-        k = k_buf[slot].reshape(bk, -1)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [m_pad, bk]
-        s *= sm_scale
-
-        # Causal per ROW: row m corresponds to chunk row r = m % chunk at
-        # global position q_off + r; key col visible iff col <= q_off + r
-        # and col < length (padding rows r >= real S mask via length too —
-        # their outputs are trimmed on the host).
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % chunk
-        ok = jnp.logical_and(cols <= q_off + rows, cols < length)
-        if window is not None:
-            ok = jnp.logical_and(ok, cols > q_off + rows - window)
-        s = jnp.where(ok, s, mask_value)
-
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-
         for c in _fetch_block(v_pages_ref, v_buf, sem_v, page_tbl_ref,
                               b, i, slot, ppcb, h):
             c.wait()
-        v = v_buf[slot].reshape(bk, -1)
 
-        acc_scr[...] *= alpha
-        acc_scr[...] += jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        q = q_ref[0, 0]  # [m_pad, d], rows packed (g, r) head-major
+        k_full = k_buf[slot].reshape(bk, -1)
+        v_full = v_buf[slot].reshape(bk, -1)
+
+        # Inner sub-blocks + anchored lazy max (structure transplant from
+        # ops/flash_fwd.py, natural-log units here): sub-block 0 anchors
+        # the running max strictly, later sub-blocks reference it lazily
+        # so their max tree and rescale overlap the matmuls.
+        sub = bk // inner
+        for si in range(inner):
+            k = k_full[si * sub : (si + 1) * sub]
+            v = v_full[si * sub : (si + 1) * sub]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [m_pad, sub]
+            s *= sm_scale
+
+            # Causal per ROW: row m corresponds to chunk row r = m % chunk
+            # at global position q_off + r; key col visible iff
+            # col <= q_off + r and col < length (padding rows r >= real S
+            # mask via length too — their outputs are trimmed on the host).
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + i * bk + si * sub
+            )
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % chunk
+            ok = jnp.logical_and(cols <= q_off + rows, cols < length)
+            if window is not None:
+                ok = jnp.logical_and(ok, cols > q_off + rows - window)
+            s = jnp.where(ok, s, mask_value)
+
+            m_prev = m_scr[...][:, :1]
+            if si == 0:
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                )
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_next = alpha * l_scr[...][:, :1] + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+                acc_scr[...] *= alpha
+                acc_scr[...] += jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                # Lazy: 75 nats ~ the f32 exp overflow guard (anchored, so
+                # only within-block spread can reach it; see flash_fwd.py).
+                p = jnp.exp(jnp.minimum(s - m_prev, 75.0))
+                l_tmp = l_scr[...][:, :1] + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                )
+                alpha = jnp.exp(m_prev - m_next)
+                m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(l_tmp * alpha, l_scr.shape)
+                acc_scr[...] += jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[...] *= alpha
 
         state_ref[0] = 1 - slot
 
@@ -592,6 +623,13 @@ def paged_attention_extend(
         k_pages = jnp.pad(k_pages, [(0, 0)] * 3 + [(0, d_pad - d)])
         v_pages = jnp.pad(v_pages, [(0, 0)] * 3 + [(0, d_pad - d)])
 
+    # Inner sub-blocks for the anchored-lazy overlap; sub-blocks want full
+    # 128-lane score tiles, fall back to fewer splits for small pools.
+    bk_tokens = page_size * ppcb
+    inner = 4
+    while inner > 1 and (bk_tokens % inner or bk_tokens // inner < 128):
+        inner -= 1
+
     kernel = functools.partial(
         _paged_extend_kernel,
         page_size=page_size,
@@ -600,6 +638,7 @@ def paged_attention_extend(
         sm_scale=sm_scale,
         window=window,
         mask_value=DEFAULT_MASK_VALUE,
+        inner=inner,
     )
 
     out = pl.pallas_call(

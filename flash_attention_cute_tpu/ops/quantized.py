@@ -682,6 +682,7 @@ def _quant_paged_extend_kernel(
     window: int | None,
     mask_value: float,
     compute_dtype,
+    inner: int = 1,
 ):
     from flash_attention_cute_tpu.ops.paged_attention import _fetch_block
 
@@ -770,52 +771,79 @@ def _quant_paged_extend_kernel(
         for c in (
             _fetch_block(kp_ref, k_buf, sem_k, page_tbl_ref, b, i, slot, ppcb, h)
             + _fetch_block(ksc_ref, ksc_buf, sem_ks, page_tbl_ref, b, i, slot, ppcb, h)
-        ):
-            c.wait()
-
-        q = q_ref[0, 0]  # [m_pad, d], rows packed (g, r) head-major
-        k = k_buf[slot].reshape(bk, -1).astype(compute_dtype)
-        kscale = ksc_buf[slot].reshape(bk).astype(jnp.float32)
-
-        s = jax.lax.dot_general(
-            q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [m_pad, bk]
-        s = s * (kscale[None, :] * sm_scale)
-
-        # Causal per ROW: row m is chunk row r = m % chunk at global
-        # position q_off + r (ops/paged_attention._paged_extend_kernel).
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % chunk
-        ok = jnp.logical_and(cols <= q_off + rows, cols < length)
-        if window is not None:
-            ok = jnp.logical_and(ok, cols > q_off + rows - window)
-        s = jnp.where(ok, s, mask_value)
-
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-
-        for c in (
-            _fetch_block(vp_ref, v_buf, sem_v, page_tbl_ref, b, i, slot, ppcb, h)
+            + _fetch_block(vp_ref, v_buf, sem_v, page_tbl_ref, b, i, slot, ppcb, h)
             + _fetch_block(vsc_ref, vsc_buf, sem_vs, page_tbl_ref, b, i, slot, ppcb, h)
         ):
             c.wait()
-        v = v_buf[slot].reshape(bk, -1).astype(compute_dtype)
-        vscale = vsc_buf[slot].reshape(bk).astype(jnp.float32)
 
-        pv_in = (p * vscale[None, :]).astype(compute_dtype)
-        acc_scr[...] *= alpha
-        acc_scr[...] += jax.lax.dot_general(
-            pv_in, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        q = q_ref[0, 0].astype(compute_dtype)  # [m_pad, d], (g, r) packed
+        k_full = k_buf[slot].reshape(bk, -1).astype(compute_dtype)
+        ks_full = ksc_buf[slot].reshape(bk).astype(jnp.float32)
+        v_full = v_buf[slot].reshape(bk, -1).astype(compute_dtype)
+        vs_full = vsc_buf[slot].reshape(bk).astype(jnp.float32)
+
+        # Inner sub-blocks + anchored lazy max (see
+        # ops/paged_attention._paged_extend_kernel).
+        sub = bk // inner
+        for si in range(inner):
+            k = k_full[si * sub : (si + 1) * sub]
+            kscale = ks_full[si * sub : (si + 1) * sub]
+            v = v_full[si * sub : (si + 1) * sub]
+            vscale = vs_full[si * sub : (si + 1) * sub]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [m_pad, sub]
+            s = s * (kscale[None, :] * sm_scale)
+
+            # Causal per ROW: row m is chunk row r = m % chunk at global
+            # position q_off + r (ops/paged_attention._paged_extend_kernel).
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + i * bk + si * sub
+            )
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % chunk
+            ok = jnp.logical_and(cols <= q_off + rows, cols < length)
+            if window is not None:
+                ok = jnp.logical_and(ok, cols > q_off + rows - window)
+            s = jnp.where(ok, s, mask_value)
+
+            m_prev = m_scr[...][:, :1]
+            if si == 0:
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                )
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_next = alpha * l_scr[...][:, :1] + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+                acc_scr[...] *= alpha
+                acc_scr[...] += jax.lax.dot_general(
+                    (p * vscale[None, :]).astype(compute_dtype), v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                p = jnp.exp(jnp.minimum(s - m_prev, 75.0))
+                l_tmp = l_scr[...][:, :1] + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                )
+                alpha = jnp.exp(m_prev - m_next)
+                m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(l_tmp * alpha, l_scr.shape)
+                acc_scr[...] += jax.lax.dot_general(
+                    (p * vscale[None, :]).astype(compute_dtype), v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[...] *= alpha
 
         state_ref[0] = 1 - slot
 
@@ -912,6 +940,11 @@ def paged_attention_extend_quantized(
 
     compute_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
 
+    bk_tokens = page_size * ppcb
+    inner = 4
+    while inner > 1 and (bk_tokens % inner or bk_tokens // inner < 128):
+        inner -= 1
+
     kernel = functools.partial(
         _quant_paged_extend_kernel,
         page_size=page_size,
@@ -921,6 +954,7 @@ def paged_attention_extend_quantized(
         window=window,
         mask_value=DEFAULT_MASK_VALUE,
         compute_dtype=compute_dtype,
+        inner=inner,
     )
 
     out = pl.pallas_call(
