@@ -204,7 +204,7 @@ def _flash_varlen_kernel(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "window", "logit_softcap", "equal_lengths",
-        "max_seqlen", "block_q", "block_kv", "interpret", "debug",
+        "max_seqlen", "block_q", "block_kv", "stable", "interpret", "debug",
     ),
 )
 def flash_attention_packed(
@@ -223,6 +223,7 @@ def flash_attention_packed(
     max_seqlen: int = 0,
     block_q: int = 0,
     block_kv: int = 0,
+    stable: bool | str = True,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -341,7 +342,11 @@ def flash_attention_packed(
 
     grid = (hkv, num_q_blocks, kv_steps)
 
-    inner = 4
+    # stable=True: anchored lazy max over 4 inner sub-blocks (+11% on the
+    # ragged v5e benchmark; exact up to ~76 nats of within-KV-block score
+    # spread, saturating gracefully beyond — see ops/flash_fwd.py).
+    # stable="strict": one strict sub-block per KV block, exact always.
+    inner = 1 if stable == "strict" else 4
     while inner > 1 and (block_kv % inner or block_kv // inner < 8):
         inner -= 1
 
@@ -429,7 +434,7 @@ def _seg_metadata(cu: jax.Array, total: int):
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "window", "logit_softcap", "equal_lengths",
-        "max_seqlen", "block_q", "block_kv", "interpret", "debug",
+        "max_seqlen", "block_q", "block_kv", "stable", "interpret", "debug",
     ),
 )
 def flash_attention_varlen(
@@ -446,6 +451,7 @@ def flash_attention_varlen(
     max_seqlen: int = 0,
     block_q: int = 0,
     block_kv: int = 0,
+    stable: bool | str = True,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -498,6 +504,7 @@ def flash_attention_varlen(
         max_seqlen=max_seqlen,
         block_q=block_q,
         block_kv=block_kv,
+        stable=stable,
         interpret=interpret,
         debug=debug,
     )

@@ -10,6 +10,40 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def test_chunked_lazy_max_large_scores():
+    """Anchored-lazy regression: activation-scale scores (tens of nats,
+    like real layer inputs — the magnitudes that broke the UNanchored lazy
+    max in the engine) must stay exact vs the fp32 oracle."""
+    from flash_attention_cute_tpu.ops.flash_chunked import (
+        flash_attention_chunked,
+    )
+    from flash_attention_cute_tpu.ops.reference import attention_reference
+
+    ks = jax.random.split(jax.random.key(3), 3)
+    b, hq, hkv, s, c, d = 1, 4, 2, 64, 512, 64
+    q = jax.random.normal(ks[0], (b, hq, s, d)) * 4.0
+    k = jax.random.normal(ks[1], (b, hkv, c, d)) * 4.0
+    v = jax.random.normal(ks[2], (b, hkv, c, d))
+    qo = jnp.array([300], jnp.int32)
+    kl = qo + s
+    out = flash_attention_chunked(q, k, v, qo, kl, interpret=True)
+    ref = attention_reference(
+        q, k, v, causal=True, kv_length=kl, q_offset=qo
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-4, rtol=2e-2,
+    )
+    # Beyond the envelope (x6 — scores far outside any trained model) the
+    # lazy default must saturate GRACEFULLY: finite, bounded by V's hull.
+    out6 = flash_attention_chunked(
+        q * 1.5, k * 1.5, v, qo, kl, interpret=True
+    )
+    a = np.asarray(out6, np.float32)
+    assert np.all(np.isfinite(a))
+    assert np.abs(a).max() <= np.abs(np.asarray(v)).max() + 1e-3
+
 from flash_attention_cute_tpu.ops.flash_chunked import flash_attention_chunked
 from flash_attention_cute_tpu.ops.reference import attention_reference
 

@@ -157,6 +157,45 @@ def test_varlen_banded_unequal_lengths():
     )
 
 
+def test_varlen_lazy_max_large_scores():
+    """Anchored-lazy envelope: exact at activation-scale magnitudes (x4,
+    like test_lazy_max_matches_strict in test_flash_fwd.py); beyond the
+    envelope stable='strict' stays exact and is the documented escape."""
+    lens = [100, 37, 256, 90]
+    q, k, v = pack(jax.random.key(8), lens, lens, 4, 2, 64)[:3]
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+
+    out = flash_attention_varlen(
+        q * 4.0, k * 4.0, v, cu, causal=True, block_q=128, block_kv=128,
+        interpret=True,
+    )
+    want = oracle(q * 4.0, k * 4.0, v, cu, cu, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-4, rtol=2e-2,
+    )
+
+    # x6 (scores far outside any trained model): strict stays exact...
+    out_s = flash_attention_varlen(
+        q * 6.0, k * 6.0, v, cu, causal=True, stable="strict",
+        block_q=128, block_kv=128, interpret=True,
+    )
+    want6 = oracle(q * 6.0, k * 6.0, v, cu, cu, True)
+    np.testing.assert_allclose(
+        np.asarray(out_s, np.float32), np.asarray(want6, np.float32),
+        atol=2e-4, rtol=2e-2,
+    )
+    # ...and the lazy default saturates GRACEFULLY (finite, bounded by the
+    # convex hull of V — never NaN/inf).
+    out_l = flash_attention_varlen(
+        q * 6.0, k * 6.0, v, cu, causal=True, block_q=128, block_kv=128,
+        interpret=True,
+    )
+    a = np.asarray(out_l, np.float32)
+    assert np.all(np.isfinite(a))
+    assert np.abs(a).max() <= np.abs(np.asarray(v)).max() + 1e-3
+
+
 def test_varlen_logit_softcap():
     lens = [90, 40]
     q, k, v, cu_q, cu_kv = pack(jax.random.key(6), lens, lens, 4, 2, 64)

@@ -75,6 +75,29 @@ def test_paged_extend_inactive_slot():
         )
 
 
+def test_paged_extend_lazy_max_large_scores():
+    """Anchored-lazy regression at activation-scale score magnitudes."""
+    b, hq, hkv, sq, pps, ps, d = 1, 4, 2, 16, 16, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(9), b, hq, hkv, sq, pps, ps, d)
+    q = q * 6.0
+    kp = kp * 6.0
+    q_off = jnp.array([90], jnp.int32)
+    kv_len = q_off + sq
+    out = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl,
+        pages_per_compute_block=2, interpret=True,
+    )
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-4, rtol=2e-2,
+    )
+
+
 def test_paged_extend_block_invariance():
     b, hq, hkv, sq, pps, ps, d = 1, 8, 2, 24, 16, 8, 64
     q, kp, vp, tbl = setup(jax.random.key(2), b, hq, hkv, sq, pps, ps, d)
