@@ -79,3 +79,28 @@ def test_ragged_cache_capacity():
     """Cache capacity not a multiple of the block size."""
     q, k, v = make_qkv(jax.random.key(6), 1, 4, 4, 333, 64, jnp.float32)
     check(q, k, v, kv_length=jnp.array([333], jnp.int32), block_kv=128)
+
+
+def test_stacked_cache_layer_indexing():
+    """The 5-D stacked-cache form (the scan-carry fast path — slicing the
+    layer host-side copied ~0.5 GB per layer per step) must match the 4-D
+    per-layer call for every layer index."""
+    L, b, hq, hkv, skv, d = 3, 2, 4, 2, 384, 64
+    ks = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(ks[0], (b, hq, 1, d), jnp.float32)
+    kc = jax.random.normal(ks[1], (L, b, hkv, skv, d), jnp.float32)
+    vc = jax.random.normal(ks[2], (L, b, hkv, skv, d), jnp.float32)
+    lens = jnp.array([300, 37], jnp.int32)
+    for layer in range(L):
+        got = flash_attention_decode(
+            q, kc, vc, kv_length=lens, layer=jnp.int32(layer),
+            block_kv=128, interpret=True,
+        )
+        want = flash_attention_decode(
+            q, kc[layer], vc[layer], kv_length=lens, block_kv=128,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=1e-5, rtol=1e-5, err_msg=f"layer {layer}",
+        )

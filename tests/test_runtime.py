@@ -110,3 +110,18 @@ def test_top_k_restricts_support():
             SamplingParams(temperature=1.0, top_k=4),
         )
         assert (np.asarray(tok) >= 28).all()
+
+
+def test_greedy_interpret_kernel_path_matches(tiny_llama):
+    """greedy_generate with interpret=True drives the Pallas decode path
+    (including the stacked-cache layer-indexed kernel); it must reproduce
+    the XLA-reference path token for token."""
+    model, jcfg, params = tiny_llama
+    prompt = np.array([[5, 17, 88, 3, 9, 44, 2, 61]], np.int32)
+    ref_path = greedy_generate(params, jcfg, jnp.asarray(prompt), 12)
+    kernel_path = greedy_generate(
+        params, jcfg, jnp.asarray(prompt), 12, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kernel_path), np.asarray(ref_path)
+    )
