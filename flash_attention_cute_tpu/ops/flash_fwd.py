@@ -57,6 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 # is fully masked within a visited block (exp(-inf - (-inf)) = NaN).
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Running-max values at or below this sentinel mean "column not anchored
+# yet" (no live score seen): real scores cannot reach this scale without
+# the inputs themselves overflowing f32. Masked entries (DEFAULT_MASK_VALUE
+# plus a finite score) always sit below it.
+UNANCHORED = 0.5 * DEFAULT_MASK_VALUE
+
 # Lane count: the minor dimension of every VPU/VMEM tile.
 NUM_LANES = 128
 
@@ -260,6 +266,7 @@ def _flash_fwd_kernel_fused(
     logit_softcap: float | None = None,
     mask_inline: bool = False,
     lse_ref=None,  # [1, 1, g, block_q] f32 — log2-sum-exp residual (bwd)
+    clamp_ref=None,  # [1, 1] f32 — lazy-envelope saturation event count
 ):
     """Fused-group variant: the whole G-head group rides in ONE pair of MXU
     ops per KV block — S^T = K (Qg)^T is [block_kv, G*block_q] — instead of
@@ -280,18 +287,23 @@ def _flash_fwd_kernel_fused(
 
     @pl.when(kv_blk == 0)
     def _init():
-        # stable=True (lazy max) references the running max from BEFORE the
-        # current block, so it must start finite: 0, not -inf (the
-        # reference point cancels in o = acc / l, so any finite init is
-        # exact). strict mode keeps the classic -inf.
-        m_scratch[...] = jnp.full_like(
-            m_scratch, -jnp.inf if stable == "strict" else 0.0
-        )
+        # -inf init is exact for every stable mode: sub-block 0 of each KV
+        # block runs the strict branch, which anchors the running max at
+        # that sub-block's true (finite) maximum before any lazy exp2
+        # references it. (A 0.0 init — used in round 2 — additionally
+        # underflowed rows whose max scaled score sits below ~-126
+        # log2-units to exact zeros; -inf has no such edge.)
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     offset = kv_len - q_len
     kv_padded = kv_len_padded != kv_len
+
+    if clamp_ref is not None:
+        @pl.when(jnp.logical_and(q_blk == 0, kv_blk == 0))
+        def _init_clamp():
+            clamp_ref[0, 0] = 0.0
 
     if causal:
         should_run = kv_blk * block_kv <= (q_blk + 1) * block_q - 1 + offset
@@ -383,12 +395,29 @@ def _flash_fwd_kernel_fused(
                 # the max tree and the acc rescale sit ON the QK->exp2->PV
                 # critical path (measured -10..-20 TF/s vs lazy on v5e).
                 # Always exact; keep for adversarial inputs.
+                #
+                # Per-column ANCHORING (round 3): the running max starts at
+                # -inf ("unanchored"); a column's first live score anchors
+                # it at that sub-block's TRUE max (alpha washes any prior
+                # masked-pollution to exact 0), so the lazy branch below
+                # references real score scale — no 0.0-init negative-
+                # underflow edge (round-2 advisor finding), and deeply
+                # negative rows stay exact. Columns with no live score yet
+                # (m_next still <= UNANCHORED) contribute exact 0.
                 m_prev = m_scratch[:1]
                 l_prev = l_scratch[:1]
                 m_curr = jnp.max(s_t, axis=0, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp2(m_prev - m_next)
+                unanchored = m_prev <= UNANCHORED
+                m_next = jnp.where(
+                    unanchored, m_curr, jnp.maximum(m_prev, m_curr)
+                )
+                alpha = jnp.where(
+                    unanchored, 0.0, jnp.exp2(m_prev - m_next)
+                )
                 p_t = jnp.exp2(s_t - m_next)
+                # Dead-so-far columns (m_next at mask scale): zero p so
+                # they never pollute l/acc (exp2(mask - mask) == 1).
+                p_t = jnp.where(m_next <= UNANCHORED, 0.0, p_t)
                 p_op = p_t.astype(v.dtype)  # PV matmul operand
                 # (An MXU ones-row matmul for this sum measured ~7% SLOWER
                 # than the VPU reduction — the extra matmul serializes on
@@ -421,13 +450,36 @@ def _flash_fwd_kernel_fused(
                 # +-120-nat logits pass, trained models are far inside).
                 # Beyond it the row saturates gracefully (no NaN).
                 m_prev = m_scratch[:1]
-                p_t = jnp.exp2(jnp.minimum(s_t - m_prev, 110.0))
+                # Columns not yet anchored by a strict sub-block (only
+                # possible under window/masked-start geometries, where a
+                # column's first live score can appear at a lazy
+                # sub-block) fall back to reference 0 — the round-2
+                # envelope — instead of the mask-scale sentinel, which
+                # would saturate every live score at the +110 clamp.
+                m_ref = jnp.where(m_prev <= UNANCHORED, 0.0, m_prev)
+                delta = s_t - m_ref
+                p_t = jnp.exp2(jnp.minimum(delta, 110.0))
                 p_op = p_t.astype(v.dtype)
+                if clamp_ref is not None:
+                    # Saturation-event counter: scores beyond the +110
+                    # log2-unit lazy envelope (where the clamp engaged and
+                    # the result degraded). A plain VPU reduction off the
+                    # QK->exp2->PV critical path — it does not gate p.
+                    clamp_ref[0, 0] += jnp.sum(
+                        (delta > 110.0).astype(jnp.float32)
+                    )
                 l_tmp = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
-                m_next = jnp.maximum(
-                    m_prev, jnp.max(s_t, axis=0, keepdims=True)
+                row_max = jnp.max(s_t, axis=0, keepdims=True)
+                # Keep fully-masked-so-far columns unanchored (sentinel);
+                # anchor at max(0, row_max) once a live score appears.
+                m_next = jnp.where(
+                    row_max <= UNANCHORED,
+                    m_prev,
+                    jnp.maximum(m_ref, row_max),
                 )
-                alpha = jnp.exp2(m_prev - m_next)
+                alpha = jnp.where(
+                    m_next <= UNANCHORED, 1.0, jnp.exp2(m_ref - m_next)
+                )
                 m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
                 l_scratch[...] = jnp.broadcast_to(
                     l_tmp * alpha, l_scratch.shape
@@ -487,12 +539,189 @@ def _flash_fwd_kernel_fused(
             lse_ref[0, 0] = lse.reshape(group, block_q)
 
 
+def _flash_fwd_kernel_diag(
+    q_ref,  # [1, 1, g, block, d]  head-major (production layout)
+    k_ref,  # [1, 1, block, d]
+    v_ref,  # [1, 1, block, d]
+    o_ref,  # [1, 1, g, block, d]
+    m_scratch,  # [NUM_SUBLANES, g * block] f32
+    l_scratch,  # [NUM_SUBLANES, g * block] f32
+    acc_scratch,  # [d, g * block] f32 — O^T accumulator
+    *,
+    group: int,
+    block: int,
+    q_len: int,
+    kv_len: int,
+    kv_len_padded: int,
+    off_blocks: int,  # (kv_len - q_len) // block, >= 0
+    mask_value: float,
+    inner: int,
+    fused_subs: int,  # diag sub-blocks si < fused_subs run fused full-width
+):
+    """DIAG-FIRST causal kernel (round 3, the headline-perf redesign).
+
+    Each q tile walks its live KV blocks in DESCENDING order via the index
+    map `max(i + off_blocks - j, 0)`, which pins the diagonal (straddle)
+    block at grid step j == 0 — a STATIC program-id position. Then:
+
+      * interior steps (1 <= j <= i + off_blocks) are completely mask-free
+        straight-line fused wide matmuls — no bias build, no lax.cond;
+      * the diagonal step is a hybrid: sub-blocks si < fused_subs run the
+        fused full-width matmul with a straight-line bias (their live-q
+        fraction is high), later sub-blocks run a PER-HEAD loop whose
+        operands slice each head's contiguous live-q suffix [si*sub :] —
+        in head-major layout the nested suffixes exactly encode the
+        triangle, skipping the dead FLOPs with zero conditionals.
+
+    Requires block_q == block_kv and (kv_len - q_len) % block == 0 with
+    kv_len >= q_len (the prefill case); the wrapper falls back to the
+    general kernel otherwise. v5e, B16 Hq64 Hkv8 S1024 D128 bf16 causal:
+    72.4 (round-2 kernel) -> 85 TF/s; S=4096 B4 Hq32: 100 -> 127 TF/s
+    (benchmarks/experiment_diag2.py ablation: descending-order structure
+    alone 75.8, + per-head sliced diag 80-84, fused_subs=2 best).
+
+    Softmax: anchored-lazy with the -inf/UNANCHORED sentinel scheme of the
+    fused kernel. Because the diagonal step runs FIRST and kv row 0 is
+    visible to every query (offset >= 0), every column anchors at its true
+    max in the very first strict sub-block.
+    """
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
+    sub = block // inner
+    offset = kv_len - q_len
+    kv_padded = kv_len_padded != kv_len
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    def softmax_update(s_t, lo, v_blk, strict):
+        """Online softmax + accumulate on the lane slice [lo : lo + w).
+
+        Same anchored-sentinel math as _flash_fwd_kernel_fused: strict
+        anchors unanchored columns at this sub-block's true max with a
+        washing alpha; lazy references the anchor (or 0 for the
+        window-less diag-first geometry this never triggers)."""
+        w = s_t.shape[1]
+        hi = lo + w
+        m_prev = m_scratch[:1, lo:hi]
+        if strict:
+            m_curr = jnp.max(s_t, axis=0, keepdims=True)
+            unanchored = m_prev <= UNANCHORED
+            m_next = jnp.where(
+                unanchored, m_curr, jnp.maximum(m_prev, m_curr)
+            )
+            alpha = jnp.where(unanchored, 0.0, jnp.exp2(m_prev - m_next))
+            p_t = jnp.exp2(s_t - m_next)
+            p_t = jnp.where(m_next <= UNANCHORED, 0.0, p_t)
+            p_op = p_t.astype(v_blk.dtype)
+            l_next = alpha * l_scratch[:1, lo:hi] + jnp.sum(
+                p_t, axis=0, keepdims=True
+            )
+            m_scratch[:, lo:hi] = jnp.broadcast_to(m_next, (NUM_SUBLANES, w))
+            l_scratch[:, lo:hi] = jnp.broadcast_to(l_next, (NUM_SUBLANES, w))
+            acc_scratch[:, lo:hi] *= alpha
+            acc_scratch[:, lo:hi] += jax.lax.dot_general(
+                v_blk, p_op, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_ref = jnp.where(m_prev <= UNANCHORED, 0.0, m_prev)
+            p_t = jnp.exp2(jnp.minimum(s_t - m_ref, 110.0))
+            p_op = p_t.astype(v_blk.dtype)
+            l_tmp = l_scratch[:1, lo:hi] + jnp.sum(
+                p_t, axis=0, keepdims=True
+            )
+            row_max = jnp.max(s_t, axis=0, keepdims=True)
+            m_next = jnp.where(
+                row_max <= UNANCHORED, m_prev, jnp.maximum(m_ref, row_max)
+            )
+            alpha = jnp.where(
+                m_next <= UNANCHORED, 1.0, jnp.exp2(m_ref - m_next)
+            )
+            m_scratch[:, lo:hi] = jnp.broadcast_to(m_next, (NUM_SUBLANES, w))
+            l_scratch[:, lo:hi] = jnp.broadcast_to(
+                l_tmp * alpha, (NUM_SUBLANES, w)
+            )
+            acc_scratch[:, lo:hi] += jax.lax.dot_general(
+                v_blk, p_op, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scratch[:, lo:hi] *= alpha
+
+    @pl.when(j == 0)
+    def _diag_step():
+        for si in range(inner):
+            fused_this = si < fused_subs
+            start = 0 if fused_this else si * sub
+            k_sub = k_ref[0, 0, si * sub : (si + 1) * sub]
+            v_sub = v_ref[0, 0, si * sub : (si + 1) * sub]
+            # Straight-line bias at full block width (this step always
+            # straddles the diagonal), shared by all heads; suffix-sliced
+            # for the per-head sub-blocks.
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, (sub, block), 0) + (
+                (i + off_blocks) * block + si * sub
+            )
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (sub, block), 1) + (
+                i * block
+            )
+            allowed = kv_pos <= q_pos + offset
+            if kv_padded:
+                allowed &= kv_pos < kv_len
+            bias = jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+            if fused_this:
+                q_all = q_ref[0, 0].reshape(block * group, q_ref.shape[-1])
+                s_t = jax.lax.dot_general(
+                    k_sub, q_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [sub, group * block]
+                s_t += jnp.tile(bias, (1, group))
+                softmax_update(s_t, 0, v_sub, strict=(si == 0))
+            else:
+                for g in range(group):
+                    q_g = q_ref[0, 0, g, start:, :]  # [block - start, d]
+                    s_t = jax.lax.dot_general(
+                        k_sub, q_g, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [sub, block - start]
+                    s_t += bias[:, start:]
+                    softmax_update(
+                        s_t, g * block + start, v_sub, strict=(si == 0)
+                    )
+
+    @pl.when(jnp.logical_and(j > 0, j <= i + off_blocks))
+    def _interior_step():
+        q_all = q_ref[0, 0].reshape(block * group, q_ref.shape[-1])
+        for si in range(inner):
+            k_sub = k_ref[0, 0, si * sub : (si + 1) * sub]
+            v_sub = v_ref[0, 0, si * sub : (si + 1) * sub]
+            s_t = jax.lax.dot_general(
+                k_sub, q_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            softmax_update(s_t, 0, v_sub, strict=(si == 0))
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_t = acc_scratch[...] * l_inv  # [d, g * block]
+        d_pad = acc_scratch.shape[0]
+        o_ref[0, 0] = (
+            o_t.T.reshape(group, block, d_pad).astype(o_ref.dtype)
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "causal", "window", "block_q", "block_kv",
         "fuse_group", "inner_splits", "stable", "logit_softcap",
-        "return_lse", "interpret", "debug",
+        "return_lse", "return_clamps", "diag_fused_subs",
+        "interpret", "debug",
     ),
 )
 def flash_attention_fwd(
@@ -509,6 +738,9 @@ def flash_attention_fwd(
     stable: bool | str = True,
     logit_softcap: float | None = None,
     return_lse: bool = False,
+    return_clamps: bool = False,
+    diag_fused_subs: int = 0,  # diag-first tuning: sub-blocks < this run
+    # fused full-width; 0 = auto (inner_splits // 2, the v5e optimum)
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -544,9 +776,17 @@ def flash_attention_fwd(
       return_lse: additionally return the per-row log2-sum-exp of the
         scaled scores ([B, Hq, Sq] f32, +inf on empty/fully-masked rows) —
         the residual the Pallas backward (ops/flash_bwd.py) needs.
+      return_clamps: additionally return a [B, Hkv] f32 count of score
+        entries that exceeded the lazy-softmax +110 log2-unit envelope
+        (saturation events — 0 means the stable=True result is exact; a
+        nonzero count means those rows degraded and `stable='strict'`
+        should be used). The counter is a VPU reduction off the
+        QK->exp2->PV critical path (measured-overhead line in
+        BASELINE.md). Forces the fused kernel; always 0 under
+        stable='strict'.
 
-    Returns: [B, Hq, Sq, D] in q's dtype; with return_lse, a tuple
-    (out, lse).
+    Returns: [B, Hq, Sq, D] in q's dtype; with return_lse and/or
+    return_clamps, a tuple (out, lse?, clamps?) in that order.
     """
     b, hq, sq, d = q.shape
     bk, hkv, skv, dk = k.shape
@@ -566,6 +806,7 @@ def flash_attention_fwd(
         block_q = 512
     if block_kv <= 0:
         block_kv = 512 if causal else 1024
+    inner_splits_requested = inner_splits
     if inner_splits <= 0:
         inner_splits = 4 if causal else 8
 
@@ -609,6 +850,103 @@ def flash_attention_fwd(
     # Pack q-head groups: [B, Hq, S, D] -> [B, Hkv, G, S, D].
     qg = q.reshape(b, hkv, group, sq_pad, d_pad)
 
+    # DIAG-FIRST fast path (round 3): causal prefill with block-aligned
+    # bottom-right offset takes the descending-KV hybrid kernel — mask-free
+    # interiors + dead-FLOP-skipping diagonal step (see
+    # _flash_fwd_kernel_diag). Other configurations (windows, softcap,
+    # lse/clamp outputs, strict/off softmax, ragged offsets) keep the
+    # general kernel below.
+    offset0 = skv - sq
+    if (
+        causal
+        and window is None
+        and logit_softcap is None
+        and stable is True
+        and not return_lse
+        and not return_clamps
+        and fuse_group is not False
+        and offset0 >= 0
+        and block_q == block_kv
+        and offset0 % block_q == 0
+        and not debug
+    ):
+        block = block_q
+        inner = inner_splits
+        diag_bytes = (
+            (block // max(inner, 1) + d_pad + NUM_SUBLANES * 2)
+            * (group * block) * 4
+            + group * block * d_pad * q.dtype.itemsize
+        )
+        if diag_bytes <= 12 * 1024 * 1024:
+            nq = sq_pad // block
+            nkv = skv_pad // block
+            off_blocks = offset0 // block
+
+            def kv_index_desc(b_, h, i, j):
+                # Descending walk; dead steps (j > i + off_blocks) re-address
+                # the last-fetched block so Pallas elides their copies.
+                return (b_, h, jnp.maximum(i + off_blocks - j, 0), 0)
+
+            kernel = functools.partial(
+                _flash_fwd_kernel_diag,
+                group=group,
+                block=block,
+                q_len=sq,
+                kv_len=skv,
+                kv_len_padded=skv_pad,
+                off_blocks=off_blocks,
+                mask_value=DEFAULT_MASK_VALUE,
+                inner=inner,
+                fused_subs=(
+                    min(diag_fused_subs, inner)
+                    if diag_fused_subs > 0
+                    else max(1, inner // 2)  # hybrid2: best on v5e
+                ),
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid=(b, hkv, nq, nkv),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, group, block, d_pad),
+                        lambda b_, h, i, j: (b_, h, 0, i, 0),
+                    ),
+                    pl.BlockSpec((1, 1, block, d_pad), kv_index_desc),
+                    pl.BlockSpec((1, 1, block, d_pad), kv_index_desc),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, group, block, d_pad),
+                    lambda b_, h, i, j: (b_, h, 0, i, 0),
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (b, hkv, group, sq_pad, d_pad), q.dtype
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((NUM_SUBLANES, group * block), jnp.float32),
+                    pltpu.VMEM((NUM_SUBLANES, group * block), jnp.float32),
+                    pltpu.VMEM((d_pad, group * block), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "parallel", "parallel", "parallel", "arbitrary",
+                    ),
+                ),
+                cost_estimate=pl.CostEstimate(
+                    flops=int(4 * b * hq * sq * skv * d_pad * 0.5),
+                    bytes_accessed=int(
+                        2 * q.size * q.dtype.itemsize
+                        + (k.size + v.size) * k.dtype.itemsize
+                    ),
+                    transcendentals=int(b * hq * sq * skv * 0.5),
+                ),
+                interpret=interpret,
+                name="flash_attention_fwd_diag",
+            )(qg, k, v)
+            out = out.reshape(b, hq, sq_pad, d_pad)
+            if sq_pad != sq or d_pad != d:
+                out = out[:, :, :sq, :d]
+            return out
+
     grid = (b, hkv, sq_pad // block_q, skv_pad // block_kv)
 
     if fuse_group is None:
@@ -623,6 +961,25 @@ def flash_attention_fwd(
         fuse_group = group > 1 and fused_bytes <= 12 * 1024 * 1024
     if logit_softcap is not None:
         fuse_group = True  # soft-capping lives in the fused kernel only
+    if return_clamps:
+        fuse_group = True  # the counter lives in the fused lazy branch
+    if not fuse_group and (
+        stable is not True or inner_splits_requested > 1
+    ):
+        # The non-fused per-head kernel always runs the classic strict
+        # softmax and has no inner sub-blocks: honoring correctness but
+        # not the requested speed knobs would be silent (round-2 advisor
+        # finding) — say so.
+        import warnings
+
+        warnings.warn(
+            "flash_attention_fwd: fuse_group=False uses the per-head "
+            f"kernel, which ignores stable={stable!r} and inner_splits "
+            "(it always runs the exact strict softmax); pass "
+            "fuse_group=True (or leave it auto) for the lazy-max/"
+            "inner-split fast path",
+            stacklevel=2,
+        )
 
     # Static mask policy: count straddling vs computed grid cells for this
     # exact geometry. When a large fraction of the causal/window work sits
@@ -685,11 +1042,18 @@ def flash_attention_fwd(
             else {}
         ),
     )
+    extra_outs = []
     if return_lse:
+        extra_outs.append("lse_ref")
+    if return_clamps:
+        extra_outs.append("clamp_ref")
+    if extra_outs:
         base_kernel = kernel
+        n_extra = len(extra_outs)
 
-        def kernel(q_r, k_r, v_r, o_r, lse_r, *scratch):
-            base_kernel(q_r, k_r, v_r, o_r, *scratch, lse_ref=lse_r)
+        def kernel(q_r, k_r, v_r, o_r, *rest):
+            extras = dict(zip(extra_outs, rest[:n_extra]))
+            base_kernel(q_r, k_r, v_r, o_r, *rest[n_extra:], **extras)
 
     flops_factor = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -724,17 +1088,25 @@ def flash_attention_fwd(
         lambda b_, h, i, j: (b_, h, 0, i, 0),
     )
     out_shape = jax.ShapeDtypeStruct((b, hkv, group, sq_pad, d_pad), q.dtype)
-    if return_lse:
-        out_specs = [
-            out_specs,
-            pl.BlockSpec(
-                (1, 1, group, block_q), lambda b_, h, i, j: (b_, h, 0, i)
-            ),
-        ]
-        out_shape = [
-            out_shape,
-            jax.ShapeDtypeStruct((b, hkv, group, sq_pad), jnp.float32),
-        ]
+    if extra_outs:
+        out_specs = [out_specs]
+        out_shape = [out_shape]
+        if return_lse:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, group, block_q), lambda b_, h, i, j: (b_, h, 0, i)
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hkv, group, sq_pad), jnp.float32)
+            )
+        if return_clamps:
+            out_specs.append(
+                pl.BlockSpec((1, 1), lambda b_, h, i, j: (b_, h))
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hkv), jnp.float32)
+            )
 
     out = pl.pallas_call(
         kernel,
@@ -771,12 +1143,22 @@ def flash_attention_fwd(
         name="flash_attention_fwd",
     )(qg, k, v)
 
-    if return_lse:
-        out, lse = out
-        lse = lse.reshape(b, hq, sq_pad)[:, :, :sq]
+    clamps = None
+    if extra_outs:
+        out, *extras = out
+        if return_lse:
+            lse = extras.pop(0)
+            lse = lse.reshape(b, hq, sq_pad)[:, :, :sq]
+        if return_clamps:
+            clamps = extras.pop(0)
     out = out.reshape(b, hq, sq_pad, d_pad)
     if sq_pad != sq or d_pad != d:
         out = out[:, :, :sq, :d]
+    if not extra_outs:
+        return out
+    result = (out,)
     if return_lse:
-        return out, lse
-    return out
+        result += (lse,)
+    if return_clamps:
+        result += (clamps,)
+    return result

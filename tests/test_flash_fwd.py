@@ -189,6 +189,122 @@ def test_lazy_max_matches_strict():
         )
 
 
+def test_lazy_max_deeply_negative_rows_exact():
+    """Rows whose maximum scaled score is far below -126 log2-units must
+    still return a valid softmax average, not underflowed zeros: with the
+    round-2 0.0 running-max init, exp2(s - 0) underflowed for every
+    element of such a row (l == 0 -> exact-zero output). The -inf init +
+    strict sub-block-0 anchor keeps them exact (round-2 advisor finding)."""
+    q, k, v = make_qkv(jax.random.key(13), 1, 2, 1, 256, 256, 64, jnp.float32)
+    # Push every logit to ~-300 nats: q rows scaled large, k shifted so all
+    # dot products are hugely negative but finite.
+    q = q * 10.0 - 30.0
+    k = k - 10.0
+    o_lazy = flash_attention_fwd(
+        q, k, v, causal=True, fuse_group=True, block_q=128, block_kv=128,
+        interpret=True,
+    )
+    o_strict = flash_attention_fwd(
+        q, k, v, causal=True, fuse_group=True, stable="strict",
+        block_q=128, block_kv=128, interpret=True,
+    )
+    # No row may collapse to exact zeros (row 0 attends to one key: its
+    # output is exactly that V row regardless of score magnitude).
+    norms = np.abs(np.asarray(o_lazy, np.float32)).sum(-1)
+    assert (norms > 0).all(), "underflowed rows returned exact zeros"
+    # Lazy routes to the diag-first kernel, strict to the general one:
+    # different sub-block decompositions round differently at this extreme
+    # (-300 nat) score scale.
+    np.testing.assert_allclose(
+        np.asarray(o_lazy), np.asarray(o_strict), atol=1e-3, rtol=1e-3
+    )
+    ref = attention_reference(q, k, v, causal=True)
+    # atol 1e-3: at ~-300-nat score scale a handful of near-zero softmax
+    # weights land on different f32 rounding than the two-pass reference.
+    np.testing.assert_allclose(
+        np.asarray(o_lazy, np.float32), np.asarray(ref, np.float32),
+        atol=1e-3, rtol=2e-2,
+    )
+
+
+@pytest.mark.parametrize(
+    "sq,skv,block", [
+        (512, 512, 128),   # aligned square, multi-tile
+        (500, 500, 128),   # ragged kv tail (kv_padded bias path)
+        (256, 512, 128),   # offset 256 = 2 blocks (block-aligned decode-ish)
+        (384, 384, 256),   # partial last tile + single-ish grid
+    ],
+)
+def test_diag_first_kernel_matches_reference(sq, skv, block):
+    """Round-3 diag-first fast path (descending-KV hybrid): parity with
+    the fp32 reference across aligned/ragged/offset geometries that route
+    into _flash_fwd_kernel_diag (causal, no window, stable=True,
+    block_q == block_kv, offset % block == 0)."""
+    q, k, v = make_qkv(
+        jax.random.key(17), 2, 8, 2, sq, skv, 64, jnp.float32
+    )
+    out = flash_attention_fwd(
+        q, k, v, causal=True, block_q=block, block_kv=block,
+        interpret=True,
+    )
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+
+def test_clamp_counter_zero_on_benign_and_fires_on_adversarial():
+    """Envelope observability (round-3): return_clamps must report 0 for
+    inputs inside the lazy-max envelope (result exact), report > 0 for an
+    adversarial within-KV-block score spread beyond 110 log2-units (~76
+    nats), and stable='strict' must stay exact on the same input."""
+    q, k, v = make_qkv(jax.random.key(21), 1, 4, 1, 128, 128, 64, jnp.float32)
+
+    # Benign: normal-scale logits -> no saturation, identical output.
+    o_plain = flash_attention_fwd(
+        q, k, v, causal=True, block_q=128, block_kv=128, interpret=True,
+    )
+    o_cnt, clamps = flash_attention_fwd(
+        q, k, v, causal=True, block_q=128, block_kv=128,
+        return_clamps=True, interpret=True,
+    )
+    assert float(np.asarray(clamps).sum()) == 0.0, np.asarray(clamps)
+    # o_plain routes to the diag-first kernel; return_clamps runs the
+    # general fused kernel — same math, different rounding order.
+    np.testing.assert_allclose(
+        np.asarray(o_plain, np.float32), np.asarray(o_cnt, np.float32),
+        atol=1e-5, rtol=1e-4,
+    )
+
+    # Adversarial: sub-block 0 anchors each KV block's max; rows 32..127
+    # (sub-blocks 1..3 at inner=4) carry scores hundreds of log2-units
+    # above that anchor -> the +110 clamp engages and must be reported.
+    k_adv = np.array(k)  # writable copy
+    k_adv[:, :, 32:, :] = k_adv[:, :, 32:, :] * 60.0
+    q_adv = np.asarray(q) * 10.0
+    _, clamps_adv = flash_attention_fwd(
+        jnp.asarray(q_adv), jnp.asarray(k_adv), v, causal=True,
+        block_q=128, block_kv=128, inner_splits=4, return_clamps=True,
+        interpret=True,
+    )
+    n_sat = float(np.asarray(clamps_adv).sum())
+    assert n_sat > 0, "adversarial spread did not trigger the counter"
+
+    # The escape hatch stays exact on the same adversarial input.
+    o_strict = flash_attention_fwd(
+        jnp.asarray(q_adv), jnp.asarray(k_adv), v, causal=True,
+        stable="strict", block_q=128, block_kv=128, interpret=True,
+    )
+    ref = attention_reference(
+        jnp.asarray(q_adv), jnp.asarray(k_adv), v, causal=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_strict, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+
 def test_logit_softcap_matches_reference():
     """Gemma-style tanh soft-capping (in log2-score space in-kernel)."""
     q, k, v = make_qkv(jax.random.key(10), 1, 4, 2, 256, 256, 64, jnp.float32)
