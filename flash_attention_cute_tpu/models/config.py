@@ -50,6 +50,9 @@ class ModelConfig:
     sliding_window: int | None = None
     use_sliding_window: bool = False
     max_window_layers: int = 0
+    # Gemma-style tanh soft-capping of attention logits; plumbed through
+    # every kernel path (prefill/decode/extend, dense/paged/quantized).
+    logit_softcap: float | None = None
     dtype: Any = jnp.bfloat16
 
     @property

@@ -58,7 +58,8 @@ def _layer_forward(
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
-    attn = attn_fn(q, k, v, causal=True, window=window, interpret=interpret)
+    attn = attn_fn(q, k, v, causal=True, window=window,
+                   logit_softcap=cfg.logit_softcap, interpret=interpret)
     if k_cache_l is not None:
         if isinstance(k_cache_l, tuple):  # quantized (values, scales)
             from flash_attention_cute_tpu.ops.quantized import quantize_kv
@@ -158,6 +159,7 @@ def _layer_forward_carry(
         if mode == "decode" and use_kernel and mesh is None:
             attn = flash_attention_decode_quantized(
                 q, kq_l, vq_l, kv_length=new_len, window=window,
+                logit_softcap=cfg.logit_softcap,
                 interpret=bool(interpret),
             )
         else:
@@ -171,6 +173,7 @@ def _layer_forward_carry(
                 kv_length=new_len,
                 q_offset=lengths if mode == "extend" else None,
                 window=window,
+                logit_softcap=cfg.logit_softcap,
                 interpret=interpret,
             )
     else:
@@ -196,7 +199,8 @@ def _layer_forward_carry(
             # capacity on an 8-layer 8B-width model.
             attn = flash_attention_decode(
                 q, ck, cv, kv_length=new_len, layer=layer_idx,
-                window=window, interpret=bool(interpret),
+                window=window, logit_softcap=cfg.logit_softcap,
+                interpret=bool(interpret),
             )
         else:
             k_l = jax.lax.dynamic_index_in_dim(
@@ -213,6 +217,7 @@ def _layer_forward_carry(
                 kv_length=new_len,
                 q_offset=lengths if mode == "extend" else None,
                 window=window,
+                logit_softcap=cfg.logit_softcap,
                 interpret=interpret,
             )
 

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attention_cute_tpu.ops.flash_fwd import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
+    UNANCHORED,
     _round_up,
 )
 
@@ -374,6 +375,7 @@ def _paged_extend_kernel(
     v_pages_ref,
     # outputs
     o_ref,  # [1, 1, m_pad, d] f32
+    clamp_ref,  # [1, 1] f32 — lazy-envelope saturation count (whole call)
     # scratch
     k_buf, v_buf, sem_k, sem_v,
     m_scr, l_scr, acc_scr,
@@ -384,6 +386,7 @@ def _paged_extend_kernel(
     chunk: int,  # S (rows per head in the packed M dim)
     sm_scale: float,
     window: int | None,
+    logit_softcap: float | None,
     mask_value: float,
     inner: int = 1,
 ):
@@ -401,6 +404,7 @@ def _paged_extend_kernel(
     def _global_init():
         state_ref[0] = 0
         state_ref[1] = 1
+        clamp_ref[0, 0] = 0.0
 
     @pl.when(i == 0)
     def _seq_init():
@@ -491,6 +495,10 @@ def _paged_extend_kernel(
                 preferred_element_type=jnp.float32,
             )  # [m_pad, sub]
             s *= sm_scale
+            if logit_softcap is not None:
+                # Gemma-style tanh cap, natural units (pre-mask), matching
+                # the prefill kernel's semantics (ops/flash_fwd.py).
+                s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
             # Causal per ROW: row m corresponds to chunk row r = m % chunk
             # at global position q_off + r; key col visible iff
@@ -508,11 +516,22 @@ def _paged_extend_kernel(
 
             m_prev = m_scr[...][:, :1]
             if si == 0:
-                m_next = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                # Strict sub-block with per-row ANCHORING (round 3, the
+                # structure of ops/flash_fwd.py): rows whose running max
+                # still sits at the unanchored sentinel take this
+                # sub-block's true max outright (alpha washes any prior
+                # pollution to exact 0); rows with no live score yet stay
+                # at the sentinel and contribute exact 0.
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                unanchored = m_prev <= UNANCHORED
+                m_next = jnp.where(
+                    unanchored, m_curr, jnp.maximum(m_prev, m_curr)
                 )
-                alpha = jnp.exp(m_prev - m_next)
+                alpha = jnp.where(
+                    unanchored, 0.0, jnp.exp(m_prev - m_next)
+                )
                 p = jnp.exp(s - m_next)
+                p = jnp.where(m_next <= UNANCHORED, 0.0, p)
                 l_next = alpha * l_scr[...][:, :1] + jnp.sum(
                     p, axis=-1, keepdims=True
                 )
@@ -526,14 +545,27 @@ def _paged_extend_kernel(
             else:
                 # Lazy: 75 nats ~ the f32 exp overflow guard (anchored, so
                 # only within-block spread can reach it; see flash_fwd.py).
-                p = jnp.exp(jnp.minimum(s - m_prev, 75.0))
+                # Rows not yet anchored (window/masked-start geometry only)
+                # reference 0 instead of the sentinel — the sentinel would
+                # saturate every live score at the clamp.
+                m_ref = jnp.where(m_prev <= UNANCHORED, 0.0, m_prev)
+                delta = s - m_ref
+                p = jnp.exp(jnp.minimum(delta, 75.0))
+                clamp_ref[0, 0] += jnp.sum(
+                    (delta > 75.0).astype(jnp.float32)
+                )
                 l_tmp = l_scr[...][:, :1] + jnp.sum(
                     p, axis=-1, keepdims=True
                 )
-                m_next = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                row_max = jnp.max(s, axis=-1, keepdims=True)
+                m_next = jnp.where(
+                    row_max <= UNANCHORED,
+                    m_prev,
+                    jnp.maximum(m_ref, row_max),
                 )
-                alpha = jnp.exp(m_prev - m_next)
+                alpha = jnp.where(
+                    m_next <= UNANCHORED, 1.0, jnp.exp(m_ref - m_next)
+                )
                 m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
                 l_scr[...] = jnp.broadcast_to(l_tmp * alpha, l_scr.shape)
                 acc_scr[...] += jax.lax.dot_general(
@@ -558,7 +590,8 @@ def _paged_extend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+        "sm_scale", "window", "logit_softcap", "pages_per_compute_block",
+        "return_clamps", "interpret", "debug",
     ),
 )
 def paged_attention_extend(
@@ -570,7 +603,9 @@ def paged_attention_extend(
     page_table: jax.Array,
     sm_scale: float | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     pages_per_compute_block: int = 0,
+    return_clamps: bool = False,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -583,9 +618,16 @@ def paged_attention_extend(
       q_offset: [B] int32; kv_length: [B] int32 = q_offset + S for active
         sequences, 0 for inactive slots (their output is zeros).
       page_table: [B, pages_per_seq] int32.
+      logit_softcap: Gemma-style tanh soft-capping of the scaled scores
+        (round-3 feature-matrix completion; the prefill/decode kernels
+        already had it).
+      return_clamps: additionally return a scalar f32 count of score
+        entries that exceeded the 75-nat lazy-softmax envelope across the
+        whole call (0 = exact; surfaced by ServingEngine.stats).
 
-    Returns: [B, Hq, S, D] in q's dtype. Causality is top-left within the
-    global sequence (col <= q_offset + row), like ops/flash_chunked.py.
+    Returns: [B, Hq, S, D] in q's dtype (with return_clamps, a tuple
+    (out, clamps)). Causality is top-left within the global sequence
+    (col <= q_offset + row), like ops/flash_chunked.py.
     """
     b, hq, sq, d = q.shape
     hkv, num_pages, page_size, dk = k_pages.shape
@@ -637,11 +679,12 @@ def paged_attention_extend(
         chunk=sq,
         sm_scale=sm_scale,
         window=window,
+        logit_softcap=logit_softcap,
         mask_value=DEFAULT_MASK_VALUE,
         inner=inner,
     )
 
-    out = pl.pallas_call(
+    out, clamps = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -654,10 +697,13 @@ def paged_attention_extend(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, m_pad, d_pad),
-                lambda b_, h, i, qo, kvl, tbl: (b_, h, 0, 0),
-            ),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, m_pad, d_pad),
+                    lambda b_, h, i, qo, kvl, tbl: (b_, h, 0, 0),
+                ),
+                pl.BlockSpec((1, 1), lambda b_, h, i, qo, kvl, tbl: (0, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((2, ppcb, page_size, d_pad), k_pages.dtype),
                 pltpu.VMEM((2, ppcb, page_size, d_pad), v_pages.dtype),
@@ -669,7 +715,10 @@ def paged_attention_extend(
                 pltpu.SMEM((2,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, m_pad, d_pad), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, m_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -684,4 +733,7 @@ def paged_attention_extend(
     )
 
     o = out[:, :, :m, :d].reshape(b, hkv, g, sq, d).reshape(b, hq, sq, d)
-    return o.astype(q.dtype)
+    o = o.astype(q.dtype)
+    if return_clamps:
+        return o, clamps[0, 0]
+    return o

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attention_cute_tpu.ops.flash_fwd import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
+    UNANCHORED,
     _round_up,
 )
 
@@ -86,6 +87,7 @@ def _quant_decode_kernel(
     *,
     sm_scale: float,
     window: int | None,
+    logit_softcap: float | None,
     block_kv: int,
     num_splits: int,
     mask_value: float,
@@ -127,6 +129,11 @@ def _quant_decode_kernel(
             preferred_element_type=jnp.float32,
         )  # [g_pad, block_kv]
         s = s * (kscale[None, :] * sm_scale)
+        if logit_softcap is not None:
+            # Gemma-style tanh cap (dequant scale already folded into s,
+            # so the cap sees true score units) — round-3 feature-matrix
+            # completion: softcap x int8 KV composes.
+            s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
         ok = cols < length
@@ -173,7 +180,8 @@ def _quant_decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "window", "num_splits", "block_kv", "interpret", "debug",
+        "sm_scale", "window", "logit_softcap", "num_splits", "block_kv",
+        "interpret", "debug",
     ),
 )
 def flash_attention_decode_quantized(
@@ -183,6 +191,7 @@ def flash_attention_decode_quantized(
     kv_length: jax.Array | None = None,
     sm_scale: float | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     num_splits: int = 0,
     block_kv: int = 2048,
     interpret: bool = False,
@@ -274,6 +283,7 @@ def flash_attention_decode_quantized(
         _quant_decode_kernel,
         sm_scale=sm_scale,
         window=window,
+        logit_softcap=logit_softcap,
         block_kv=block_kv,
         num_splits=num_splits,
         mask_value=DEFAULT_MASK_VALUE,
@@ -364,6 +374,7 @@ def _quant_paged_kernel(
     ppcb: int,
     sm_scale: float,
     window: int | None,
+    logit_softcap: float | None,
     mask_value: float,
     compute_dtype,
 ):
@@ -462,6 +473,8 @@ def _quant_paged_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s * (kscale[None, :] * sm_scale)
+        if logit_softcap is not None:
+            s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
         ok = cols < length
@@ -510,7 +523,7 @@ def _quant_paged_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+        "sm_scale", "window", "logit_softcap", "pages_per_compute_block", "interpret", "debug",
     ),
 )
 def paged_attention_decode_quantized(
@@ -521,6 +534,7 @@ def paged_attention_decode_quantized(
     page_table: jax.Array,
     sm_scale: float | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     pages_per_compute_block: int = 0,
     interpret: bool = False,
     debug: bool = False,
@@ -593,6 +607,7 @@ def paged_attention_decode_quantized(
         ppcb=ppcb,
         sm_scale=sm_scale,
         window=window,
+        logit_softcap=logit_softcap,
         mask_value=DEFAULT_MASK_VALUE,
         compute_dtype=compute_dtype,
     )
@@ -669,6 +684,7 @@ def _quant_paged_extend_kernel(
     vsc_ref,
     # outputs
     o_ref,  # [1, 1, m_pad, d] f32
+    clamp_ref,  # [1, 1] f32 — lazy-envelope saturation count (whole call)
     # scratch
     k_buf, ksc_buf, v_buf, vsc_buf,
     sem_k, sem_ks, sem_v, sem_vs,
@@ -680,6 +696,7 @@ def _quant_paged_extend_kernel(
     chunk: int,  # S (rows per head in the packed M dim)
     sm_scale: float,
     window: int | None,
+    logit_softcap: float | None,
     mask_value: float,
     compute_dtype,
     inner: int = 1,
@@ -698,6 +715,7 @@ def _quant_paged_extend_kernel(
 
     @pl.when((b == 0) & (h == 0) & (i == 0))
     def _global_init():
+        clamp_ref[0, 0] = 0.0
         state_ref[0] = 0
         state_ref[1] = 1
 
@@ -796,6 +814,8 @@ def _quant_paged_extend_kernel(
                 preferred_element_type=jnp.float32,
             )  # [m_pad, sub]
             s = s * (kscale[None, :] * sm_scale)
+            if logit_softcap is not None:
+                s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
             # Causal per ROW: row m is chunk row r = m % chunk at global
             # position q_off + r (ops/paged_attention._paged_extend_kernel).
@@ -811,11 +831,18 @@ def _quant_paged_extend_kernel(
 
             m_prev = m_scr[...][:, :1]
             if si == 0:
-                m_next = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                # Strict sub-block with per-row anchoring (round 3; see
+                # ops/paged_attention._paged_extend_kernel).
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                unanchored = m_prev <= UNANCHORED
+                m_next = jnp.where(
+                    unanchored, m_curr, jnp.maximum(m_prev, m_curr)
                 )
-                alpha = jnp.exp(m_prev - m_next)
+                alpha = jnp.where(
+                    unanchored, 0.0, jnp.exp(m_prev - m_next)
+                )
                 p = jnp.exp(s - m_next)
+                p = jnp.where(m_next <= UNANCHORED, 0.0, p)
                 l_next = alpha * l_scr[...][:, :1] + jnp.sum(
                     p, axis=-1, keepdims=True
                 )
@@ -828,14 +855,24 @@ def _quant_paged_extend_kernel(
                     preferred_element_type=jnp.float32,
                 )
             else:
-                p = jnp.exp(jnp.minimum(s - m_prev, 75.0))
+                m_ref = jnp.where(m_prev <= UNANCHORED, 0.0, m_prev)
+                delta = s - m_ref
+                p = jnp.exp(jnp.minimum(delta, 75.0))
+                clamp_ref[0, 0] += jnp.sum(
+                    (delta > 75.0).astype(jnp.float32)
+                )
                 l_tmp = l_scr[...][:, :1] + jnp.sum(
                     p, axis=-1, keepdims=True
                 )
-                m_next = jnp.maximum(
-                    m_prev, jnp.max(s, axis=-1, keepdims=True)
+                row_max = jnp.max(s, axis=-1, keepdims=True)
+                m_next = jnp.where(
+                    row_max <= UNANCHORED,
+                    m_prev,
+                    jnp.maximum(m_ref, row_max),
                 )
-                alpha = jnp.exp(m_prev - m_next)
+                alpha = jnp.where(
+                    m_next <= UNANCHORED, 1.0, jnp.exp(m_ref - m_next)
+                )
                 m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
                 l_scr[...] = jnp.broadcast_to(l_tmp * alpha, l_scr.shape)
                 acc_scr[...] += jax.lax.dot_general(
@@ -861,7 +898,8 @@ def _quant_paged_extend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "window", "pages_per_compute_block", "interpret", "debug",
+        "sm_scale", "window", "logit_softcap", "pages_per_compute_block",
+        "return_clamps", "interpret", "debug",
     ),
 )
 def paged_attention_extend_quantized(
@@ -873,7 +911,9 @@ def paged_attention_extend_quantized(
     page_table: jax.Array,
     sm_scale: float | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     pages_per_compute_block: int = 0,
+    return_clamps: bool = False,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -952,12 +992,13 @@ def paged_attention_extend_quantized(
         chunk=sq,
         sm_scale=sm_scale,
         window=window,
+        logit_softcap=logit_softcap,
         mask_value=DEFAULT_MASK_VALUE,
         compute_dtype=compute_dtype,
         inner=inner,
     )
 
-    out = pl.pallas_call(
+    out, clamps = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -972,10 +1013,15 @@ def paged_attention_extend_quantized(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, m_pad, d_pad),
-                lambda b_, h, i, qo, kvl, tbl: (b_, h, 0, 0),
-            ),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, m_pad, d_pad),
+                    lambda b_, h, i, qo, kvl, tbl: (b_, h, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1), lambda b_, h, i, qo, kvl, tbl: (0, 0)
+                ),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((2, ppcb, page_size, d_pad), kv.dtype),
                 pltpu.VMEM((2, ppcb, page_size), jnp.float32),
@@ -991,7 +1037,10 @@ def paged_attention_extend_quantized(
                 pltpu.SMEM((2,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, m_pad, d_pad), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, m_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -1006,4 +1055,7 @@ def paged_attention_extend_quantized(
     )
 
     o = out[:, :, :m, :d].reshape(b, hkv, g, sq, d).reshape(b, hq, sq, d)
-    return o.astype(q.dtype)
+    o = o.astype(q.dtype)
+    if return_clamps:
+        return o, clamps[0, 0]
+    return o

@@ -97,6 +97,7 @@ def sharded_attention(
     kv_length: jax.Array | None = None,
     q_offset: jax.Array | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Run the dispatching attention op under shard_map.
@@ -137,7 +138,8 @@ def sharded_attention(
         qoff = next(it) if has_off else None
         return flash_attention_forward(
             q, k, v, causal=causal, kv_length=kvl, q_offset=qoff,
-            window=window, interpret=interpret,
+            window=window, logit_softcap=logit_softcap,
+            interpret=interpret,
         )
 
     fn = jax.shard_map(

