@@ -51,6 +51,7 @@ class DataParallelServingEngine:
             )
         self._route: dict[int, int] = {}  # req_id -> replica index
         self._load = [0] * data  # outstanding tokens (prompt + budget)
+        self._charge: dict[int, int] = {}  # req_id -> tokens charged
 
     @property
     def num_replicas(self) -> int:
@@ -59,25 +60,43 @@ class DataParallelServingEngine:
     def submit(self, req_id: int, prompt: list[int], max_new_tokens: int):
         assert req_id not in self._route
         i = int(np.argmin(self._load))
+        charge = len(prompt) + max_new_tokens
         self._route[req_id] = i
-        self._load[i] += len(prompt) + max_new_tokens
+        self._charge[req_id] = charge
+        self._load[i] += charge
         self.replicas[i].submit(req_id, prompt, max_new_tokens)
 
     def step(self) -> bool:
+        """One round: every replica advances one scheduling step."""
         busy = False
         for eng in self.replicas:
             busy |= eng.step()
         return busy
 
+    def _settle(self, req_ids) -> None:
+        """Credit completed/failed requests with their FULL charged weight
+        (prompt + budget) so the least-loaded counter returns to zero —
+        crediting only generated tokens drifted upward forever and skewed
+        routing in long sessions."""
+        for rid in req_ids:
+            i = self._route.get(rid)
+            charge = self._charge.pop(rid, None)
+            if i is not None and charge is not None:
+                self._load[i] = max(0, self._load[i] - charge)
+
     def run(self, max_steps: int = 100000) -> dict[int, list[int]]:
+        """Drive all replicas to completion, INTERLEAVED: each sweep steps
+        every replica once (round-robin), so replicas make concurrent
+        progress instead of draining serially."""
+        for _ in range(max_steps):
+            if not self.step():
+                break
         results: dict[int, list[int]] = {}
         for eng in self.replicas:
-            results.update(eng.run(max_steps))
-        for rid in results:
-            i = self._route.get(rid)
-            if i is not None:
-                req_len = len(results[rid])
-                self._load[i] = max(0, self._load[i] - req_len)
+            # One final no-op step inside run() performs the per-engine
+            # drain bookkeeping (unservable -> failed) and returns _done.
+            results.update(eng.run(max_steps=1))
+        self._settle(list(results.keys()) + self.failed)
         return results
 
     @property
@@ -85,6 +104,13 @@ class DataParallelServingEngine:
         out: list[int] = []
         for eng in self.replicas:
             out.extend(eng.failed)
+        return out
+
+    @property
+    def request_metrics(self) -> list[dict]:
+        out: list[dict] = []
+        for eng in self.replicas:
+            out.extend(eng.request_metrics)
         return out
 
     @property

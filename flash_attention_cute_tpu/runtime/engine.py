@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import time
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,12 @@ class _Request:
     prompt: list[int]
     max_new_tokens: int
     generated: list[int] = dataclasses.field(default_factory=list)
+    # Latency observability (BASELINE.json names p50 TTFT as a headline
+    # metric): submit -> first token host-visible -> finished. Preemption
+    # replay keeps the ORIGINAL first-token time (the user saw it once).
+    submit_t: float = 0.0
+    first_token_t: float | None = None
+    finish_t: float | None = None
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -124,6 +131,15 @@ class ServingEngine:
         # rounds of the other slots (bounds head-of-line blocking by long
         # prompts; dense pages only). 0 = whole-prompt admission.
         eos_token_id: int | None = None,  # finish a request early at EOS
+        collect_clamp_stats: bool = False,  # observability mode: fetch the
+        # lazy-softmax saturation counter from every chunked-admission
+        # extend forward into stats["softmax_clamps"] (one extra small
+        # host transfer per extend round; keep off on high-RTT links
+        # unless auditing the envelope)
+        decode_chunk: int = 8,  # tokens decoded per engine round in ONE
+        # jitted scan. On a high-RTT link (tunneled TPU) larger chunks
+        # amortize host round trips at the cost of admission latency for
+        # requests arriving mid-chunk and bounded EOS overshoot.
         interpret: bool | None = None,
     ):
         self.params = params
@@ -136,6 +152,8 @@ class ServingEngine:
         self.mesh = mesh
         self.prefill_group = max(1, prefill_group)
         self.prefill_chunk = max(0, prefill_chunk)
+        self.decode_chunk = max(1, decode_chunk)
+        self.collect_clamp_stats = collect_clamp_stats
         self.eos_token_id = eos_token_id
         self.interpret = interpret
         self._prefilling: dict[int, int] = {}  # slot -> tokens scattered
@@ -220,14 +238,28 @@ class ServingEngine:
             "tokens_generated": 0,
             "requests_finished": 0,
             "requests_failed": 0,
+            # Dispatch accounting: every jitted device program launched
+            # (prefill / extend / decode scan) — on a high-RTT link,
+            # device_calls / tokens_generated is THE serving-efficiency
+            # number (host round trips per generated token).
+            "device_calls": 0,
+            # Softmax-envelope saturation events observed by the decode /
+            # extend kernels (0 = every score within the lazy-max
+            # envelope; see ops/flash_fwd.py stable=True).
+            "softmax_clamps": 0,
         }
+        # Completed per-request latency records (see request_metrics).
+        self.metrics: list[dict] = []
 
     # ---- public API ----
 
     def submit(self, req_id: int, prompt: list[int], max_new_tokens: int):
         assert req_id >= 0 and req_id not in self._requests
         assert len(prompt) >= 1
-        self._requests[req_id] = _Request(req_id, list(prompt), max_new_tokens)
+        self._requests[req_id] = _Request(
+            req_id, list(prompt), max_new_tokens,
+            submit_t=time.monotonic(),
+        )
         self.sched.submit(req_id, len(prompt), max_new_tokens)
 
     def run(self, max_steps: int = 100000) -> dict[int, list[int]]:
@@ -256,18 +288,29 @@ class ServingEngine:
     def failed(self) -> list[int]:
         return list(self._failed)
 
+    @property
+    def request_metrics(self) -> list[dict]:
+        """Per-finished-request latency records: req_id, prompt_len,
+        new_tokens, ttft_s (submit -> first token host-visible), e2e_s
+        (submit -> finished). BASELINE.json's p50-TTFT metric is a
+        percentile over the ttft_s column."""
+        return list(self.metrics)
+
     # ---- engine loop ----
 
-    def step(self, max_chunk: int = 8) -> bool:
+    def step(self, max_chunk: int | None = None) -> bool:
         """One admission + decode round. False when nothing is in flight.
 
-        Decodes up to `max_chunk` tokens per round inside ONE jitted scan
+        Decodes up to `max_chunk` (default: the engine's `decode_chunk`)
+        tokens per round inside ONE jitted scan
         (multi-step scheduling): host<->device round trips — the dominant
         per-step cost on a tunneled TPU — amortize across the chunk. The
         chunk is capped so no active request finishes mid-chunk; page room
         for the whole chunk is reserved up front (preempting on exhaustion,
         with bounded over-reservation when the pool runs dry mid-reserve).
         """
+        if max_chunk is None:
+            max_chunk = self.decode_chunk
         self.stats["steps"] += 1
         self._admit()
         self._finish_ready()  # e.g. EOS as the very first prefill token
@@ -353,6 +396,7 @@ class ServingEngine:
             seeds=jnp.asarray(seeds), positions=jnp.asarray(positions),
             mesh=self.mesh,
         )
+        self.stats["device_calls"] += 1
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
 
         for s in active:
@@ -382,6 +426,17 @@ class ServingEngine:
                 self.sched.release_slot(s, requeue=False)
                 self._done[rid] = req.generated
                 self.stats["requests_finished"] += 1
+                req.finish_t = time.monotonic()
+                self.metrics.append({
+                    "req_id": rid,
+                    "prompt_len": len(req.prompt),
+                    "new_tokens": len(req.generated),
+                    "ttft_s": (
+                        None if req.first_token_t is None
+                        else req.first_token_t - req.submit_t
+                    ),
+                    "e2e_s": req.finish_t - req.submit_t,
+                })
                 del self._requests[rid]
                 self._slot_req[s] = -1
                 self._set_length(s, 0)
@@ -464,6 +519,7 @@ class ServingEngine:
             valid_len=jnp.asarray(plens_in),
             interpret=self.interpret, mesh=self.mesh,
         )
+        self.stats["device_calls"] += 1
         # Merge back every pool field (k/v pages or quantized values+scales);
         # per-slot metadata stays with the engine's full-batch arrays.
         pool_fields = {
@@ -501,8 +557,11 @@ class ServingEngine:
             firsts = np.asarray(
                 jnp.argmax(last_logits[:g], axis=-1), np.int32
             )
+        now = time.monotonic()
         for i, (s, req) in enumerate(zip(slots, reqs)):
             req.generated.append(int(firsts[i]))
+            if req.first_token_t is None:
+                req.first_token_t = now
             self.stats["tokens_generated"] += 1
             # Count the sampled token against the budget/pages.
             self.sched.step_slot(s)
@@ -553,10 +612,17 @@ class ServingEngine:
             page_table=table,
             lengths=jnp.asarray(progress),
         )
-        logits, sub = forward_paged(
+        out = forward_paged(
             self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
             interpret=self.interpret, mesh=self.mesh,
+            return_clamps=self.collect_clamp_stats,
         )
+        if self.collect_clamp_stats:
+            logits, sub, clamps = out
+            self.stats["softmax_clamps"] += int(clamps)
+        else:
+            logits, sub = out
+        self.stats["device_calls"] += 1
         pool_fields = {
             f.name for f in dataclasses.fields(self.state)
         } - {"page_table", "lengths"}
@@ -592,6 +658,8 @@ class ServingEngine:
             else:
                 first = int(jnp.argmax(last_logits[0]))
             req.generated.append(first)
+            if req.first_token_t is None:
+                req.first_token_t = time.monotonic()
             self.stats["tokens_generated"] += 1
             self.sched.step_slot(s)
             self._sync_table(s)

@@ -40,7 +40,24 @@ def parse_args(argv=None):
                    help=">=128 recommended on TPU (DMA granularity)")
     p.add_argument("--num-pages", type=int, default=0, help="0 = sized to fit")
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--decode-chunk", type=int, default=8,
+                   help="tokens decoded per engine round in one jitted "
+                        "scan; larger amortizes host round trips (high-RTT "
+                        "links), smaller tightens admission latency")
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help=">0: chunked admission (bounds HOL blocking)")
+    p.add_argument("--prefill-group", type=int, default=1,
+                   help=">1: batch same-bucket admissions into one "
+                        "prefill forward (fewer dispatches)")
     return p.parse_args(argv)
+
+
+def _pct(xs, q):
+    xs = sorted(x for x in xs if x is not None)
+    if not xs:
+        return float("nan")
+    i = min(len(xs) - 1, max(0, int(round(q / 100 * (len(xs) - 1)))))
+    return xs[i]
 
 
 def main(argv=None):
@@ -71,6 +88,8 @@ def main(argv=None):
     eng = ServingEngine(
         params, cfg, slots=a.slots, num_pages=num_pages,
         page_size=a.page_size, pages_per_seq=pages_per_seq,
+        decode_chunk=a.decode_chunk, prefill_chunk=a.prefill_chunk,
+        prefill_group=a.prefill_group,
     )
 
     print(f"model={a.model} layers={cfg.num_layers} slots={a.slots} "
@@ -85,6 +104,7 @@ def main(argv=None):
     eng.run()
     print(f"warmup (cold, incl. compiles): {time.perf_counter() - t0:7.2f} s")
     eng.stats = {k: 0 for k in eng.stats}
+    eng.metrics.clear()
 
     for rid, p in prompts.items():
         eng.submit(rid, p, a.max_new_tokens)
@@ -103,6 +123,19 @@ def main(argv=None):
     print(f"wall {wall:7.2f} s   "
           f"{total_new / wall:8.1f} new tokens/s   "
           f"{(total_new + total_prompt) / wall:8.1f} total tokens/s")
+    # Dispatch receipts: on a high-RTT (tunneled) link, host round trips
+    # per generated token bound serving throughput.
+    print(f"device dispatches {st['device_calls']}   "
+          f"round-trips/token {st['device_calls'] / max(total_new, 1):.4f}  "
+          f"(decode_chunk={a.decode_chunk})")
+    ttfts = [m["ttft_s"] for m in eng.request_metrics]
+    e2es = [m["e2e_s"] for m in eng.request_metrics]
+    print(f"TTFT p50 {_pct(ttfts, 50)*1e3:8.1f} ms   "
+          f"p95 {_pct(ttfts, 95)*1e3:8.1f} ms   "
+          f"max {_pct(ttfts, 100)*1e3:8.1f} ms")
+    print(f"e2e  p50 {_pct(e2es, 50)*1e3:8.1f} ms   "
+          f"p95 {_pct(e2es, 95)*1e3:8.1f} ms   "
+          f"max {_pct(e2es, 100)*1e3:8.1f} ms")
     assert len(results) + st["requests_failed"] == a.requests
 
 
