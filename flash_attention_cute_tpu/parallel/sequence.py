@@ -176,10 +176,43 @@ def ring_attention(
     )(q, k, v)
 
 
-def _ring_attention_kernel(q, k, v, mesh, axis, causal, sm_scale, interpret):
-    """Ring attention with per-chunk Pallas partials (log2-unit stats)."""
+def _fold_partials(m, l, acc, m_c, l_c, o_u):
+    """Fold one chunk's (o, m, l) partial into running log2-unit state."""
+    m_new = jnp.maximum(m, m_c)
+    safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+    a_old = jnp.where(jnp.isneginf(m), 0.0, jnp.exp2(m - safe))
+    a_new = jnp.where(jnp.isneginf(m_c), 0.0, jnp.exp2(m_c - safe))
+    l_next = a_old * l + a_new * l_c
+    acc_next = a_old[..., None] * acc + a_new[..., None] * o_u
+    return m_new, l_next, acc_next
 
-    def inner(q, k, v):
+
+def _ring_attention_kernel(q, k, v, mesh, axis, causal, sm_scale, interpret):
+    """Ring attention with per-chunk Pallas partials (log2-unit stats).
+
+    Causal runs use ZIG-ZAG (striped) sequence sharding — the round-2
+    version computed its fully-masked chunks (q_offset = -S partials whose
+    every row is dead, ~half the ring's FLOPs) and carried the classic
+    ring imbalance (shard 0: 1 live chunk; shard n-1: n). Here shard idx
+    holds global STRIPES (idx, 2n-1-idx) of s_local/2 rows each, so every
+    ring step computes exactly one fully-live [s_local x s_local/2]-sized
+    partial per shard:
+
+      step 0 (own pair):   q_low x kv_low diagonal + q_high x (kv_low ++
+                           kv_high) with offset s/2 (full + diagonal in
+                           one call);
+      src < idx:           both q stripes see kv_low in full -> one
+                           [s_local x s/2] unmasked call;
+      src > idx:           q_high sees both kv stripes in full -> one
+                           [s/2 x s_local] unmasked call.
+
+    Computed score-pairs total n*(2n+1) quarter-blocks vs the dense 4n^2
+    — the ~S^2/2 causal bound (asserted in tests/test_sequence_parallel).
+    The stripe exchange is two ppermutes in, two out; the rotating KV pair
+    moves with one ppermute per step exactly as before.
+    """
+
+    def inner_noncausal(q, k, v):
         n = jax.lax.axis_size(axis)
         idx = jax.lax.axis_index(axis)
         b, hq, s_local, d = q.shape
@@ -188,35 +221,16 @@ def _ring_attention_kernel(q, k, v, mesh, axis, causal, sm_scale, interpret):
 
         def step(carry, t):
             k_t, v_t, m, l, acc = carry
-            src = (idx - t) % n  # global chunk id currently held
-            if causal:
-                # One traced offset encodes all three causal cases:
-                #   src < idx: fully visible  (bound = S + r >= any col)
-                #   src == idx: diagonal      (bound = r)
-                #   src > idx: fully masked   (bound = r - S < 0)
-                off = jnp.where(
-                    src < idx, s_local, jnp.where(src == idx, 0, -s_local)
-                )
-            else:
-                off = s_local
-            q_off = jnp.full((b,), 0, jnp.int32) + off
-
+            q_off = jnp.full((b,), s_local, jnp.int32)  # fully visible
             o_u, m_c, l_c = flash_attention_chunked(
                 q, k_t, v_t, q_off, kv_len,
                 sm_scale=sm_scale, causal=True, return_partials=True,
                 interpret=interpret,
             )
-
-            m_new = jnp.maximum(m, m_c)
-            safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-            a_old = jnp.where(jnp.isneginf(m), 0.0, jnp.exp2(m - safe))
-            a_new = jnp.where(jnp.isneginf(m_c), 0.0, jnp.exp2(m_c - safe))
-            l_next = a_old * l + a_new * l_c
-            acc_next = a_old[..., None] * acc + a_new[..., None] * o_u
-
+            m, l, acc = _fold_partials(m, l, acc, m_c, l_c, o_u)
             k_n = jax.lax.ppermute(k_t, axis, perm)
             v_n = jax.lax.ppermute(v_t, axis, perm)
-            return (k_n, v_n, m_new, l_next, acc_next), None
+            return (k_n, v_n, m, l, acc), None
 
         m0 = jnp.full((b, hq, s_local), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((b, hq, s_local), jnp.float32)
@@ -226,6 +240,165 @@ def _ring_attention_kernel(q, k, v, mesh, axis, causal, sm_scale, interpret):
         )
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         return (acc * l_inv[..., None]).astype(q.dtype)
+
+    def inner_zigzag(q, k, v):
+        n = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        b, hq, s_local, d = q.shape
+        half = s_local // 2
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def to_zigzag(x):
+            """Contiguous shard j (stripes 2j, 2j+1) -> zig-zag shard z
+            (stripes z, 2n-1-z). Two ppermutes; which received half is the
+            low stripe depends on the shard's parity."""
+            lo_half, hi_half = x[:, :, :half], x[:, :, half:]
+            # Even stripes g=2j travel to shard d(g)=g if g<n else 2n-1-g.
+            perm_even = [
+                (j, 2 * j if 2 * j < n else 2 * n - 1 - 2 * j)
+                for j in range(n)
+            ]
+            perm_odd = [
+                (j, 2 * j + 1 if 2 * j + 1 < n else 2 * n - 2 - 2 * j)
+                for j in range(n)
+            ]
+            r_even = jax.lax.ppermute(lo_half, axis, perm_even)
+            r_odd = jax.lax.ppermute(hi_half, axis, perm_odd)
+            even_shard = idx % 2 == 0
+            low = jnp.where(even_shard, r_even, r_odd)
+            high = jnp.where(even_shard, r_odd, r_even)
+            return low, high
+
+        def from_zigzag(low, high):
+            """Inverse stripe exchange (reverse each ppermute)."""
+            perm_even = [
+                (2 * j if 2 * j < n else 2 * n - 1 - 2 * j, j)
+                for j in range(n)
+            ]
+            perm_odd = [
+                (2 * j + 1 if 2 * j + 1 < n else 2 * n - 2 - 2 * j, j)
+                for j in range(n)
+            ]
+            even_shard = idx % 2 == 0
+            send_even = jnp.where(even_shard, low, high)
+            send_odd = jnp.where(even_shard, high, low)
+            r_lo = jax.lax.ppermute(send_even, axis, perm_even)
+            r_hi = jax.lax.ppermute(send_odd, axis, perm_odd)
+            return jnp.concatenate([r_lo, r_hi], axis=2)
+
+        q_low, q_high = to_zigzag(q)
+        k_low, k_high = to_zigzag(k)
+        v_low, v_high = to_zigzag(v)
+        q_zig = jnp.concatenate([q_low, q_high], axis=2)
+
+        def partial(q_, k_, v_, off):
+            b_ = q_.shape[0]
+            return flash_attention_chunked(
+                q_, k_, v_,
+                jnp.full((b_,), off, jnp.int32),
+                jnp.full((b_,), k_.shape[2], jnp.int32),
+                sm_scale=sm_scale, causal=True, return_partials=True,
+                interpret=interpret,
+            )
+
+        def pad_high(o_u, m_c, l_c):
+            """Lift a q_high-only partial to full zig-row coverage."""
+            z = jnp.zeros((b, hq, half, d), jnp.float32)
+            o = jnp.concatenate([z, o_u], axis=2)
+            m_pad = jnp.full((b, hq, half), -jnp.inf, jnp.float32)
+            return (
+                o,
+                jnp.concatenate([m_pad, m_c], axis=2),
+                jnp.concatenate([jnp.zeros((b, hq, half)), l_c], axis=2),
+            )
+
+        def step(carry, t):
+            k_lo, k_hi, v_lo, v_hi, m, l, acc = carry
+            src = (idx - t) % n  # whose stripe pair we currently hold
+
+            def own_pair():
+                # q_low x kv_low diagonal; q_high x (kv_low ++ kv_high)
+                # full+diagonal via offset `half` in one call.
+                o1, m1, l1 = partial(q_low, k_lo, v_lo, 0)
+                kv_cat_k = jnp.concatenate([k_lo, k_hi], axis=2)
+                kv_cat_v = jnp.concatenate([v_lo, v_hi], axis=2)
+                o2, m2, l2 = partial(q_high, kv_cat_k, kv_cat_v, half)
+                return (
+                    jnp.concatenate([o1, o2], axis=2),
+                    jnp.concatenate([m1, m2], axis=2),
+                    jnp.concatenate([l1, l2], axis=2),
+                )
+
+            def earlier():  # src < idx: kv_low fully visible to all rows
+                return partial(q_zig, k_lo, v_lo, s_local)
+
+            def later():  # src > idx: q_high sees the whole pair in full
+                kv_cat_k = jnp.concatenate([k_lo, k_hi], axis=2)
+                kv_cat_v = jnp.concatenate([v_lo, v_hi], axis=2)
+                return pad_high(*partial(q_high, kv_cat_k, kv_cat_v, s_local))
+
+            o_u, m_c, l_c = jax.lax.cond(
+                src == idx,
+                own_pair,
+                lambda: jax.lax.cond(src < idx, earlier, later),
+            )
+            m, l, acc = _fold_partials(m, l, acc, m_c, l_c, o_u)
+
+            k_lo = jax.lax.ppermute(k_lo, axis, perm)
+            k_hi = jax.lax.ppermute(k_hi, axis, perm)
+            v_lo = jax.lax.ppermute(v_lo, axis, perm)
+            v_hi = jax.lax.ppermute(v_hi, axis, perm)
+            return (k_lo, k_hi, v_lo, v_hi, m, l, acc), None
+
+        m0 = jnp.full((b, hq, s_local), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, hq, s_local), jnp.float32)
+        acc0 = jnp.zeros((b, hq, s_local, d), jnp.float32)
+        (_, _, _, _, m, l, acc), _ = jax.lax.scan(
+            step, (k_low, k_high, v_low, v_high, m0, l0, acc0),
+            jnp.arange(n),
+        )
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out = (acc * l_inv[..., None]).astype(q.dtype)
+        return from_zigzag(out[:, :, :half], out[:, :, half:])
+
+    s_local_static = q.shape[2] // mesh.shape[axis]
+    use_zigzag = causal and s_local_static % 2 == 0
+    inner = inner_zigzag if use_zigzag else inner_noncausal
+    if causal and not use_zigzag:
+        # Odd local length: fall back to the contiguous-chunk path with the
+        # three-case offset (computes dead chunks; exact).
+        def inner(q, k, v):  # noqa: F811
+            n = jax.lax.axis_size(axis)
+            idx = jax.lax.axis_index(axis)
+            b, hq, s_local, d = q.shape
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            kv_len = jnp.full((b,), s_local, jnp.int32)
+
+            def step(carry, t):
+                k_t, v_t, m, l, acc = carry
+                src = (idx - t) % n
+                off = jnp.where(
+                    src < idx, s_local, jnp.where(src == idx, 0, -s_local)
+                )
+                q_off = jnp.full((b,), 0, jnp.int32) + off
+                o_u, m_c, l_c = flash_attention_chunked(
+                    q, k_t, v_t, q_off, kv_len,
+                    sm_scale=sm_scale, causal=True, return_partials=True,
+                    interpret=interpret,
+                )
+                m, l, acc = _fold_partials(m, l, acc, m_c, l_c, o_u)
+                k_n = jax.lax.ppermute(k_t, axis, perm)
+                v_n = jax.lax.ppermute(v_t, axis, perm)
+                return (k_n, v_n, m, l, acc), None
+
+            m0 = jnp.full((b, hq, s_local), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((b, hq, s_local), jnp.float32)
+            acc0 = jnp.zeros((b, hq, s_local, d), jnp.float32)
+            (_, _, m, l, acc), _ = jax.lax.scan(
+                step, (k, v, m0, l0, acc0), jnp.arange(n)
+            )
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            return (acc * l_inv[..., None]).astype(q.dtype)
 
     spec = P(None, None, axis, None)
     return jax.shard_map(

@@ -84,3 +84,53 @@ def test_ring_attention_pallas_partials(sp_mesh, causal):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-5, rtol=2e-2,
     )
+
+
+def test_ring_causal_zigzag_skips_dead_chunks(sp_mesh):
+    """Round-3: the causal kernel-partials ring must NOT compute its
+    fully-masked chunks. With zig-zag striping every partial call is
+    fully (or half, on the diagonal) live; the analytic computed-pair
+    total must be ~S_global^2/2, not S_global^2 (the round-2 contiguous
+    path computed n full chunks per shard). Parity stays exact."""
+    import flash_attention_cute_tpu.parallel.sequence as seq
+
+    calls: list[tuple[int, int]] = []
+    orig = seq.flash_attention_chunked
+
+    def spy(q_, k_, v_, *a, **kw):
+        calls.append((q_.shape[2], k_.shape[2]))
+        return orig(q_, k_, v_, *a, **kw)
+
+    seq.flash_attention_chunked = spy
+    try:
+        q, k, v = make(jax.random.key(7), 1, 2, 2, 512, 64)
+        out = ring_attention(q, k, v, sp_mesh, causal=True, interpret=True)
+    finally:
+        seq.flash_attention_chunked = orig
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+
+    n = 8
+    s_local = 512 // n
+    half = s_local // 2
+    # Trace-time call sites: own-pair makes a (half, half) diagonal call
+    # and a (half, s_local) full+diagonal call; the off-diagonal branches
+    # make one fully-live (s_local, half) or (half, s_local) call. No
+    # (s_local, s_local) dead-chunk call may exist.
+    assert set(calls) == {
+        (half, half), (half, s_local), (s_local, half)
+    }, calls
+    # Analytic computed score-pairs: own-pair once per shard; the
+    # src<idx branch runs idx times on shard idx; src>idx runs n-1-idx.
+    computed = (
+        n * (half * half + half * s_local)
+        + sum(range(n)) * (s_local * half)
+        + sum(range(n)) * (half * s_local)
+    )
+    live = (n * s_local) ** 2 / 2
+    round2_path = n * n * s_local * s_local  # every shard, every chunk
+    assert computed <= 1.10 * live, (computed, live)
+    assert computed < 0.6 * round2_path, (computed, round2_path)
