@@ -182,6 +182,16 @@ def _padding_kv_lengths(mask, skv, window):
     lengths = valid.sum(-1)
     if bool((lengths >= n).all()):
         return None
+    if bool((lengths == 0).any()):
+        # A mask processor that fully masks padded QUERY rows makes the
+        # probed last row all-False; treating that as length 0 would
+        # silently zero the whole sequence's attention output. Fail loudly
+        # like the left-padded case (round-2 advisor finding).
+        raise NotImplementedError(
+            "attention_mask marks an entire sequence invalid (inferred kv "
+            "length 0); fully-masked query rows are not supported by the "
+            "TPU interop path"
+        )
     ar = torch.arange(n)
     if bool(((ar[None, :] < lengths[:, None]) == valid).all()):
         return lengths.to(torch.int32)

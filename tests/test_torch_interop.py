@@ -142,6 +142,25 @@ def test_patched_llama_left_padding_rejected(patched_llama):
             model(ids, attention_mask=mask)
 
 
+def test_zero_length_mask_rejected():
+    """A 4-D mask whose probed last query row is all-False (e.g. a mask
+    processor that fully masks padded query rows) must raise, not silently
+    return zeros for the whole sequence (round-2 advisor finding)."""
+    from flash_attention_cute_tpu.interop.torch_patch import (
+        _padding_kv_lengths,
+    )
+
+    skv = 8
+    # Row 0: normal right-padded prefix (5 valid). Row 1: everything
+    # masked in the last query row -> inferred length 0.
+    neg = torch.finfo(torch.float32).min
+    mask = torch.zeros(2, 1, skv, skv)
+    mask[0, 0, :, 5:] = neg
+    mask[1, 0, -1, :] = neg
+    with pytest.raises(NotImplementedError, match="length 0"):
+        _padding_kv_lengths(mask, skv, None)
+
+
 def test_custom_op_fake_kernel_traces():
     """The attention core is a torch.library custom op with a fake kernel
     (reference: flash_attention/flash_attention.py:40-43): under
