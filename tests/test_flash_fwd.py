@@ -50,8 +50,9 @@ def check(q, k, v, causal, **kw):
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize(
     "hq,hkv",
-    [(4, 4), (8, 2), (8, 1)],  # MHA, GQA, MQA
-    ids=["mha", "gqa", "mqa"],
+    # MHA, GQA, MQA, and Qwen2-7B's odd group (28q/4kv -> group 7)
+    [(4, 4), (8, 2), (8, 1), (28, 4)],
+    ids=["mha", "gqa", "mqa", "gqa_group7"],
 )
 def test_head_configs(causal, hq, hkv):
     q, k, v = make_qkv(jax.random.key(0), 2, hq, hkv, 256, 256, 64, jnp.float32)
