@@ -467,10 +467,23 @@ class ServingEngine:
                     continue
                 b = _bucket(len(self._requests[rid].prompt))
                 groups.setdefault(b, []).append(s)
-        for bucket, slots in groups.items():
-            step = self.prefill_group
-            for i in range(0, len(slots), step):
-                self._prefill_group(bucket, slots[i : i + step])
+        # CROSS-bucket grouping (round 3): chunks are cut from the
+        # bucket-descending order and padded to the chunk's max bucket —
+        # shorter prompts ride along as padded rows (valid_len already
+        # masks them), so a mixed-length arrival burst still costs
+        # ceil(n / prefill_group) forwards instead of one per bucket.
+        # Sorting descending keeps the padding waste minimal; with
+        # prefill_group == 1 this degenerates to exactly the old
+        # one-bucket-per-call behavior.
+        step = self.prefill_group
+        flat = [
+            (bucket, s)
+            for bucket in sorted(groups, reverse=True)
+            for s in groups[bucket]
+        ]
+        for i in range(0, len(flat), step):
+            chunk = flat[i : i + step]
+            self._prefill_group(chunk[0][0], [s for _, s in chunk])
 
     def _prefill_group(self, bucket: int, slots: list[int]):
         # Recompute semantics after preemption: greedy decoding replays the

@@ -661,3 +661,34 @@ def test_engine_decode_rounds_do_not_corrupt_admitting_slot(model):
     assert results[1] == want, (results[1], want)
     want0 = greedy_oracle(params, cfg, decoder, 16)
     assert results[0] == want0, (results[0], want0)
+
+
+def test_engine_cross_bucket_grouped_prefill_exact(model):
+    """Round-3: prefill_group > 1 groups a mixed-length arrival burst
+    ACROSS buckets (shorter prompts ride as padded rows under the chunk's
+    max bucket). Outputs must still match the greedy oracle exactly, and
+    the burst must cost ceil(n/group) prefill dispatches, not one per
+    bucket."""
+    cfg, params = model
+    rng = np.random.default_rng(7)
+    # Lengths straddling three buckets (lo=16): 3 -> 16, 20 -> 32, 40 -> 64.
+    prompts = {
+        0: rng.integers(0, cfg.vocab_size, 3).tolist(),
+        1: rng.integers(0, cfg.vocab_size, 20).tolist(),
+        2: rng.integers(0, cfg.vocab_size, 40).tolist(),
+        3: rng.integers(0, cfg.vocab_size, 9).tolist(),
+    }
+    eng = ServingEngine(
+        params, cfg, slots=4, num_pages=41, page_size=8, pages_per_seq=10,
+        prefill_group=4, interpret=True,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, 4)
+    results = eng.run()
+    assert sorted(results) == [0, 1, 2, 3], (results, eng.failed)
+    # One grouped forward admitted all four mixed-bucket prompts.
+    assert eng.stats["prefills"] == 4
+    assert eng.stats["device_calls"] <= 1 + 4  # 1 grouped prefill + decode
+    for rid, p in prompts.items():
+        want = greedy_oracle(params, cfg, p, 4)
+        assert results[rid] == want, (rid, results[rid], want)
