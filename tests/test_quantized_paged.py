@@ -180,3 +180,32 @@ def test_quant_paged_windowed():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-3, rtol=2e-2,
     )
+
+
+def test_quant_paged_decode_softcap():
+    """Round-3: logit_softcap composes with int8 paged decode — compare
+    against the dequantized oracle with the tanh cap applied to the
+    scaled scores."""
+    b, hq, hkv, pps, ps, d = 2, 8, 2, 4, 16, 64
+    q, kqz, vqz, tbl = setup(jax.random.key(5), b, hq, hkv, pps, ps, d)
+    lens = jnp.array([50, 23], jnp.int32)
+    cap = 10.0
+
+    out = paged_attention_decode_quantized(
+        q, kqz, vqz, lens, tbl, pages_per_compute_block=2,
+        logit_softcap=cap, interpret=True,
+    )
+    kg = gather_dense(kqz, tbl, ps)
+    vg = gather_dense(vqz, tbl, ps)
+    scale = d ** -0.5
+    kf = jnp.repeat(kg, hq // hkv, 1)
+    vf = jnp.repeat(vg, hq // hkv, 1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kf) * scale
+    s = jnp.tanh(s / cap) * cap
+    cols = jnp.arange(kf.shape[2])[None, None, None, :]
+    s = jnp.where(cols < lens[:, None, None, None], s, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vf)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-3, rtol=2e-2,
+    )
