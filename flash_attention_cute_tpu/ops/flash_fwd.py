@@ -251,6 +251,8 @@ def _flash_fwd_kernel_fused(
     m_scratch,  # [NUM_SUBLANES, g * block_q] f32 (row 0 live)
     l_scratch,  # [NUM_SUBLANES, g * block_q] f32 (row 0 live)
     acc_scratch,  # [d, g * block_q] f32 — O^T accumulator
+    qi8_scratch=None,  # [g * block_q, d] int8 — quantized q (score_dtype)
+    qa_scratch=None,  # [1, 1] f32 — q dequant scale (score_dtype)
     *,
     causal: bool,
     window: int | None,
@@ -265,6 +267,7 @@ def _flash_fwd_kernel_fused(
     stable: bool | str = True,
     logit_softcap: float | None = None,
     mask_inline: bool = False,
+    score_dtype=None,  # jnp.int8: run QK^T on the int8 MXU path (2x rate)
     lse_ref=None,  # [1, 1, g, block_q] f32 — log2-sum-exp residual (bwd)
     clamp_ref=None,  # [1, 1] f32 — lazy-envelope saturation event count
 ):
@@ -304,6 +307,26 @@ def _flash_fwd_kernel_fused(
         @pl.when(jnp.logical_and(q_blk == 0, kv_blk == 0))
         def _init_clamp():
             clamp_ref[0, 0] = 0.0
+
+    if score_dtype is not None:
+        # Opt-in int8 QK^T: quantize the (pre-scaled) q tile ONCE per grid
+        # row with a single tile-wide scale (kept scalar so the dequant is
+        # a sublane-broadcast multiply — no cross-lane transpose of
+        # per-row scales; row maxima of a scaled-normal q concentrate
+        # within ~2x of the tile max, so per-row q scales buy < 1 extra
+        # bit). K quantizes per ROW per sub-block (natural sublane
+        # vector). Score reconstruction is exact for the quantized
+        # values: s = i32 * (b_row/127) * (a/127).
+        @pl.when(kv_blk == 0)
+        def _quantize_q():
+            q_full = q_ref[0, 0].reshape(group * block_q, q_ref.shape[-1])
+            q_f32 = q_full.astype(jnp.float32)
+            a = jnp.max(jnp.abs(q_f32))
+            a = jnp.where(a == 0.0, 1.0, a)
+            qa_scratch[0, 0] = a * (1.0 / 127.0)
+            qi8_scratch[...] = jnp.clip(
+                jnp.round(q_f32 * (127.0 / a)), -127.0, 127.0
+            ).astype(jnp.int8)
 
     if causal:
         should_run = kv_blk * block_kv <= (q_blk + 1) * block_q - 1 + offset
@@ -363,10 +386,25 @@ def _flash_fwd_kernel_fused(
 
             k = k_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
             v = v_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
-            s_t = jax.lax.dot_general(
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [sub_kv, group * block_q]
+            if score_dtype is not None:
+                k_f32 = k.astype(jnp.float32)
+                babs = jnp.max(jnp.abs(k_f32), axis=1, keepdims=True)
+                bsc = jnp.where(babs == 0.0, 1.0, babs)
+                ki8 = jnp.clip(
+                    jnp.round(k_f32 * (127.0 / bsc)), -127.0, 127.0
+                ).astype(jnp.int8)
+                s_i32 = jax.lax.dot_general(
+                    ki8, qi8_scratch[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s_t = s_i32.astype(jnp.float32) * (
+                    bsc * (qa_scratch[0, 0] * (1.0 / 127.0))
+                )  # [sub_kv, group * block_q]
+            else:
+                s_t = jax.lax.dot_general(
+                    k, q, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [sub_kv, group * block_q]
             if logit_softcap is not None:
                 # Scores are in log2 units (Q pre-folded scale*log2e), so
                 # the cap scales by log2e too: log2e*c*tanh(s/(log2e*c))
@@ -720,6 +758,7 @@ def _flash_fwd_kernel_diag(
     static_argnames=(
         "sm_scale", "causal", "window", "block_q", "block_kv",
         "fuse_group", "inner_splits", "stable", "logit_softcap",
+        "score_dtype",
         "return_lse", "return_clamps", "diag_fused_subs",
         "interpret", "debug",
     ),
@@ -737,6 +776,9 @@ def flash_attention_fwd(
     inner_splits: int = 0,
     stable: bool | str = True,
     logit_softcap: float | None = None,
+    score_dtype: str | None = None,  # "int8": QK^T on the int8 MXU path
+    # (2x matmul rate; per-KV-row + tile-scalar-q scales; ~1e-2 output
+    # error vs bf16 scores — an OPT-IN speed/accuracy trade)
     return_lse: bool = False,
     return_clamps: bool = False,
     diag_fused_subs: int = 0,  # diag-first tuning: sub-blocks < this run
@@ -861,6 +903,7 @@ def flash_attention_fwd(
         causal
         and window is None
         and logit_softcap is None
+        and score_dtype is None
         and stable is True
         and not return_lse
         and not return_clamps
@@ -963,6 +1006,11 @@ def flash_attention_fwd(
         fuse_group = True  # soft-capping lives in the fused kernel only
     if return_clamps:
         fuse_group = True  # the counter lives in the fused lazy branch
+    if score_dtype is not None:
+        if score_dtype != "int8":
+            raise ValueError(f"score_dtype must be 'int8' or None, got "
+                             f"{score_dtype!r}")
+        fuse_group = True  # int8 QK^T lives in the fused kernel only
     if not fuse_group and (
         stable is not True or inner_splits_requested > 1
     ):
@@ -1037,6 +1085,7 @@ def flash_attention_fwd(
                 "stable": stable,
                 "logit_softcap": logit_softcap,
                 "mask_inline": mask_inline,
+                "score_dtype": jnp.int8 if score_dtype == "int8" else None,
             }
             if fuse_group
             else {}
@@ -1127,6 +1176,14 @@ def flash_attention_fwd(
                 pltpu.VMEM((NUM_SUBLANES, group * block_q), jnp.float32),
                 pltpu.VMEM((d_pad, group * block_q), jnp.float32),
             ]
+            + (
+                [
+                    pltpu.VMEM((group * block_q, d_pad), jnp.int8),
+                    pltpu.VMEM((1, 1), jnp.float32),
+                ]
+                if score_dtype is not None
+                else []
+            )
             if fuse_group
             else [
                 pltpu.VMEM((group, NUM_SUBLANES, block_q), jnp.float32),

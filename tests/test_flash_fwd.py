@@ -319,3 +319,65 @@ def test_logit_softcap_matches_reference():
     # Must differ from the uncapped result (cap actually does something).
     ref_uncapped = attention_reference(q, k, v, causal=True)
     assert float(jnp.abs(ref - ref_uncapped).max()) > 1e-4
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(causal=True),
+        dict(causal=False),
+        dict(causal=True, logit_softcap=10.0),
+        dict(causal=True, window=128),
+    ],
+    ids=["causal", "noncausal", "softcap", "window"],
+)
+def test_int8_scores_within_quantization_envelope(kw):
+    """Opt-in int8 QK^T (score_dtype='int8'): 2x MXU rate on the score
+    matmul, per-KV-row + tile-scalar-q scales. The reconstruction is
+    exact for the quantized values, so the error budget is pure
+    quantization noise (~1e-2 on the softmax output) — verified here
+    against the fp32 oracle at an opt-in tolerance; bf16 inputs match
+    the production call signature."""
+    q, k, v = make_qkv(jax.random.key(11), 2, 4, 2, 256, 256, 64,
+                       jnp.bfloat16)
+    causal = kw.pop("causal")
+    out = flash_attention_fwd(q, k, v, causal=causal, score_dtype="int8",
+                              block_q=128, block_kv=128, interpret=True,
+                              **kw)
+    ref = attention_reference(q, k, v, causal=causal, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+    # And the int8 path must stay strictly coarser than the bf16 path
+    # at matched config (i.e. it is actually quantizing, not a no-op).
+    out_bf16 = flash_attention_fwd(q, k, v, causal=causal,
+                                   block_q=128, block_kv=128,
+                                   interpret=True, **kw)
+    assert float(jnp.abs(out.astype(jnp.float32)
+                         - out_bf16.astype(jnp.float32)).max()) > 1e-4
+
+
+def test_int8_scores_cross_seqlen_and_lse():
+    """int8 QK^T composes with bottom-right cross-length geometry and
+    the return_lse side output (backward residual)."""
+    q, k, v = make_qkv(jax.random.key(12), 1, 4, 2, 64, 256, 64,
+                       jnp.bfloat16)
+    out, lse = flash_attention_fwd(q, k, v, causal=True,
+                                   score_dtype="int8", return_lse=True,
+                                   block_q=64, block_kv=128,
+                                   interpret=True)
+    ref = attention_reference(q, k, v, causal=True)
+    assert lse.shape == (1, 4, 64)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_int8_scores_rejects_unknown_dtype():
+    q, k, v = make_qkv(jax.random.key(13), 1, 2, 2, 128, 128, 64,
+                       jnp.bfloat16)
+    with pytest.raises(ValueError, match="score_dtype"):
+        flash_attention_fwd(q, k, v, causal=True, score_dtype="int4",
+                            interpret=True)
