@@ -37,6 +37,7 @@ def flash_attention_forward(
     *,
     stable: bool | str = True,
     logit_softcap: float | None = None,
+    score_dtype: str | None = None,
     block_config: dispatch.BlockConfig | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -54,10 +55,22 @@ def flash_attention_forward(
     "strict" = classic FA2 current-block max (always exact, slower);
     False = no running max at all (fastest; safe only below ~88 nats —
     keep the default for anything untrusted).
+    `score_dtype="int8"` opts the dense-prefill path into the int8 MXU
+    QK^T (2x score-matmul rate, ~1e-2 output error — a speed/accuracy
+    trade); only the dense prefill kernel supports it, other routes
+    raise.
     """
     dispatch.validate_inputs(q, k, v)
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
+
+    if score_dtype is not None and (
+        sq == 1 or kv_length is not None or q_offset is not None
+    ):
+        raise ValueError(
+            "score_dtype is supported only on the dense prefill path "
+            "(decode / chunked-extend routes run bf16 scores)"
+        )
 
     use_pallas = dispatch.on_tpu() or bool(interpret)
     if not use_pallas:
@@ -113,6 +126,7 @@ def flash_attention_forward(
         block_kv=cfg.block_kv,
         stable=stable,
         logit_softcap=logit_softcap,
+        score_dtype=score_dtype,
         interpret=interp,
     )
 

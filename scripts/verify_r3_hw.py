@@ -8,8 +8,9 @@ Covers the round-3 additions at the public API surface:
      adversarial spread, strict stays exact (hardware).
   3. logit_softcap composition: paged extend (bf16 + int8 KV) vs the
      dequantized XLA oracle with softcap applied.
-  4. zig-zag ring attention runs single-chip fallback unaffected (the
-     8-device parity lives in CI; here we just smoke the import path).
+  4. opt-in int8 QK^T (score_dtype='int8') — hardware vs interpret
+     (1e-6, same quantized math both ways) and vs the fp32 oracle at
+     the quantization-envelope tolerance.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/verify_r3_hw.py
 """
@@ -171,6 +172,23 @@ def main():
     r_q = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vf)
     err = float(jnp.abs(o_q.astype(jnp.float32) - r_q).max())
     check("paged_extend_quant_softcap_vs_dequant_oracle", err, 3e-2)
+
+    # --- 4. opt-in int8 QK^T (score_dtype='int8') on hardware ---
+    ks = jax.random.split(jax.random.key(17), 3)
+    q = jax.random.normal(ks[0], (2, 16, 1024, 128), jnp.float32)
+    k = jax.random.normal(ks[1], (2, 2, 1024, 128), jnp.float32)
+    v = jax.random.normal(ks[2], (2, 2, 1024, 128), jnp.float32)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    o_hw = flash_attention_fwd(qb, kb, vb, causal=True, score_dtype="int8")
+    o_int = flash_attention_fwd(qb, kb, vb, causal=True, score_dtype="int8",
+                                interpret=True)
+    r = attention_reference(qb, kb, vb, causal=True)
+    check("int8_scores_vs_ref",
+          float(jnp.abs(o_hw.astype(jnp.float32)
+                        - r.astype(jnp.float32)).max()), 5e-2)
+    check("int8_scores_hw_vs_interpret",
+          float(jnp.abs(o_hw.astype(jnp.float32)
+                        - o_int.astype(jnp.float32)).max()), 1e-6)
 
     print("ALL PASS" if not FAILS else f"FAILURES: {FAILS}", flush=True)
     sys.exit(1 if FAILS else 0)

@@ -115,3 +115,31 @@ def test_logit_softcap_through_api():
     )
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
                                atol=2e-5, rtol=2e-2)
+
+
+def test_score_dtype_routes_to_prefill_and_rejects_other_paths():
+    from flash_attention_cute_tpu.api import flash_attention_forward
+
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (1, 4, 128, 64), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, 2, 128, 64), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, 2, 128, 64), jnp.bfloat16)
+    out = flash_attention_forward(
+        q, k, v, causal=True, score_dtype="int8", interpret=True
+    )
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+    # Decode and chunked-extend routes run bf16 scores — loud rejection
+    # rather than a silently ignored argument.
+    with pytest.raises(ValueError, match="dense prefill"):
+        flash_attention_forward(
+            q[:, :, :1], k, v, score_dtype="int8", interpret=True
+        )
+    with pytest.raises(ValueError, match="dense prefill"):
+        flash_attention_forward(
+            q, k, v, causal=True, score_dtype="int8",
+            kv_length=jnp.full((1,), 128, jnp.int32), interpret=True
+        )
