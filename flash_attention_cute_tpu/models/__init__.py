@@ -14,6 +14,10 @@ from flash_attention_cute_tpu.models.transformer import (
 )
 from flash_attention_cute_tpu.models.llama import llama_config_from_hf
 from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
+from flash_attention_cute_tpu.models.heads import (
+    question_answering_forward,
+    sequence_classification_forward,
+)
 
 __all__ = [
     "ModelConfig",
@@ -22,4 +26,6 @@ __all__ = [
     "init_params",
     "llama_config_from_hf",
     "qwen2_config_from_hf",
+    "question_answering_forward",
+    "sequence_classification_forward",
 ]

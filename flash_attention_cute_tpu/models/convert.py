@@ -35,11 +35,15 @@ def _normalize_key(k: str) -> str:
     return _PREFIX.sub("", k)
 
 
-def params_from_state_dict(state_dict: dict, cfg: ModelConfig) -> dict:
+def params_from_state_dict(
+    state_dict: dict, cfg: ModelConfig, with_lm_head: bool = True
+) -> dict:
     """Convert an HF Llama/Qwen2-style state dict to the stacked pytree.
 
     Accepts both `model.layers.N....` and `layers.N....` key styles and
-    torch tensors or numpy arrays as values.
+    torch tensors or numpy arrays as values. `with_lm_head=False` converts
+    a trunk-only checkpoint (classification/QA checkpoints carry a task
+    head instead of lm_head — see `head_params_from_state_dict`).
     """
     sd = {_normalize_key(k): v for k, v in state_dict.items()}
     dt = cfg.dtype
@@ -80,12 +84,39 @@ def params_from_state_dict(state_dict: dict, cfg: ModelConfig) -> dict:
         "layers": layers,
         "final_ln": jnp.asarray(get("norm.weight"), dt),
     }
-    if not cfg.tie_word_embeddings:
+    if with_lm_head and not cfg.tie_word_embeddings:
         # lm_head lives outside the model.* prefix in HF checkpoints.
         head = sd.get("lm_head.weight")
         if head is None:
             raise KeyError("lm_head.weight missing and embeddings not tied")
         params["lm_head"] = jnp.asarray(_to_np(head).T, dt)
+    return params
+
+
+def head_params_from_state_dict(
+    state_dict: dict, cfg: ModelConfig, head: str
+) -> dict:
+    """Convert an HF task-head checkpoint (trunk + head, no lm_head).
+
+    `head` is "sequence_classification" (HF `score.weight`, no bias —
+    reference: models/modeling_llama.py:971, modeling_qwen2.py:926) or
+    "question_answering" (HF `qa_outputs.{weight,bias}`, out_features=2 —
+    reference: models/modeling_llama.py:1086).
+    """
+    params = params_from_state_dict(state_dict, cfg, with_lm_head=False)
+    sd = {_normalize_key(k): v for k, v in state_dict.items()}
+    dt = cfg.dtype
+    if head == "sequence_classification":
+        params["score"] = jnp.asarray(_to_np(sd["score.weight"]).T, dt)
+    elif head == "question_answering":
+        params["qa_outputs"] = jnp.asarray(
+            _to_np(sd["qa_outputs.weight"]).T, dt
+        )
+        params["qa_outputs_bias"] = jnp.asarray(
+            _to_np(sd["qa_outputs.bias"]), dt
+        )
+    else:
+        raise ValueError(f"unknown head {head!r}")
     return params
 
 

@@ -187,3 +187,87 @@ def test_llama3_rope_scaling_parity_with_hf():
     want = hf_logits(model, ids)
     got, _ = forward(params, cfg, jnp.asarray(ids), mode="prefill")
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Non-generative task heads (reference: models/modeling_llama.py:971,:1086,
+# modeling_qwen2.py:926 — SequenceClassification / QuestionAnswering).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("family", ["llama", "qwen2"])
+@pytest.mark.parametrize("padded", [False, True], ids=["nopad", "padded"])
+def test_sequence_classification_parity_with_hf(family, padded):
+    from flash_attention_cute_tpu.models.convert import (
+        head_params_from_state_dict,
+    )
+    from flash_attention_cute_tpu.models.heads import (
+        sequence_classification_forward,
+    )
+
+    num_labels = 3
+    if family == "llama":
+        hf_cfg, _ = tiny_hf_llama()
+        hf_cfg.num_labels = num_labels
+        hf_cfg.pad_token_id = 0 if padded else None
+        torch.manual_seed(2)
+        with torch.device("cpu"):
+            model = transformers.LlamaForSequenceClassification(hf_cfg).eval()
+        cfg = llama_config_from_hf(hf_cfg, dtype=jnp.float32)
+    else:
+        hf_cfg, _ = tiny_hf_qwen2()
+        hf_cfg.num_labels = num_labels
+        hf_cfg.pad_token_id = 0 if padded else None
+        torch.manual_seed(3)
+        with torch.device("cpu"):
+            model = transformers.Qwen2ForSequenceClassification(hf_cfg).eval()
+        cfg = qwen2_config_from_hf(hf_cfg, dtype=jnp.float32)
+
+    params = head_params_from_state_dict(
+        model.state_dict(), cfg, "sequence_classification"
+    )
+    rng = np.random.default_rng(4)
+    # HF refuses batch > 1 without a pad token — match that envelope.
+    b = 2 if padded else 1
+    ids = rng.integers(1, 120, (b, 24)).astype(np.int64)
+    if padded:
+        ids[0, 17:] = 0  # right padding; row 1 stays full-length
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.float().numpy()
+    got = sequence_classification_forward(
+        params, cfg, jnp.asarray(ids, jnp.int32),
+        pad_token_id=hf_cfg.pad_token_id, interpret=True,
+    )
+    assert got.shape == (b, num_labels)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-3)
+
+
+def test_question_answering_parity_with_hf():
+    from flash_attention_cute_tpu.models.convert import (
+        head_params_from_state_dict,
+    )
+    from flash_attention_cute_tpu.models.heads import (
+        question_answering_forward,
+    )
+
+    hf_cfg, _ = tiny_hf_llama()
+    torch.manual_seed(5)
+    with torch.device("cpu"):
+        model = transformers.LlamaForQuestionAnswering(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = head_params_from_state_dict(
+        model.state_dict(), cfg, "question_answering"
+    )
+    rng = np.random.default_rng(6)
+    ids = rng.integers(1, 120, (2, 24)).astype(np.int64)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids))
+        want_start = out.start_logits.float().numpy()
+        want_end = out.end_logits.float().numpy()
+    start, end = question_answering_forward(
+        params, cfg, jnp.asarray(ids, jnp.int32), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(start), want_start,
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(end), want_end,
+                               atol=2e-4, rtol=2e-3)
