@@ -11,6 +11,7 @@ from flash_attention_cute_tpu.runtime.generate import (
     prefill,
 )
 from flash_attention_cute_tpu.runtime.sampling import sample_token
+from flash_attention_cute_tpu.runtime.speculative import speculative_generate
 from flash_attention_cute_tpu.runtime.engine import ServingEngine
 from flash_attention_cute_tpu.runtime.dp_engine import (
     DataParallelServingEngine,
@@ -18,5 +19,6 @@ from flash_attention_cute_tpu.runtime.dp_engine import (
 
 __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
+    "speculative_generate",
     "ServingEngine", "DataParallelServingEngine",
 ]

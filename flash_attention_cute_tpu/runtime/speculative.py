@@ -1,0 +1,240 @@
+"""Speculative decoding (draft / verify) with exact greedy outputs.
+
+Beyond the reference (whose decode is a per-token Python loop,
+reference: scripts/benchmark_llm.py:65-92): a small draft model proposes
+`gamma` tokens per round; the target model scores all of them in ONE
+chunked-extend forward (the same scalar-prefetch kernel that serves
+chunked admission), accepts the longest matching prefix, and emits one
+bonus token from its own argmax — every round advances 1..gamma+1
+tokens for a single target forward. The output is bit-identical to
+`greedy_generate` for ANY draft model; the draft only controls speed.
+
+TPU-native design:
+  * Per-row ragged acceptance rides the caches' [B] length scalars —
+    rollback is `lengths = L + n + 1`, no data movement, and every
+    phase (draft-extend / draft-decode / verify-extend) stays one
+    compiled program at any fill level.
+  * The generation loop is a single jitted `lax.while_loop`: no host
+    round trip per round (the tunnel costs 100-300 ms per dispatch).
+  * Each round the draft re-extends the 2-token chunk
+    [previous_token, bonus]: rewriting an already-cached token's KV is
+    idempotent, which uniformly covers the all-accepted case where the
+    draft cache is missing the last draft token's KV.
+  * Finished rows freeze their lengths (writes beyond a frozen row's
+    valid prefix land in cache slack and stay invisible), so mixed
+    completion never grows a finished row's cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_cute_tpu.models.config import ModelConfig
+from flash_attention_cute_tpu.models.transformer import forward
+from flash_attention_cute_tpu.runtime.generate import prefill
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "draft_cfg", "max_new_tokens", "gamma", "eos_token_id",
+        "interpret",
+    ),
+    donate_argnames=("t_cache", "d_cache"),
+)
+def _speculative_loop(
+    params,
+    draft_params,
+    cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    t_cache,
+    d_cache,
+    first_token: jax.Array,  # [B] int32 — target's first greedy token
+    prev_token: jax.Array,  # [B] int32 — last prompt token
+    max_new_tokens: int,
+    gamma: int,
+    eos_token_id: int | None,
+    interpret: bool | None,
+):
+    b = first_token.shape[0]
+    width = max_new_tokens + gamma + 1  # scatter slack: rounds overshoot
+    pad = eos_token_id if eos_token_id is not None else 0
+    out = jnp.full((b, width), pad, jnp.int32)
+    out = out.at[:, 0].set(first_token)
+    out_pos = jnp.ones((b,), jnp.int32)
+    iota = jnp.arange(gamma + 1, dtype=jnp.int32)
+
+    if eos_token_id is not None:
+        done0 = first_token == eos_token_id
+    else:
+        done0 = jnp.zeros((b,), jnp.bool_)
+
+    def cond(carry):
+        (_, _, _, _, done, _, out_pos, rounds, _) = carry
+        alive = ~done & (out_pos < max_new_tokens)
+        return jnp.any(alive) & (rounds < max_new_tokens)
+
+    def body(carry):
+        (t_cache, d_cache, cur, prev, done, out, out_pos, rounds,
+         accepted_total) = carry
+        alive = ~done & (out_pos < max_new_tokens)
+        t_len = t_cache.lengths  # L: tokens 0..L-1 cached; cur = token L
+        d_len = d_cache.lengths  # L-1 by invariant
+
+        # --- draft: 2-token extend [prev, cur], then gamma-1 decodes ---
+        chunk2 = jnp.stack([prev, cur], axis=1)
+        dlog, d_cache = forward(
+            draft_params, draft_cfg, chunk2, cache=d_cache, mode="extend",
+            interpret=interpret,
+        )
+        d1 = jnp.argmax(dlog[:, 1], axis=-1).astype(jnp.int32)
+
+        def draft_step(carry, _):
+            d_cache, tok = carry
+            lg, d_cache = forward(
+                draft_params, draft_cfg, tok[:, None], cache=d_cache,
+                mode="decode", interpret=interpret,
+            )
+            nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+            return (d_cache, nxt), nxt
+
+        (d_cache, _), rest = jax.lax.scan(
+            draft_step, (d_cache, d1), None, length=gamma - 1
+        )
+        drafts = jnp.concatenate(
+            [d1[:, None], rest.T.reshape(b, gamma - 1)], axis=1
+        )  # [B, gamma] = d_1..d_gamma
+
+        # --- verify: one target extend over [cur, d_1..d_gamma] ---
+        vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
+        vlog, t_cache = forward(
+            params, cfg, vchunk, cache=t_cache, mode="extend",
+            interpret=interpret,
+        )
+        tgt_pred = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # [B, g+1]
+
+        # Longest matching prefix: n in [0, gamma]; bonus from position n.
+        match = tgt_pred[:, :gamma] == drafts
+        n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        bonus = jnp.take_along_axis(tgt_pred, n[:, None], axis=1)[:, 0]
+
+        # Emitted tokens this round: e_i = d_{i+1} for i < n, e_n = bonus.
+        padded = jnp.concatenate(
+            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
+        )
+        e = jnp.where(iota[None, :] == n[:, None], bonus[:, None], padded)
+
+        # EOS truncation inside the round.
+        if eos_token_id is not None:
+            is_eos = (e == eos_token_id) & (iota[None, :] <= n[:, None])
+            has_eos = jnp.any(is_eos, axis=1)
+            first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+            n_eff = jnp.where(has_eos, first_eos, n)
+            done_new = done | (alive & has_eos)
+        else:
+            n_eff = n
+            done_new = done
+
+        # Scatter the emitted prefix into the output buffer. Blending
+        # gathered values back for masked slots makes even clamped
+        # out-of-bounds indices a no-op.
+        mask = (iota[None, :] <= n_eff[:, None]) & alive[:, None]
+
+        def write_row(row, pos0, e_row, m_row):
+            idx = pos0 + iota
+            vals = jnp.where(m_row, e_row, row[idx])
+            return row.at[idx].set(vals)
+
+        out = jax.vmap(write_row)(out, out_pos, e, mask)
+
+        count = n_eff + 1
+        out_pos = jnp.where(alive, out_pos + count, out_pos)
+        # Rollback: target keeps cur..d_n (n+1 tokens), draft one fewer.
+        new_L = t_len + count
+        t_cache = dataclasses.replace(
+            t_cache, lengths=jnp.where(alive, new_L, t_len)
+        )
+        d_cache = dataclasses.replace(
+            d_cache, lengths=jnp.where(alive, new_L - 1, d_len)
+        )
+        # Next round: cur' = bonus-or-eos tail token; prev' = token before.
+        last = jnp.take_along_axis(e, n_eff[:, None], axis=1)[:, 0]
+        before = jnp.where(
+            n_eff > 0,
+            jnp.take_along_axis(
+                padded, jnp.maximum(n_eff - 1, 0)[:, None], axis=1
+            )[:, 0],
+            cur,
+        )
+        cur = jnp.where(alive, last, cur)
+        prev = jnp.where(alive, before, prev)
+        accepted_total = accepted_total + jnp.sum(
+            jnp.where(alive, n_eff, 0)
+        )
+        return (t_cache, d_cache, cur, prev, done_new, out, out_pos,
+                rounds + 1, accepted_total)
+
+    init = (t_cache, d_cache, first_token, prev_token, done0, out, out_pos,
+            jnp.int32(0), jnp.int32(0))
+    (_, _, _, _, _, out, _, rounds, accepted) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return out[:, :max_new_tokens], rounds, accepted
+
+
+def speculative_generate(
+    params: dict,
+    cfg: ModelConfig,
+    draft_params: dict,
+    draft_cfg: ModelConfig,
+    input_ids: jax.Array,
+    max_new_tokens: int,
+    gamma: int = 4,
+    eos_token_id: int | None = None,
+    cache_capacity: int | None = None,
+    interpret: bool | None = None,
+    return_stats: bool = False,
+):
+    """Greedy generation accelerated by a draft model.
+
+    Returns [B, max_new_tokens] token ids — bit-identical to
+    `greedy_generate(params, cfg, ...)` regardless of the draft — or
+    `(tokens, stats)` with `stats = {"rounds", "accepted_drafts"}` when
+    `return_stats=True` (acceptance rate = accepted / (rounds*gamma)).
+    """
+    assert gamma >= 1, gamma
+    assert cfg.vocab_size == draft_cfg.vocab_size, (
+        "draft and target must share a vocabulary"
+    )
+    b, s = input_ids.shape
+    if cache_capacity is None:
+        cache_capacity = s + max_new_tokens + gamma + 2
+    last_logits, t_cache = prefill(
+        params, cfg, input_ids, cache_capacity, interpret=interpret
+    )
+    _, d_cache = prefill(
+        draft_params, draft_cfg, input_ids, cache_capacity,
+        interpret=interpret,
+    )
+    # Invariant: draft length = target length - 1 (the draft re-extends
+    # the last cached token together with the bonus each round).
+    d_cache = dataclasses.replace(d_cache, lengths=d_cache.lengths - 1)
+    first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    if max_new_tokens == 1:
+        tokens = first[:, None]
+        return (tokens, {"rounds": 0, "accepted_drafts": 0}) if return_stats \
+            else tokens
+    tokens, rounds, accepted = _speculative_loop(
+        params, draft_params, cfg, draft_cfg, t_cache, d_cache,
+        first, input_ids[:, -1].astype(jnp.int32),
+        max_new_tokens, gamma, eos_token_id, interpret,
+    )
+    if return_stats:
+        return tokens, {
+            "rounds": int(rounds), "accepted_drafts": int(accepted)
+        }
+    return tokens

@@ -1,0 +1,98 @@
+"""Speculative decoding: exact greedy equivalence and acceptance behavior.
+
+The core contract: `speculative_generate` must reproduce the target's
+greedy chain token-for-token for ANY draft model — the draft only
+changes how many rounds it takes. A same-model draft must accept at the
+maximum rate; an unrelated random draft must still be exact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.models.config import tiny_test_config
+from flash_attention_cute_tpu.models.transformer import init_params
+from flash_attention_cute_tpu.runtime.generate import greedy_generate
+from flash_attention_cute_tpu.runtime.speculative import speculative_generate
+
+
+@pytest.fixture(scope="module")
+def target():
+    cfg = tiny_test_config(num_layers=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.key(0))
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def draft():
+    # Smaller and *independently* initialized: near-zero agreement with
+    # the target, so acceptance exercises the n=0 bonus-only path.
+    cfg = tiny_test_config(num_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.key(99))
+    return cfg, params
+
+
+def prompt(b=2, s=12, seed=7):
+    return jax.random.randint(jax.random.key(seed), (b, s), 0, 250)
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 4])
+def test_exact_vs_greedy_random_draft(target, draft, gamma):
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt()
+    want = greedy_generate(params, cfg, ids, 16, interpret=True)
+    got = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 16, gamma=gamma, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_self_draft_accepts_everything(target):
+    cfg, params = target
+    ids = prompt(seed=8)
+    want = greedy_generate(params, cfg, ids, 16, interpret=True)
+    got, stats = speculative_generate(
+        params, cfg, params, cfg, ids, 16, gamma=3, interpret=True,
+        return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # 15 post-first tokens at up to 4/round -> 4 rounds when everything
+    # is accepted (a same-model draft agrees except for kernel-path
+    # rounding ties, which fixed seeds make stable).
+    assert stats["rounds"] <= 6, stats
+    assert stats["accepted_drafts"] >= 8, stats
+
+
+def test_eos_stops_and_pads(target, draft):
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt(b=1, seed=9)
+    ref = np.asarray(greedy_generate(params, cfg, ids, 16, interpret=True))
+    # Choose a token the greedy chain actually emits mid-sequence as EOS,
+    # so both paths must stop there and pad.
+    eos = int(ref[0, 5])
+    want = np.asarray(
+        greedy_generate(params, cfg, ids, 16, eos_token_id=eos,
+                        interpret=True)
+    )
+    got = np.asarray(
+        speculative_generate(params, cfg, dparams, dcfg, ids, 16,
+                             gamma=3, eos_token_id=eos, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # And it genuinely padded: everything after the first EOS is EOS.
+    pos = np.argmax(got[0] == eos)
+    assert (got[0, pos:] == eos).all()
+
+
+def test_max_new_tokens_one(target, draft):
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt(b=1, seed=10)
+    want = greedy_generate(params, cfg, ids, 1, interpret=True)
+    got = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 1, gamma=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
