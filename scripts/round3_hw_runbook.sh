@@ -1,0 +1,30 @@
+#!/bin/bash
+# One-shot round-3 hardware measurement runbook. Run when the axon
+# tunnel is up:  bash scripts/round3_hw_runbook.sh [outdir]
+# Each step appends to $OUT/<name>.log; steps are independent — rerun
+# any that fail.
+set -u
+OUT=${1:-/tmp/r3hw}
+mkdir -p "$OUT"
+export PYTHONPATH=/root/repo:/root/.axon_site
+export PYTHONUNBUFFERED=1
+cd /root/repo
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name: $* ==="
+  timeout "$to" "$@" > "$OUT/$name.log" 2>&1
+  echo "--- $name exit=$? tail:"; tail -5 "$OUT/$name.log"
+}
+
+run smoke        300 python scripts_tpu_smoke.py
+run verify_r3    900 python scripts/verify_r3_hw.py
+run bench        900 python bench.py
+run int8_head    900 python benchmarks/int8_headline.py
+run serving_g4   1800 python scripts/benchmark_serving.py --decode-chunk 64 --prefill-group 4
+run serving_g4c32 1800 python scripts/benchmark_serving.py --decode-chunk 32 --prefill-group 4
+run qwen2_llm    1800 python scripts/benchmark_llm.py --model qwen2-7b --num-layers 4
+run qwen2_serve  1800 python scripts/benchmark_serving.py --model qwen2-7b --decode-chunk 64 --prefill-group 4
+run bwd_timing   1800 python benchmarks/bwd_timing.py
+run spec_bench   1800 python benchmarks/spec_decode_bench.py
+echo "ALL DONE -> $OUT"
