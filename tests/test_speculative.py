@@ -96,3 +96,43 @@ def test_max_new_tokens_one(target, draft):
         params, cfg, dparams, dcfg, ids, 1, gamma=2, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sliding_window_model_exact(target):
+    """Speculative verify runs the windowed chunked kernel when the model
+    config says so — outputs must still match greedy exactly."""
+    cfg = tiny_test_config(
+        num_layers=2, dtype=jnp.float32,
+        sliding_window=8, use_sliding_window=True, max_window_layers=1,
+    )
+    params = init_params(cfg, jax.random.key(21))
+    dcfg = tiny_test_config(num_layers=1, dtype=jnp.float32)
+    dparams = init_params(dcfg, jax.random.key(22))
+    ids = prompt(b=2, s=20, seed=23)
+    want = greedy_generate(params, cfg, ids, 12, interpret=True)
+    got = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_staggered_eos_freezes_rows(target, draft):
+    """Rows hitting EOS in different rounds: finished rows freeze (cache
+    lengths stop advancing) while the rest continue, and outputs still
+    match greedy row-for-row."""
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt(b=3, s=12, seed=24)
+    ref = np.asarray(greedy_generate(params, cfg, ids, 20, interpret=True))
+    # Pick an EOS that appears at different positions in different rows
+    # (fall back to row 0's mid token — rows without it just run long).
+    eos = int(ref[0, 7])
+    want = np.asarray(
+        greedy_generate(params, cfg, ids, 20, eos_token_id=eos,
+                        interpret=True)
+    )
+    got = np.asarray(
+        speculative_generate(params, cfg, dparams, dcfg, ids, 20,
+                             gamma=4, eos_token_id=eos, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
