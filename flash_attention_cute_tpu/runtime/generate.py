@@ -27,13 +27,16 @@ def prefill(
     cache_capacity: int,
     cache_dtype=None,
     interpret: bool | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, KVCache]:
     """Run the prompt through the model, returning (last_logits [B,V], cache).
 
     `cache_dtype=jnp.int8` (or `jnp.float8_e4m3fn`) selects the quantized
     KV cache: K/V quantize per token at write time and decode attention
     dequantizes inside the kernel — half (vs bf16) the HBM per step
-    (reference roadmap item, README.md:22).
+    (reference roadmap item, README.md:22). With `mesh`, the fresh dense
+    cache is sharded (KV heads on the model axis, batch on data) before
+    the forward (params should already be sharded via `shard_params`).
     """
     b, s = input_ids.shape
     assert cache_capacity >= s, (cache_capacity, s)
@@ -45,8 +48,13 @@ def prefill(
         cache = KVCache.create(
             cfg, batch=b, capacity=cache_capacity, dtype=cache_dtype
         )
+    if mesh is not None and isinstance(cache, KVCache):
+        from flash_attention_cute_tpu.parallel.sharding import shard_cache
+
+        cache = shard_cache(cache, mesh)
     logits, cache = forward(
-        params, cfg, input_ids, cache=cache, mode="prefill", interpret=interpret
+        params, cfg, input_ids, cache=cache, mode="prefill",
+        interpret=interpret, mesh=mesh,
     )
     return logits[:, -1], cache
 
@@ -54,7 +62,8 @@ def prefill(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "sampling", "eos_token_id", "interpret"
+        "cfg", "max_new_tokens", "sampling", "eos_token_id", "interpret",
+        "mesh",
     ),
     donate_argnames=("cache",),
 )
@@ -68,6 +77,7 @@ def decode_loop(
     eos_token_id: int | None = None,
     key: jax.Array | None = None,
     interpret: bool | None = None,
+    mesh=None,
 ) -> jax.Array:
     """Autoregressive decode under lax.scan. Returns [B, max_new_tokens].
 
@@ -82,7 +92,7 @@ def decode_loop(
         cache, tok, done, key = carry
         logits, cache = forward(
             params, cfg, tok[:, None], cache=cache, mode="decode",
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
         key, sub = jax.random.split(key)
         nxt = sample_token(logits[:, 0], sub, sampling)
@@ -112,13 +122,15 @@ def generate(
     eos_token_id: int | None = None,
     key: jax.Array | None = None,
     interpret: bool | None = None,
+    mesh=None,
 ) -> jax.Array:
     """Prefill + decode. Returns the generated ids [B, max_new_tokens]."""
     b, s = input_ids.shape
     if cache_capacity is None:
         cache_capacity = s + max_new_tokens
     last_logits, cache = prefill(
-        params, cfg, input_ids, cache_capacity, interpret=interpret
+        params, cfg, input_ids, cache_capacity, interpret=interpret,
+        mesh=mesh,
     )
     if key is None:
         key = jax.random.key(0)
@@ -129,7 +141,7 @@ def generate(
     rest = decode_loop(
         params, cfg, first, cache, max_new_tokens - 1,
         sampling=sampling, eos_token_id=eos_token_id, key=key,
-        interpret=interpret,
+        interpret=interpret, mesh=mesh,
     )
     return jnp.concatenate([first[:, None], rest], axis=1)
 

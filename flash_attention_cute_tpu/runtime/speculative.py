@@ -42,7 +42,7 @@ from flash_attention_cute_tpu.runtime.generate import prefill
     jax.jit,
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "gamma", "eos_token_id",
-        "interpret",
+        "interpret", "mesh",
     ),
     donate_argnames=("t_cache", "d_cache"),
 )
@@ -59,6 +59,7 @@ def _speculative_loop(
     gamma: int,
     eos_token_id: int | None,
     interpret: bool | None,
+    mesh=None,
 ):
     b = first_token.shape[0]
     width = max_new_tokens + gamma + 1  # scatter slack: rounds overshoot
@@ -89,7 +90,7 @@ def _speculative_loop(
         chunk2 = jnp.stack([prev, cur], axis=1)
         dlog, d_cache = forward(
             draft_params, draft_cfg, chunk2, cache=d_cache, mode="extend",
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
         d1 = jnp.argmax(dlog[:, 1], axis=-1).astype(jnp.int32)
 
@@ -97,7 +98,7 @@ def _speculative_loop(
             d_cache, tok = carry
             lg, d_cache = forward(
                 draft_params, draft_cfg, tok[:, None], cache=d_cache,
-                mode="decode", interpret=interpret,
+                mode="decode", interpret=interpret, mesh=mesh,
             )
             nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
             return (d_cache, nxt), nxt
@@ -113,7 +114,7 @@ def _speculative_loop(
         vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
         vlog, t_cache = forward(
             params, cfg, vchunk, cache=t_cache, mode="extend",
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
         tgt_pred = jnp.argmax(vlog, axis=-1).astype(jnp.int32)  # [B, g+1]
 
@@ -197,6 +198,7 @@ def speculative_generate(
     eos_token_id: int | None = None,
     cache_capacity: int | None = None,
     interpret: bool | None = None,
+    mesh=None,
     return_stats: bool = False,
 ):
     """Greedy generation accelerated by a draft model.
@@ -214,11 +216,12 @@ def speculative_generate(
     if cache_capacity is None:
         cache_capacity = s + max_new_tokens + gamma + 2
     last_logits, t_cache = prefill(
-        params, cfg, input_ids, cache_capacity, interpret=interpret
+        params, cfg, input_ids, cache_capacity, interpret=interpret,
+        mesh=mesh,
     )
     _, d_cache = prefill(
         draft_params, draft_cfg, input_ids, cache_capacity,
-        interpret=interpret,
+        interpret=interpret, mesh=mesh,
     )
     # Invariant: draft length = target length - 1 (the draft re-extends
     # the last cached token together with the bonus each round).
@@ -231,7 +234,7 @@ def speculative_generate(
     tokens, rounds, accepted = _speculative_loop(
         params, draft_params, cfg, draft_cfg, t_cache, d_cache,
         first, input_ids[:, -1].astype(jnp.int32),
-        max_new_tokens, gamma, eos_token_id, interpret,
+        max_new_tokens, gamma, eos_token_id, interpret, mesh,
     )
     if return_stats:
         return tokens, {

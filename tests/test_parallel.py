@@ -96,3 +96,30 @@ def test_param_pspecs_cover_tree(cfg):
     specs = param_pspecs(cfg)
     # Every param leaf must have a spec leaf (tree structures match).
     jax.tree.map(lambda p, s: None, params, specs)
+
+
+def test_speculative_generate_under_mesh(cfg, mesh8):
+    """Speculative decoding composes with tensor/data sharding: sharded
+    params + sharded caches, one jitted loop, exact vs unsharded greedy."""
+    from flash_attention_cute_tpu.runtime.generate import greedy_generate
+    from flash_attention_cute_tpu.runtime.speculative import (
+        speculative_generate,
+    )
+
+    params = init_params(cfg, jax.random.key(30))
+    dcfg = tiny_test_config(
+        num_q_heads=8, num_kv_heads=4, num_layers=1
+    )
+    dparams = init_params(dcfg, jax.random.key(31))
+    ids = jax.random.randint(jax.random.key(32), (2, 12), 0, 250)
+
+    want = np.asarray(greedy_generate(params, cfg, ids, 10))
+
+    sp = shard_params(params, cfg, mesh8)
+    sdp = shard_params(dparams, dcfg, mesh8)
+    ids_s = jax.device_put(ids, NamedSharding(mesh8, P("data", None)))
+    got = np.asarray(
+        speculative_generate(sp, cfg, sdp, dcfg, ids_s, 10, gamma=3,
+                             mesh=mesh8)
+    )
+    np.testing.assert_array_equal(got, want)
