@@ -1,0 +1,477 @@
+"""Engine-level speculative decoding over paged KV caches.
+
+Composes `runtime/speculative.py`'s draft/verify recurrence with the
+continuous-batching `ServingEngine` (runtime/engine.py): every decode
+round, a small draft model proposes `gamma` tokens per slot from its own
+paged cache, the target scores all of them in ONE paged-extend forward
+(the same scalar-prefetch kernel that serves chunked admission), and the
+longest matching prefix plus one bonus token is accepted per slot —
+1..gamma+1 tokens per slot per target forward, bit-identical to the
+plain greedy engine for ANY draft model (the reference's decode is a
+per-token Python loop, reference: scripts/benchmark_llm.py:65-92; it has
+no serving engine and no speculative path at all).
+
+TPU-native design:
+  * The draft cache is a second page pool with the SAME page table as
+    the target's (one host-side allocator drives both); per-slot ragged
+    acceptance is a pure length-scalar update — no data movement, one
+    compiled program at any fill level.
+  * `rounds_per_call` spec rounds run inside one jitted `lax.scan`
+    (multi-step scheduling): host round trips — the dominant per-step
+    cost on a tunneled TPU — amortize across rounds exactly like the
+    plain engine's `decode_chunk`.
+  * Slots freeze in-scan at EOS or token budget via per-row done flags;
+    frozen rows re-scatter idempotent KV inside the scan and their
+    lengths are restored each round, so mixed completion never grows a
+    finished row's cache.
+  * Page coverage is reserved to the round-span high-water mark BEFORE
+    the scan (the allocator's token count tracks *covered* positions,
+    not emitted tokens); rejected drafts simply leave covered pages to
+    be rewritten by the next round. Size pools for
+    `prompt + max_new_tokens + gamma` tokens per sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_cute_tpu.models.config import ModelConfig
+from flash_attention_cute_tpu.runtime.engine import ServingEngine
+from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
+from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "draft_cfg", "gamma", "rounds", "eos_token_id", "interpret",
+        "mesh",
+    ),
+    donate_argnames=("t_state", "d_state"),
+)
+def _spec_rounds(
+    params,
+    draft_params,
+    cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    t_state,
+    d_state,
+    cur: jax.Array,  # [slots] int32 — last emitted token (not yet cached)
+    prev: jax.Array,  # [slots] int32 — token before `cur`
+    active: jax.Array,  # [slots] bool — slot holds a decoding request
+    budget: jax.Array,  # [slots] int32 — remaining token budget per slot
+    gamma: int,
+    rounds: int,
+    eos_token_id: int | None,
+    interpret: bool | None,
+    mesh=None,
+):
+    """Run `rounds` draft/verify rounds for every active slot.
+
+    Returns (out [slots, rounds*(gamma+1)], out_pos [slots], t_state,
+    d_state, accepted_total). Cache invariant on entry and exit: the
+    target cache holds tokens 0..L-1 with `cur` = token L; the draft
+    cache holds 0..L-2 (lengths L-1). Rows that hit EOS or budget freeze:
+    their lengths stop advancing and later rounds' scatters are
+    idempotent rewrites inside already-covered pages.
+    """
+    slots = cur.shape[0]
+    width = rounds * (gamma + 1)
+    pad = eos_token_id if eos_token_id is not None else 0
+    out = jnp.full((slots, width), pad, jnp.int32)
+    out_pos = jnp.zeros((slots,), jnp.int32)
+    iota = jnp.arange(gamma + 1, dtype=jnp.int32)
+    done0 = ~active
+
+    def body(carry, _):
+        (t_state, d_state, cur, prev, done, out, out_pos,
+         accepted_total) = carry
+        alive = ~done & (out_pos < budget)
+        t_len = t_state.lengths
+        d_len = d_state.lengths
+
+        # --- draft: 2-token extend [prev, cur], then gamma-1 decodes ---
+        # Re-extending the already-cached `prev` is an idempotent page
+        # rewrite; it uniformly covers the all-accepted case where the
+        # draft cache is missing the last draft token's KV.
+        chunk2 = jnp.stack([prev, cur], axis=1)
+        dlog, d_state = forward_paged(
+            draft_params, draft_cfg, chunk2, d_state, mode="extend",
+            interpret=interpret, mesh=mesh,
+        )
+        d1 = jnp.argmax(dlog[:, 1], axis=-1).astype(jnp.int32)
+
+        def draft_step(carry, _):
+            d_state, tok = carry
+            lg, d_state = forward_paged(
+                draft_params, draft_cfg, tok[:, None], d_state,
+                mode="decode", interpret=interpret, mesh=mesh,
+            )
+            nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+            return (d_state, nxt), nxt
+
+        (d_state, _), rest = jax.lax.scan(
+            draft_step, (d_state, d1), None, length=gamma - 1
+        )
+        drafts = jnp.concatenate(
+            [d1[:, None], rest.T.reshape(slots, gamma - 1)], axis=1
+        )  # [slots, gamma]
+
+        # --- verify: one target paged-extend over [cur, d_1..d_gamma] ---
+        vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
+        vlog, t_state = forward_paged(
+            params, cfg, vchunk, t_state, mode="extend",
+            interpret=interpret, mesh=mesh,
+        )
+        tgt_pred = jnp.argmax(vlog, axis=-1).astype(jnp.int32)
+
+        # Longest matching prefix n in [0, gamma]; bonus from position n.
+        match = tgt_pred[:, :gamma] == drafts
+        n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        bonus = jnp.take_along_axis(tgt_pred, n[:, None], axis=1)[:, 0]
+
+        padded = jnp.concatenate(
+            [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
+        )
+        e = jnp.where(iota[None, :] == n[:, None], bonus[:, None], padded)
+
+        if eos_token_id is not None:
+            is_eos = (e == eos_token_id) & (iota[None, :] <= n[:, None])
+            has_eos = jnp.any(is_eos, axis=1)
+            first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+            n_eff = jnp.where(has_eos, first_eos, n)
+            done_new = done | (alive & has_eos)
+        else:
+            n_eff = n
+            done_new = done
+
+        mask = (iota[None, :] <= n_eff[:, None]) & alive[:, None]
+
+        def write_row(row, pos0, e_row, m_row):
+            idx = pos0 + iota
+            vals = jnp.where(m_row, e_row, row[idx])
+            return row.at[idx].set(vals)
+
+        out = jax.vmap(write_row)(out, out_pos, e, mask)
+
+        count = n_eff + 1
+        out_pos = jnp.where(alive, out_pos + count, out_pos)
+        # Ragged acceptance = pure length-scalar rollback; frozen rows
+        # restore their entry lengths (their in-round scatters become
+        # invisible stale data inside covered pages).
+        t_state = dataclasses.replace(
+            t_state, lengths=jnp.where(alive, t_len + count, t_len)
+        )
+        d_state = dataclasses.replace(
+            d_state, lengths=jnp.where(alive, t_len + count - 1, d_len)
+        )
+        last = jnp.take_along_axis(e, n_eff[:, None], axis=1)[:, 0]
+        before = jnp.where(
+            n_eff > 0,
+            jnp.take_along_axis(
+                padded, jnp.maximum(n_eff - 1, 0)[:, None], axis=1
+            )[:, 0],
+            cur,
+        )
+        cur = jnp.where(alive, last, cur)
+        prev = jnp.where(alive, before, prev)
+        accepted_total = accepted_total + jnp.sum(
+            jnp.where(alive, n_eff, 0)
+        )
+        return (t_state, d_state, cur, prev, done_new, out, out_pos,
+                accepted_total), None
+
+    init = (t_state, d_state, cur, prev, done0, out, out_pos, jnp.int32(0))
+    (t_state, d_state, _, _, _, out, out_pos, accepted), _ = jax.lax.scan(
+        body, init, None, length=rounds
+    )
+    return out, out_pos, t_state, d_state, accepted
+
+
+class SpeculativeServingEngine(ServingEngine):
+    """Continuous-batching engine whose decode phase is draft/verify.
+
+    Greedy-exact: emitted tokens are bit-identical to the plain
+    `ServingEngine` for any draft model (the draft only controls speed —
+    acceptance rate x (gamma+1) tokens per target forward).
+
+    Extra knobs over ServingEngine:
+      draft_params/draft_cfg — the proposal model (same vocabulary).
+      gamma                  — draft tokens proposed per round.
+      rounds_per_call        — spec rounds folded into one device program
+                               (the spec analog of decode_chunk).
+
+    Pool sizing: reserve `prompt + max_new_tokens + gamma` tokens of page
+    room per sequence (rejected-draft scatters transiently touch up to
+    gamma positions past the accepted length).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        *,
+        draft_params,
+        draft_cfg: ModelConfig,
+        gamma: int = 4,
+        rounds_per_call: int = 1,
+        **kwargs,
+    ):
+        super().__init__(params, cfg, **kwargs)
+        assert gamma >= 1, gamma
+        assert cfg.vocab_size == draft_cfg.vocab_size, (
+            "draft and target must share a vocabulary"
+        )
+        if self.sampling is not None and self.sampling.temperature > 0.0:
+            raise NotImplementedError(
+                "SpeculativeServingEngine is greedy-exact only; sampled "
+                "speculative decoding (rejection sampling) is not built"
+            )
+        if self.prefill_chunk > 0:
+            raise NotImplementedError(
+                "chunked admission + speculative decode is not composed "
+                "yet; use whole-prompt admission (prefill_chunk=0)"
+            )
+        if not hasattr(self.state, "k_pages"):
+            raise NotImplementedError(
+                "speculative serving over a quantized target cache is not "
+                "built; use kv_dtype=None"
+            )
+        self.draft_cfg = draft_cfg
+        self.gamma = gamma
+        self.rounds_per_call = max(1, rounds_per_call)
+        self.stats["spec_calls"] = 0
+        self.stats["accepted_drafts"] = 0
+        self.stats["draft_positions"] = 0
+        # Covered (page-reserved) token count per slot; distinct from the
+        # emitted length — rejected drafts leave covered positions to be
+        # rewritten by later rounds.
+        self._covered: dict[int, int] = {}
+
+        # The draft pool shares the target's page table (same allocator,
+        # same geometry); only the per-page payload differs.
+        self.d_state = create_paged_state(
+            draft_cfg,
+            self.state.k_pages.shape[2],
+            self.page_size,
+            batch=self.slots,
+            pages_per_seq=self.pages_per_seq,
+            dtype=self.state.k_pages.dtype,
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from flash_attention_cute_tpu.parallel.sharding import (
+                param_pspecs,
+            )
+
+            assert draft_cfg.num_kv_heads % self.mesh.shape["model"] == 0
+            self.draft_params = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)
+                ),
+                draft_params, param_pspecs(draft_cfg),
+            )
+            pool = lambda name: (
+                P() if name in ("page_table", "lengths")
+                else P(None, "model")
+            )
+            self.d_state = dataclasses.replace(
+                self.d_state,
+                **{
+                    f.name: jax.device_put(
+                        getattr(self.d_state, f.name),
+                        NamedSharding(self.mesh, pool(f.name)),
+                    )
+                    for f in dataclasses.fields(self.d_state)
+                },
+            )
+        else:
+            self.draft_params = draft_params
+
+    # ---- draft-state mirroring (called from the base-class internals) ----
+
+    def _sync_table(self, slot: int):
+        super()._sync_table(slot)
+        rid = self._slot_req[slot]
+        if rid == -1:
+            return
+        self.d_state = dataclasses.replace(
+            self.d_state,
+            page_table=self.d_state.page_table.at[slot].set(
+                self.state.page_table[slot]
+            ),
+        )
+
+    def _clear_table(self, slot: int):
+        super()._clear_table(slot)
+        self.d_state = dataclasses.replace(
+            self.d_state,
+            page_table=self.d_state.page_table.at[slot].set(0),
+        )
+
+    def _set_length(self, slot: int, value: int):
+        super()._set_length(slot, value)
+        # Draft invariant: one token behind the target (the round's
+        # 2-token re-extend fills the gap).
+        self.d_state = dataclasses.replace(
+            self.d_state,
+            lengths=self.d_state.lengths.at[slot].set(max(value - 1, 0)),
+        )
+
+    def _prefill_group(self, bucket: int, slots: list[int]):
+        reqs = [self._requests[self._slot_req[s]] for s in slots]
+        super()._prefill_group(bucket, slots)
+        # Mirror the prompts into the draft cache: one extra (small-model)
+        # prefill per admission group.
+        g = len(slots)
+        ids = np.zeros((g, bucket), np.int32)
+        plens = np.zeros((g,), np.int32)
+        for i, req in enumerate(reqs):
+            plens[i] = len(req.prompt)
+            ids[i, : plens[i]] = req.prompt
+        g_pad = 1 << (g - 1).bit_length()
+        if g_pad != g:
+            ids = np.pad(ids, ((0, g_pad - g), (0, 0)))
+            plens_in = np.concatenate(
+                [plens, np.ones((g_pad - g,), np.int32)]
+            )
+        else:
+            plens_in = plens
+        idxs = np.asarray(slots, np.int64)
+        table = self.d_state.page_table[idxs]
+        if g_pad != g:
+            table = jnp.concatenate(
+                [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
+            )
+        sub = dataclasses.replace(
+            self.d_state,
+            page_table=table,
+            lengths=jnp.zeros((g_pad,), jnp.int32),
+        )
+        _, sub = forward_paged(
+            self.draft_params, self.draft_cfg, jnp.asarray(ids), sub,
+            mode="prefill", valid_len=jnp.asarray(plens_in),
+            interpret=self.interpret, mesh=self.mesh,
+        )
+        self.stats["device_calls"] += 1
+        pool_fields = {
+            f.name for f in dataclasses.fields(self.d_state)
+        } - {"page_table", "lengths"}
+        self.d_state = dataclasses.replace(
+            self.d_state,
+            **{name: getattr(sub, name) for name in pool_fields},
+            lengths=self.d_state.lengths.at[jnp.asarray(idxs)].set(
+                jnp.asarray(plens - 1)
+            ),
+        )
+        for i, s in enumerate(slots):
+            # super() counted the sampled first token against the pages:
+            # covered = prompt + 1.
+            self._covered[s] = int(plens[i]) + 1
+
+    # ---- engine loop ----
+
+    def step(self, max_chunk: int | None = None) -> bool:
+        """One admission + speculative-decode round. False when idle.
+
+        `max_chunk` is accepted for interface parity and ignored (round
+        count is the engine's `rounds_per_call`)."""
+        self.stats["steps"] += 1
+        self._admit()
+        self._finish_ready()
+        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        if not active:
+            return self.sched.num_waiting > 0 and self._drain_unservable()
+
+        rounds = self.rounds_per_call
+        span = rounds * (self.gamma + 1)
+
+        # Reserve page coverage for the scan's high-water mark BEFORE the
+        # device call; preempt on page exhaustion (recompute semantics).
+        for s in list(active):
+            if self._slot_req[s] == -1:
+                continue
+            req = self._requests[self._slot_req[s]]
+            plen = len(req.prompt)
+            L = plen + len(req.generated) - 1
+            target = min(L + span, plen + req.max_new_tokens + self.gamma)
+            need = target - self._covered.get(s, 0)
+            ok = True
+            for _ in range(max(need, 0)):
+                r = self.sched.step_slot(s)
+                if r == 1:
+                    self._covered[s] = self._covered.get(s, 0) + 1
+                    continue
+                victim = self.sched.preempt_youngest()
+                if victim != -1:
+                    self.stats["preemptions"] += 1
+                    self._evict(victim, requeue=True)
+                    if victim != s and self.sched.step_slot(s) == 1:
+                        self._covered[s] = self._covered.get(s, 0) + 1
+                        continue
+                    if victim != s:
+                        self.stats["preemptions"] += 1
+                        self.sched.release_slot(s, requeue=True)
+                        self._evict(s, requeue=True)
+                    ok = False
+                    break
+                else:
+                    self.sched.release_slot(s, requeue=False)
+                    self._evict(s, failed=True)
+                    ok = False
+                    break
+            if ok:
+                self._sync_table(s)
+
+        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        if not active:
+            return (self.sched.num_waiting > 0) or bool(self._requests)
+
+        cur = np.zeros((self.slots,), np.int32)
+        prev = np.zeros((self.slots,), np.int32)
+        mask = np.zeros((self.slots,), bool)
+        budget = np.zeros((self.slots,), np.int32)
+        for s in active:
+            req = self._requests[self._slot_req[s]]
+            hist = req.prompt + req.generated
+            cur[s] = hist[-1]
+            prev[s] = hist[-2]
+            mask[s] = True
+            budget[s] = req.max_new_tokens - len(req.generated)
+
+        out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
+            self.params, self.draft_params, self.cfg, self.draft_cfg,
+            self.state, self.d_state,
+            jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(mask),
+            jnp.asarray(budget), self.gamma, rounds,
+            self.eos_token_id, self.interpret, self.mesh,
+        )
+        self.stats["device_calls"] += 1
+        self.stats["spec_calls"] += 1
+        self.stats["accepted_drafts"] += int(accepted)
+        out = np.asarray(out, np.int32)
+        out_pos = np.asarray(out_pos, np.int32)
+
+        for s in active:
+            req = self._requests[self._slot_req[s]]
+            n = int(min(out_pos[s], budget[s]))
+            new = [int(t) for t in out[s, :n]]
+            if self.eos_token_id is not None and self.eos_token_id in new:
+                new = new[: new.index(self.eos_token_id) + 1]
+                req.max_new_tokens = len(req.generated) + len(new)
+            req.generated.extend(new)
+            self.stats["tokens_generated"] += len(new)
+            # Acceptance-rate accounting: every alive round offered gamma
+            # drafts; approximate offered = emitted rounds * gamma via the
+            # per-slot round count is not recoverable host-side, so count
+            # positions = emitted tokens (n) for the denominator's upper
+            # bound instead.
+            self.stats["draft_positions"] += n
+        self._finish_ready()
+        return bool(self._requests) or self.sched.num_waiting > 0

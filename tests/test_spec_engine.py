@@ -1,0 +1,178 @@
+"""Engine-level speculative decoding: the SpeculativeServingEngine must
+emit exactly what the plain greedy ServingEngine emits, for ANY draft
+model, through admission, slot reuse, EOS, budgets, and preemption.
+
+Composes runtime/spec_engine.py (draft/verify rounds over paged caches)
+with the serving stack; the reference has neither a serving engine nor
+speculative decoding (its decode is a per-token Python loop, reference:
+scripts/benchmark_llm.py:65-92).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.models import init_params
+from flash_attention_cute_tpu.models.config import tiny_test_config
+from flash_attention_cute_tpu.runtime.engine import ServingEngine
+from flash_attention_cute_tpu.runtime.spec_engine import (
+    SpeculativeServingEngine,
+)
+
+POOL = dict(slots=2, num_pages=65, page_size=8, pages_per_seq=16)
+
+
+@pytest.fixture(scope="module")
+def target():
+    cfg = tiny_test_config(num_layers=2)
+    return cfg, init_params(cfg, jax.random.key(0))
+
+
+@pytest.fixture(scope="module")
+def draft():
+    cfg = tiny_test_config(num_layers=1, hidden_size=32, intermediate_size=64)
+    return cfg, init_params(cfg, jax.random.key(7))
+
+
+def _requests(cfg, seed=0, n=3):
+    rng = np.random.default_rng(seed)
+    lens = [7, 12, 3, 9, 5][:n]
+    return {
+        100 + i: rng.integers(0, cfg.vocab_size, ln).tolist()
+        for i, ln in enumerate(lens)
+    }
+
+
+def _run_plain(target, prompts, n_new, eos=None, **pool):
+    cfg, params = target
+    eng = ServingEngine(params, cfg, interpret=True, eos_token_id=eos,
+                        **(POOL | pool))
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    return eng.run(), eng
+
+
+def _run_spec(target, draft, prompts, n_new, eos=None, gamma=3,
+              rounds_per_call=1, **pool):
+    cfg, params = target
+    dcfg, dparams = draft
+    eng = SpeculativeServingEngine(
+        params, cfg, draft_params=dparams, draft_cfg=dcfg, gamma=gamma,
+        rounds_per_call=rounds_per_call, interpret=True, eos_token_id=eos,
+        **(POOL | pool),
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    return eng.run(), eng
+
+
+def test_spec_engine_matches_plain_engine(target, draft):
+    cfg, _ = target
+    prompts = _requests(cfg)
+    n_new = {rid: 6 + i for i, rid in enumerate(prompts)}
+    want, _ = _run_plain(target, prompts, n_new)
+    got, eng = _run_spec(target, draft, prompts, n_new)
+    assert got == want
+    assert not eng.failed
+    assert eng.stats["spec_calls"] >= 1
+
+
+def test_spec_engine_draft_invariance(target, draft):
+    """The draft only controls SPEED: two different drafts (including the
+    target itself) must emit identical tokens through the same verify
+    kernel path."""
+    cfg, params = target
+    prompts = _requests(cfg, seed=3)
+    n_new = {rid: 7 for rid in prompts}
+    a, ea = _run_spec(target, draft, prompts, n_new)
+    b, eb = _run_spec(target, target, prompts, n_new)  # self-draft
+    assert a == b
+    # Self-draft accepts every proposal (same model, same kernels).
+    assert eb.stats["accepted_drafts"] >= ea.stats["accepted_drafts"]
+
+
+def test_self_draft_accepts_all(target):
+    cfg, _ = target
+    prompts = _requests(cfg, seed=5, n=2)
+    n_new = {rid: 8 for rid in prompts}
+    got, eng = _run_spec(target, target, prompts, n_new, gamma=3)
+    want, _ = _run_plain(target, prompts, n_new)
+    assert got == want
+    # Every round advances gamma+1 tokens when the draft IS the target:
+    # accepted == gamma * (rounds where the row was alive). With 8 tokens
+    # at gamma+1=4/round the engine needs ceil(7/4)=2 rounds per slot
+    # (token 0 comes from prefill), so acceptance must dominate.
+    assert eng.stats["accepted_drafts"] >= 6, eng.stats
+
+
+def test_spec_engine_multi_round_call(target, draft):
+    """rounds_per_call > 1 folds several draft/verify rounds into one
+    device program; outputs and dispatch counts must both hold."""
+    cfg, _ = target
+    prompts = _requests(cfg, seed=9)
+    n_new = {rid: 9 for rid in prompts}
+    a, e1 = _run_spec(target, draft, prompts, n_new, rounds_per_call=1)
+    b, e3 = _run_spec(target, draft, prompts, n_new, rounds_per_call=3)
+    assert a == b
+    assert e3.stats["spec_calls"] < e1.stats["spec_calls"]
+
+
+def test_spec_engine_eos_mid_round(target, draft):
+    """EOS emitted inside a round freezes the row exactly at EOS and the
+    request finishes; other slots keep decoding."""
+    cfg, params = target
+    prompts = _requests(cfg, seed=11, n=2)
+    n_new = {rid: 10 for rid in prompts}
+    # Pick the EOS id from the plain run's token stream so it actually
+    # triggers mid-generation for at least one request.
+    plain, _ = _run_plain(target, prompts, n_new)
+    rid0 = list(prompts)[0]
+    eos = plain[rid0][3]
+    want, _ = _run_plain(target, prompts, n_new, eos=eos)
+    got, eng = _run_spec(target, draft, prompts, n_new, eos=eos)
+    assert got == want
+    assert got[rid0][-1] == eos and len(got[rid0]) <= 4 + 1
+
+
+def test_spec_engine_budget_overshoot_trimmed(target, draft):
+    """A round can accept past the request budget; the host must trim to
+    max_new_tokens exactly."""
+    cfg, _ = target
+    prompts = _requests(cfg, seed=13, n=2)
+    n_new = {rid: 5 for rid in prompts}
+    want, _ = _run_plain(target, prompts, n_new)
+    got, _ = _run_spec(target, draft, prompts, n_new, gamma=4,
+                       rounds_per_call=2)
+    assert got == want
+    for rid in prompts:
+        assert len(got[rid]) == 5
+
+
+def test_spec_engine_preemption_recompute(target, draft):
+    """A pool too small for both sequences' speculative high-water marks
+    forces preemption; recompute must keep outputs identical to a roomy
+    pool (greedy replay)."""
+    cfg, _ = target
+    prompts = _requests(cfg, seed=17, n=2)
+    n_new = {rid: 8 for rid in prompts}
+    roomy, er = _run_spec(target, draft, prompts, n_new)
+    tight, et = _run_spec(target, draft, prompts, n_new, num_pages=6)
+    assert roomy == tight
+    assert et.stats["preemptions"] > 0, et.stats
+    assert not et.failed
+
+
+def test_spec_engine_rejects_unsupported_compositions(target, draft):
+    cfg, params = target
+    dcfg, dparams = draft
+    with pytest.raises(NotImplementedError):
+        SpeculativeServingEngine(
+            params, cfg, draft_params=dparams, draft_cfg=dcfg,
+            prefill_chunk=8, interpret=True, **POOL,
+        )
+    import jax.numpy as jnp
+    with pytest.raises(NotImplementedError):
+        SpeculativeServingEngine(
+            params, cfg, draft_params=dparams, draft_cfg=dcfg,
+            kv_dtype=jnp.int8, interpret=True, **POOL,
+        )
