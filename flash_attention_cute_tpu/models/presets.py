@@ -15,10 +15,18 @@ from flash_attention_cute_tpu.models.llama import (
 )
 from flash_attention_cute_tpu.models.qwen2 import qwen2_7b_config
 
+def _tiny_config(dtype=jnp.bfloat16):
+    from flash_attention_cute_tpu.models.config import tiny_test_config
+
+    return tiny_test_config(dtype=dtype)
+
+
 PRESETS = {
     "llama2-7b": llama2_7b_config,
     "llama3-8b": llama3_8b_config,
     "qwen2-7b": qwen2_7b_config,
+    # CPU-runnable shape for smoke-testing the bench CLIs end to end.
+    "tiny": _tiny_config,
 }
 
 

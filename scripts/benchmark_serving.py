@@ -49,6 +49,18 @@ def parse_args(argv=None):
     p.add_argument("--prefill-group", type=int, default=1,
                    help=">1: batch same-bucket admissions into one "
                         "prefill forward (fewer dispatches)")
+    p.add_argument("--speculative", choices=["off", "self", "trim"],
+                   default="off",
+                   help="engine-level speculative decoding: 'self' drafts "
+                        "with the target itself (100%% acceptance — the "
+                        "mechanism's upper bound), 'trim' with a "
+                        "--draft-layers-deep copy (realistic draft cost; "
+                        "acceptance is meaningless with random weights)")
+    p.add_argument("--spec-gamma", type=int, default=4)
+    p.add_argument("--spec-rounds", type=int, default=4,
+                   help="draft/verify rounds folded into one device "
+                        "program (the speculative analog of decode-chunk)")
+    p.add_argument("--draft-layers", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -81,16 +93,46 @@ def main(argv=None):
         for rid in range(a.requests)
     }
 
-    max_tokens = a.max_prompt + a.max_new_tokens
+    # Off-TPU (CPU smoke runs of this CLI) the Pallas kernels need
+    # interpret mode; on hardware leave the engine default.
+    interp = True if jax.default_backend() != "tpu" else None
+
+    # Speculative scatters transiently touch up to gamma positions past
+    # the accepted length (spec_engine pool-sizing rule).
+    slack = a.spec_gamma if a.speculative != "off" else 0
+    max_tokens = a.max_prompt + a.max_new_tokens + slack
     pages_per_seq = -(-max_tokens // a.page_size)
     num_pages = a.num_pages or (a.slots * pages_per_seq + 1)
 
-    eng = ServingEngine(
-        params, cfg, slots=a.slots, num_pages=num_pages,
-        page_size=a.page_size, pages_per_seq=pages_per_seq,
-        decode_chunk=a.decode_chunk, prefill_chunk=a.prefill_chunk,
-        prefill_group=a.prefill_group,
-    )
+    if a.speculative != "off":
+        from flash_attention_cute_tpu.runtime.spec_engine import (
+            SpeculativeServingEngine,
+        )
+
+        if a.speculative == "self":
+            draft_cfg, draft_params = cfg, params
+        else:
+            draft_cfg = dataclasses.replace(cfg, num_layers=a.draft_layers)
+            draft_params = dict(
+                params,
+                layers=jax.tree.map(
+                    lambda x: x[: a.draft_layers], params["layers"]
+                ),
+            )
+        eng = SpeculativeServingEngine(
+            params, cfg, draft_params=draft_params, draft_cfg=draft_cfg,
+            gamma=a.spec_gamma, rounds_per_call=a.spec_rounds,
+            slots=a.slots, num_pages=num_pages,
+            page_size=a.page_size, pages_per_seq=pages_per_seq,
+            prefill_group=a.prefill_group, interpret=interp,
+        )
+    else:
+        eng = ServingEngine(
+            params, cfg, slots=a.slots, num_pages=num_pages,
+            page_size=a.page_size, pages_per_seq=pages_per_seq,
+            decode_chunk=a.decode_chunk, prefill_chunk=a.prefill_chunk,
+            prefill_group=a.prefill_group, interpret=interp,
+        )
 
     print(f"model={a.model} layers={cfg.num_layers} slots={a.slots} "
           f"requests={a.requests} pages={num_pages}x{a.page_size} "
@@ -128,6 +170,12 @@ def main(argv=None):
     print(f"device dispatches {st['device_calls']}   "
           f"round-trips/token {st['device_calls'] / max(total_new, 1):.4f}  "
           f"(decode_chunk={a.decode_chunk})")
+    if a.speculative != "off":
+        verifies = st["spec_calls"] * a.spec_rounds
+        print(f"spec: calls {st['spec_calls']}  accepted drafts "
+              f"{st['accepted_drafts']}  new-tokens/verify-forward "
+              f"{total_new / max(verifies, 1):.2f} (ceiling "
+              f"{a.spec_gamma + 1})")
     ttfts = [m["ttft_s"] for m in eng.request_metrics]
     e2es = [m["e2e_s"] for m in eng.request_metrics]
     print(f"TTFT p50 {_pct(ttfts, 50)*1e3:8.1f} ms   "

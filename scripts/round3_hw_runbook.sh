@@ -27,4 +27,9 @@ run qwen2_llm    1800 python scripts/benchmark_llm.py --model qwen2-7b --num-lay
 run qwen2_serve  1800 python scripts/benchmark_serving.py --model qwen2-7b --decode-chunk 64 --prefill-group 4
 run bwd_timing   1800 python benchmarks/bwd_timing.py
 run spec_bench   1800 python benchmarks/spec_decode_bench.py
+# Engine-level speculative serving: 'self' = acceptance-1.0 mechanism
+# ceiling; 'trim' = realistic draft cost structure (acceptance is
+# meaningless with random weights).
+run spec_serve_self 1800 python scripts/benchmark_serving.py --speculative self --spec-gamma 4 --spec-rounds 4 --prefill-group 4
+run spec_serve_trim 1800 python scripts/benchmark_serving.py --speculative trim --draft-layers 1 --spec-gamma 4 --spec-rounds 4 --prefill-group 4
 echo "ALL DONE -> $OUT"
