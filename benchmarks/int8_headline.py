@@ -54,12 +54,18 @@ def main():
         return functools.partial(flash_attention_fwd, causal=True, **kw)
 
     configs = [
-        ("prod", make_fn({})),
+        ("prod", make_fn({})),  # diag-first fast path, bf16 scores
         ("fused", make_fn({}, drop_aux=True)),  # general kernel, bf16 scores
-        ("int8", make_fn(dict(score_dtype="int8"))),
-        ("int8_i4", make_fn(dict(score_dtype="int8", inner_splits=4))),
-        ("int8_b1024", make_fn(dict(score_dtype="int8", block_kv=1024,
-                                    inner_splits=8))),
+        # Round 3b: score_dtype='int8' routes to the DIAG kernel too at
+        # default blocks (512x512); sweep its fused_subs knob.
+        ("int8_diag", make_fn(dict(score_dtype="int8"))),
+        ("int8_diag_f1", make_fn(dict(score_dtype="int8",
+                                      diag_fused_subs=1))),
+        ("int8_diag_f4", make_fn(dict(score_dtype="int8",
+                                      diag_fused_subs=4))),
+        # General fused kernel int8 (mismatched blocks force it).
+        ("int8_gen_b1024", make_fn(dict(score_dtype="int8", block_kv=1024,
+                                        inner_splits=8))),
     ]
     for rep in range(3):
         for name, fn in configs:

@@ -76,6 +76,29 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _quantize_k_rows(k_sub):
+    """Per-ROW symmetric int8 quantization of a K sub-block (the natural
+    sublane vector; one scale per key). Returns (ki8, row_scales)."""
+    k_f32 = k_sub.astype(jnp.float32)
+    babs = jnp.max(jnp.abs(k_f32), axis=1, keepdims=True)
+    bsc = jnp.where(babs == 0.0, 1.0, babs)
+    ki8 = jnp.clip(
+        jnp.round(k_f32 * (127.0 / bsc)), -127.0, 127.0
+    ).astype(jnp.int8)
+    return ki8, bsc
+
+
+def _int8_scores(ki8, bsc, q_i8, qa):
+    """S^T = K Q^T on the MXU's 2x int8 path, reconstructed exactly for
+    the quantized values: s = i32 * (b_row/127) * (a/127) — `qa` already
+    carries a/127 (see the fused kernel's q-quantization)."""
+    s_i32 = jax.lax.dot_general(
+        ki8, q_i8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return s_i32.astype(jnp.float32) * (bsc * (qa * (1.0 / 127.0)))
+
+
 def _flash_fwd_kernel(
     q_ref,  # [1, 1, g, block_q, d] — packed q-head group (pre-scaled)
     k_ref,  # [1, 1, block_kv, d]
@@ -387,18 +410,9 @@ def _flash_fwd_kernel_fused(
             k = k_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
             v = v_ref[0, 0, si * sub_kv : (si + 1) * sub_kv]
             if score_dtype is not None:
-                k_f32 = k.astype(jnp.float32)
-                babs = jnp.max(jnp.abs(k_f32), axis=1, keepdims=True)
-                bsc = jnp.where(babs == 0.0, 1.0, babs)
-                ki8 = jnp.clip(
-                    jnp.round(k_f32 * (127.0 / bsc)), -127.0, 127.0
-                ).astype(jnp.int8)
-                s_i32 = jax.lax.dot_general(
-                    ki8, qi8_scratch[...], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                s_t = s_i32.astype(jnp.float32) * (
-                    bsc * (qa_scratch[0, 0] * (1.0 / 127.0))
+                ki8, bsc = _quantize_k_rows(k)
+                s_t = _int8_scores(
+                    ki8, bsc, qi8_scratch[...], qa_scratch[0, 0]
                 )  # [sub_kv, group * block_q]
             else:
                 s_t = jax.lax.dot_general(
@@ -585,6 +599,8 @@ def _flash_fwd_kernel_diag(
     m_scratch,  # [NUM_SUBLANES, g * block] f32
     l_scratch,  # [NUM_SUBLANES, g * block] f32
     acc_scratch,  # [d, g * block] f32 — O^T accumulator
+    qi8_scratch=None,  # [g * block, d] int8 — quantized q (score_dtype)
+    qa_scratch=None,  # [1, 1] f32 — q dequant scale (score_dtype)
     *,
     group: int,
     block: int,
@@ -595,6 +611,7 @@ def _flash_fwd_kernel_diag(
     mask_value: float,
     inner: int,
     fused_subs: int,  # diag sub-blocks si < fused_subs run fused full-width
+    score_dtype=None,  # jnp.int8: QK^T on the int8 MXU path (2x rate)
 ):
     """DIAG-FIRST causal kernel (round 3, the headline-perf redesign).
 
@@ -635,6 +652,37 @@ def _flash_fwd_kernel_diag(
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if score_dtype is not None:
+        # Quantize the (pre-scaled) q tile once per grid row with a single
+        # tile-wide scale (same scheme as the fused kernel — see the
+        # rationale there); the diagonal's per-head suffix slices read
+        # rows of this scratch directly.
+        @pl.when(j == 0)
+        def _quantize_q():
+            q_full = q_ref[0, 0].reshape(group * block, q_ref.shape[-1])
+            q_f32 = q_full.astype(jnp.float32)
+            a = jnp.max(jnp.abs(q_f32))
+            a = jnp.where(a == 0.0, 1.0, a)
+            qa_scratch[0, 0] = a * (1.0 / 127.0)
+            qi8_scratch[...] = jnp.clip(
+                jnp.round(q_f32 * (127.0 / a)), -127.0, 127.0
+            ).astype(jnp.int8)
+
+    def scores(k_i8_bsc, q_rows_lo, q_rows_hi, k_sub, q_slice):
+        """S^T for one sub-block: int8 MXU path when score_dtype is set
+        (q rows [q_rows_lo:q_rows_hi) of the quantized scratch), else the
+        native-dtype matmul on (k_sub, q_slice)."""
+        if score_dtype is not None:
+            ki8, bsc = k_i8_bsc
+            return _int8_scores(
+                ki8, bsc, qi8_scratch[q_rows_lo:q_rows_hi, :],
+                qa_scratch[0, 0],
+            )
+        return jax.lax.dot_general(
+            k_sub, q_slice, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def softmax_update(s_t, lo, v_blk, strict):
         """Online softmax + accumulate on the lane slice [lo : lo + w).
@@ -710,20 +758,21 @@ def _flash_fwd_kernel_diag(
             if kv_padded:
                 allowed &= kv_pos < kv_len
             bias = jnp.where(allowed, 0.0, mask_value).astype(jnp.float32)
+            kq = (
+                _quantize_k_rows(k_sub) if score_dtype is not None else None
+            )
             if fused_this:
                 q_all = q_ref[0, 0].reshape(block * group, q_ref.shape[-1])
-                s_t = jax.lax.dot_general(
-                    k_sub, q_all, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                s_t = scores(
+                    kq, 0, group * block, k_sub, q_all
                 )  # [sub, group * block]
                 s_t += jnp.tile(bias, (1, group))
                 softmax_update(s_t, 0, v_sub, strict=(si == 0))
             else:
                 for g in range(group):
                     q_g = q_ref[0, 0, g, start:, :]  # [block - start, d]
-                    s_t = jax.lax.dot_general(
-                        k_sub, q_g, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    s_t = scores(
+                        kq, g * block + start, (g + 1) * block, k_sub, q_g
                     )  # [sub, block - start]
                     s_t += bias[:, start:]
                     softmax_update(
@@ -736,10 +785,10 @@ def _flash_fwd_kernel_diag(
         for si in range(inner):
             k_sub = k_ref[0, 0, si * sub : (si + 1) * sub]
             v_sub = v_ref[0, 0, si * sub : (si + 1) * sub]
-            s_t = jax.lax.dot_general(
-                k_sub, q_all, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            kq = (
+                _quantize_k_rows(k_sub) if score_dtype is not None else None
             )
+            s_t = scores(kq, 0, group * block, k_sub, q_all)
             softmax_update(s_t, 0, v_sub, strict=(si == 0))
 
     @pl.when(j == num_kv_blocks - 1)
@@ -899,11 +948,14 @@ def flash_attention_fwd(
     # lse/clamp outputs, strict/off softmax, ragged offsets) keep the
     # general kernel below.
     offset0 = skv - sq
+    if score_dtype is not None and score_dtype != "int8":
+        raise ValueError(
+            f"score_dtype must be 'int8' or None, got {score_dtype!r}"
+        )
     if (
         causal
         and window is None
         and logit_softcap is None
-        and score_dtype is None
         and stable is True
         and not return_lse
         and not return_clamps
@@ -945,7 +997,18 @@ def flash_attention_fwd(
                     if diag_fused_subs > 0
                     else max(1, inner // 2)  # hybrid2: best on v5e
                 ),
+                score_dtype=jnp.int8 if score_dtype == "int8" else None,
             )
+            diag_scratch = [
+                pltpu.VMEM((NUM_SUBLANES, group * block), jnp.float32),
+                pltpu.VMEM((NUM_SUBLANES, group * block), jnp.float32),
+                pltpu.VMEM((d_pad, group * block), jnp.float32),
+            ]
+            if score_dtype == "int8":
+                diag_scratch += [
+                    pltpu.VMEM((group * block, d_pad), jnp.int8),
+                    pltpu.VMEM((1, 1), jnp.float32),
+                ]
             out = pl.pallas_call(
                 kernel,
                 grid=(b, hkv, nq, nkv),
@@ -964,11 +1027,7 @@ def flash_attention_fwd(
                 out_shape=jax.ShapeDtypeStruct(
                     (b, hkv, group, sq_pad, d_pad), q.dtype
                 ),
-                scratch_shapes=[
-                    pltpu.VMEM((NUM_SUBLANES, group * block), jnp.float32),
-                    pltpu.VMEM((NUM_SUBLANES, group * block), jnp.float32),
-                    pltpu.VMEM((d_pad, group * block), jnp.float32),
-                ],
+                scratch_shapes=diag_scratch,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=(
                         "parallel", "parallel", "parallel", "arbitrary",

@@ -375,6 +375,36 @@ def test_int8_scores_cross_seqlen_and_lse():
     )
 
 
+def test_int8_scores_diag_fast_path_matches_general():
+    """score_dtype='int8' on the DIAG-FIRST fast path (block-aligned
+    bottom-right causal geometry — the headline shape family): must match
+    the fp32 oracle within the quantization envelope AND the general
+    fused kernel's int8 result within summation-order noise."""
+    for sq, skv in [(256, 256), (128, 256)]:
+        q, k, v = make_qkv(jax.random.key(21), 2, 4, 2, sq, skv, 64,
+                           jnp.bfloat16)
+        out_diag = flash_attention_fwd(
+            q, k, v, causal=True, score_dtype="int8",
+            block_q=128, block_kv=128, interpret=True,
+        )  # routes diag-first: offset % block == 0, block_q == block_kv
+        ref = attention_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out_diag, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+        # Different block geometry forces the general fused kernel; the
+        # two int8 paths share quantization granularity per KV sub-block,
+        # so agreement is summation-order-level, not envelope-level.
+        out_gen = flash_attention_fwd(
+            q, k, v, causal=True, score_dtype="int8",
+            block_q=128, block_kv=64, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_diag, np.float32), np.asarray(out_gen, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
 def test_int8_scores_rejects_unknown_dtype():
     q, k, v = make_qkv(jax.random.key(13), 1, 2, 2, 128, 128, 64,
                        jnp.bfloat16)
