@@ -99,7 +99,8 @@ def head_params_from_state_dict(
     """Convert an HF task-head checkpoint (trunk + head, no lm_head).
 
     `head` is "sequence_classification" (HF `score.weight`, no bias —
-    reference: models/modeling_llama.py:971, modeling_qwen2.py:926) or
+    reference: models/modeling_llama.py:971, modeling_qwen2.py:926),
+    "token_classification" (HF `score.{weight,bias}`), or
     "question_answering" (HF `qa_outputs.{weight,bias}`, out_features=2 —
     reference: models/modeling_llama.py:1086).
     """
@@ -108,6 +109,10 @@ def head_params_from_state_dict(
     dt = cfg.dtype
     if head == "sequence_classification":
         params["score"] = jnp.asarray(_to_np(sd["score.weight"]).T, dt)
+    elif head == "token_classification":
+        # HF `LlamaForTokenClassification`: bias-ful `score` Linear.
+        params["score"] = jnp.asarray(_to_np(sd["score.weight"]).T, dt)
+        params["score_bias"] = jnp.asarray(_to_np(sd["score.bias"]), dt)
     elif head == "question_answering":
         params["qa_outputs"] = jnp.asarray(
             _to_np(sd["qa_outputs.weight"]).T, dt

@@ -55,6 +55,77 @@ def sequence_classification_forward(
     return logits[jnp.arange(b), idx]
 
 
+def token_classification_forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    interpret: bool | None = None,
+    mesh=None,
+) -> jax.Array:
+    """Per-position label logits [B, S, num_labels] (fp32).
+
+    Mirrors HF `LlamaForTokenClassification.forward` (a bias-ful `score`
+    Linear over every position; the classifier dropout is an inference
+    no-op). Beyond the reference's two vendored heads — HF ships this
+    head for the same families the reference patches.
+    """
+    hidden, _ = forward(
+        params, cfg, input_ids, return_hidden=True,
+        interpret=interpret, mesh=mesh,
+    )
+    return (
+        jnp.dot(hidden, params["score"].astype(hidden.dtype))
+        + params["score_bias"].astype(hidden.dtype)
+    ).astype(jnp.float32)
+
+
+def embedding_pooling_forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    pooling: str = "mean",  # "mean" | "last" | "cls"
+    pad_token_id: int | None = None,
+    normalize: bool = True,
+    interpret: bool | None = None,
+    mesh=None,
+) -> jax.Array:
+    """Sentence embeddings [B, hidden] (fp32) from the causal-LM trunk.
+
+    Beyond the reference (no embedding models there): the standard
+    decoder-as-embedder recipes — masked MEAN pooling over non-pad
+    positions, LAST non-pad token (the e5/gte-Qwen2 recipe — the natural
+    pooling for causal attention), or the first token ("cls") — with
+    optional L2 normalization. Right padding assumed, matching the rest
+    of the stack (the interop layer rejects left padding loudly).
+    """
+    assert pooling in ("mean", "last", "cls"), pooling
+    hidden, _ = forward(
+        params, cfg, input_ids, return_hidden=True,
+        interpret=interpret, mesh=mesh,
+    )
+    hidden = hidden.astype(jnp.float32)
+    b, s = input_ids.shape
+    if pad_token_id is None:
+        valid = jnp.ones((b, s), jnp.float32)
+        last_idx = jnp.full((b,), s - 1, jnp.int32)
+    else:
+        valid = (input_ids != pad_token_id).astype(jnp.float32)
+        is_pad = (input_ids == pad_token_id).astype(jnp.int32)
+        last_idx = (jnp.argmax(is_pad, axis=-1).astype(jnp.int32) - 1) % s
+    if pooling == "mean":
+        denom = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+        emb = jnp.sum(hidden * valid[..., None], axis=1) / denom
+    elif pooling == "last":
+        emb = hidden[jnp.arange(b), last_idx]
+    else:
+        emb = hidden[:, 0]
+    if normalize:
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
+        )
+    return emb
+
+
 def question_answering_forward(
     params: dict,
     cfg: ModelConfig,

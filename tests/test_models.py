@@ -271,3 +271,72 @@ def test_question_answering_parity_with_hf():
                                atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(end), want_end,
                                atol=2e-4, rtol=2e-3)
+
+
+def test_token_classification_parity_with_hf():
+    from flash_attention_cute_tpu.models.convert import (
+        head_params_from_state_dict,
+    )
+    from flash_attention_cute_tpu.models.heads import (
+        token_classification_forward,
+    )
+
+    hf_cfg, _ = tiny_hf_llama()
+    hf_cfg.num_labels = 5
+    hf_cfg.classifier_dropout = 0.0
+    torch.manual_seed(7)
+    with torch.device("cpu"):
+        model = transformers.LlamaForTokenClassification(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = head_params_from_state_dict(
+        model.state_dict(), cfg, "token_classification"
+    )
+    rng = np.random.default_rng(8)
+    ids = rng.integers(1, 120, (2, 24)).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.float().numpy()
+    got = token_classification_forward(
+        params, cfg, jnp.asarray(ids, jnp.int32), interpret=True
+    )
+    assert got.shape == (2, 24, 5)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("pooling", ["mean", "last", "cls"])
+def test_embedding_pooling_semantics(pooling):
+    """Embedding pooling (beyond the reference): each recipe must equal a
+    straight numpy pooling of the SAME trunk hidden states, with right-pad
+    masking and L2 normalization."""
+    from flash_attention_cute_tpu.models import forward, init_params
+    from flash_attention_cute_tpu.models.config import tiny_test_config
+    from flash_attention_cute_tpu.models.heads import (
+        embedding_pooling_forward,
+    )
+
+    cfg = tiny_test_config(num_layers=2)
+    params = init_params(cfg, jax.random.key(9))
+    rng = np.random.default_rng(10)
+    ids = rng.integers(1, cfg.vocab_size, (2, 12)).astype(np.int32)
+    ids[0, 9:] = 0  # right padding; pad_token_id=0
+    emb = embedding_pooling_forward(
+        params, cfg, jnp.asarray(ids), pooling=pooling, pad_token_id=0,
+        interpret=True,
+    )
+    hidden, _ = forward(
+        params, cfg, jnp.asarray(ids), return_hidden=True, interpret=True
+    )
+    h = np.asarray(hidden, np.float32)
+    valid = (ids != 0)
+    if pooling == "mean":
+        want = np.stack([
+            h[b][valid[b]].mean(axis=0) for b in range(2)
+        ])
+    elif pooling == "last":
+        want = np.stack([
+            h[b][np.flatnonzero(valid[b])[-1]] for b in range(2)
+        ])
+    else:
+        want = h[:, 0]
+    want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+    assert emb.shape == (2, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(emb), want, atol=1e-5, rtol=1e-5)
