@@ -88,6 +88,19 @@ def _spec_rounds(
     iota = jnp.arange(gamma + 1, dtype=jnp.int32)
     done0 = ~active
 
+    # Extend-mode forwards scatter for EVERY row (no per-row masking), and
+    # an inactive slot can hold a REAL page table mid chunked-admission —
+    # its dummy scatters would corrupt the prompt KV at positions 0..gamma.
+    # Route inactive rows to the null page for the scan's duration and
+    # restore the real tables on return.
+    t_tbl, d_tbl = t_state.page_table, d_state.page_table
+    t_state = dataclasses.replace(
+        t_state, page_table=jnp.where(active[:, None], t_tbl, 0)
+    )
+    d_state = dataclasses.replace(
+        d_state, page_table=jnp.where(active[:, None], d_tbl, 0)
+    )
+
     def body(carry, _):
         (t_state, d_state, cur, prev, done, out, out_pos,
          accepted_total) = carry
@@ -190,6 +203,8 @@ def _spec_rounds(
     (t_state, d_state, _, _, _, out, out_pos, accepted), _ = jax.lax.scan(
         body, init, None, length=rounds
     )
+    t_state = dataclasses.replace(t_state, page_table=t_tbl)
+    d_state = dataclasses.replace(d_state, page_table=d_tbl)
     return out, out_pos, t_state, d_state, accepted
 
 
@@ -231,11 +246,6 @@ class SpeculativeServingEngine(ServingEngine):
             raise NotImplementedError(
                 "SpeculativeServingEngine is greedy-exact only; sampled "
                 "speculative decoding (rejection sampling) is not built"
-            )
-        if self.prefill_chunk > 0:
-            raise NotImplementedError(
-                "chunked admission + speculative decode is not composed "
-                "yet; use whole-prompt admission (prefill_chunk=0)"
             )
         if not hasattr(self.state, "k_pages"):
             raise NotImplementedError(
@@ -375,6 +385,59 @@ class SpeculativeServingEngine(ServingEngine):
             # covered = prompt + 1.
             self._covered[s] = int(plens[i]) + 1
 
+    def _advance_prefills(self):
+        """Chunked admission x speculative: after the target's batched
+        chunk extend, replay the same chunk into the draft cache (one
+        extra small-model extend per round). Completion length/covered
+        bookkeeping rides the overridden _set_length."""
+        snapshot = dict(self._prefilling)
+        super()._advance_prefills()
+        if not snapshot:
+            return
+        slots = sorted(snapshot)
+        c = self.prefill_chunk
+        g = len(slots)
+        g_pad = 1 << (g - 1).bit_length()
+        ids = np.zeros((g_pad, c), np.int32)
+        progress = np.zeros((g_pad,), np.int32)
+        for j, s in enumerate(slots):
+            req = self._requests[self._slot_req[s]]
+            p = snapshot[s]
+            chunk_tokens = req.prompt[p : p + c]
+            ids[j, : len(chunk_tokens)] = chunk_tokens
+            progress[j] = p
+        idxs = np.asarray(slots, np.int64)
+        table = self.d_state.page_table[idxs]
+        if g_pad != g:
+            table = jnp.concatenate(
+                [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
+            )
+        sub = dataclasses.replace(
+            self.d_state,
+            page_table=table,
+            lengths=jnp.asarray(progress),
+        )
+        _, sub = forward_paged(
+            self.draft_params, self.draft_cfg, jnp.asarray(ids), sub,
+            mode="extend", interpret=self.interpret, mesh=self.mesh,
+        )
+        self.stats["device_calls"] += 1
+        pool_fields = {
+            f.name for f in dataclasses.fields(self.d_state)
+        } - {"page_table", "lengths"}
+        self.d_state = dataclasses.replace(
+            self.d_state,
+            **{name: getattr(sub, name) for name in pool_fields},
+        )
+        for s in slots:
+            if s not in self._prefilling and self._slot_req[s] != -1:
+                # Admission completed this round; super() counted the
+                # sampled first token (covered = prompt + 1). The draft
+                # length (prompt - 1) was already published by the
+                # overridden _set_length.
+                req = self._requests[self._slot_req[s]]
+                self._covered[s] = len(req.prompt) + 1
+
     # ---- engine loop ----
 
     def step(self, max_chunk: int | None = None) -> bool:
@@ -385,8 +448,14 @@ class SpeculativeServingEngine(ServingEngine):
         self.stats["steps"] += 1
         self._admit()
         self._finish_ready()
-        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        self._advance_prefills()
+        active = [
+            s for s in range(self.slots)
+            if self._slot_req[s] != -1 and s not in self._prefilling
+        ]
         if not active:
+            if self._prefilling:
+                return True
             return self.sched.num_waiting > 0 and self._drain_unservable()
 
         rounds = self.rounds_per_call
@@ -429,7 +498,10 @@ class SpeculativeServingEngine(ServingEngine):
             if ok:
                 self._sync_table(s)
 
-        active = [s for s in range(self.slots) if self._slot_req[s] != -1]
+        active = [
+            s for s in range(self.slots)
+            if self._slot_req[s] != -1 and s not in self._prefilling
+        ]
         if not active:
             return (self.sched.num_waiting > 0) or bool(self._requests)
 

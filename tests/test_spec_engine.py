@@ -162,14 +162,27 @@ def test_spec_engine_preemption_recompute(target, draft):
     assert not et.failed
 
 
+def test_spec_engine_chunked_admission_matches_plain_chunked(target, draft):
+    """Chunked admission x speculative decode: with the SAME prefill
+    chunking the target cache is written identically to the plain
+    engine's, so outputs must match exactly (both waves of requests,
+    interleaved admission and spec rounds)."""
+    cfg, _ = target
+    prompts = _requests(cfg, seed=21)
+    # One long prompt so admission takes several chunk rounds while the
+    # other slots speculate.
+    rid_long = list(prompts)[0]
+    prompts[rid_long] = prompts[rid_long] * 3
+    n_new = {rid: 6 for rid in prompts}
+    want, _ = _run_plain(target, prompts, n_new, prefill_chunk=8)
+    got, eng = _run_spec(target, draft, prompts, n_new, prefill_chunk=8)
+    assert got == want
+    assert not eng.failed
+
+
 def test_spec_engine_rejects_unsupported_compositions(target, draft):
     cfg, params = target
     dcfg, dparams = draft
-    with pytest.raises(NotImplementedError):
-        SpeculativeServingEngine(
-            params, cfg, draft_params=dparams, draft_cfg=dcfg,
-            prefill_chunk=8, interpret=True, **POOL,
-        )
     import jax.numpy as jnp
     with pytest.raises(NotImplementedError):
         SpeculativeServingEngine(
