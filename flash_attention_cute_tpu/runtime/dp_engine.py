@@ -35,7 +35,10 @@ class DataParallelServingEngine:
     TP engine.
     """
 
-    def __init__(self, params, cfg, *, mesh, **engine_kwargs):
+    def __init__(
+        self, params, cfg, *, mesh, engine_cls=ServingEngine,
+        **engine_kwargs,
+    ):
         from jax.sharding import Mesh
 
         shape = dict(mesh.shape)
@@ -43,11 +46,14 @@ class DataParallelServingEngine:
         assert "model" in shape, mesh.shape
         self.replicas: list[ServingEngine] = []
         # mesh.devices is [data, model]; each row is one replica's TP mesh.
+        # engine_cls lets replicas be any ServingEngine subclass (e.g.
+        # SpeculativeServingEngine — pass its draft_params/draft_cfg/gamma
+        # through engine_kwargs).
         devices = np.asarray(mesh.devices).reshape(data, shape["model"])
         for i in range(data):
             sub = Mesh(devices[i], ("model",))
             self.replicas.append(
-                ServingEngine(params, cfg, mesh=sub, **engine_kwargs)
+                engine_cls(params, cfg, mesh=sub, **engine_kwargs)
             )
         self._route: dict[int, int] = {}  # req_id -> replica index
         self._load = [0] * data  # outstanding tokens (prompt + budget)

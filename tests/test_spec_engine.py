@@ -189,3 +189,39 @@ def test_spec_engine_rejects_unsupported_compositions(target, draft):
             params, cfg, draft_params=dparams, draft_cfg=dcfg,
             kv_dtype=jnp.int8, interpret=True, **POOL,
         )
+
+
+def test_spec_engine_data_parallel_replicas(target, draft):
+    """DP x speculative: SpeculativeServingEngine replicas behind the
+    shared least-loaded queue ((data=2, model=2) CPU mesh) must emit
+    exactly what single-replica speculative serving emits."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from flash_attention_cute_tpu.runtime.dp_engine import (
+        DataParallelServingEngine,
+    )
+
+    cfg, params = target
+    dcfg, dparams = draft
+    prompts = _requests(cfg, seed=23, n=4)
+    n_new = {rid: 5 for rid in prompts}
+    want, _ = _run_spec(target, draft, prompts, n_new)
+
+    mesh = Mesh(
+        np.array(_jax.devices()[:4]).reshape(2, 2), ("data", "model")
+    )
+    from flash_attention_cute_tpu.runtime.spec_engine import (
+        SpeculativeServingEngine as SpecCls,
+    )
+    eng = DataParallelServingEngine(
+        params, cfg, mesh=mesh, engine_cls=SpecCls,
+        draft_params=dparams, draft_cfg=dcfg, gamma=3,
+        interpret=True, **POOL,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    got = eng.run()
+    assert got == want, (got, want)
+    assert not eng.failed
+    assert all(e.stats["requests_finished"] > 0 for e in eng.replicas)
