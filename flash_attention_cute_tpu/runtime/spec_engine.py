@@ -247,11 +247,6 @@ class SpeculativeServingEngine(ServingEngine):
                 "SpeculativeServingEngine is greedy-exact only; sampled "
                 "speculative decoding (rejection sampling) is not built"
             )
-        if not hasattr(self.state, "k_pages"):
-            raise NotImplementedError(
-                "speculative serving over a quantized target cache is not "
-                "built; use kv_dtype=None"
-            )
         self.draft_cfg = draft_cfg
         self.gamma = gamma
         self.rounds_per_call = max(1, rounds_per_call)
@@ -264,14 +259,22 @@ class SpeculativeServingEngine(ServingEngine):
         self._covered: dict[int, int] = {}
 
         # The draft pool shares the target's page table (same allocator,
-        # same geometry); only the per-page payload differs.
+        # same geometry); only the per-page payload differs. The draft
+        # stays unquantized even over an int8/fp8 TARGET cache — it is
+        # small by construction, and drafts never affect outputs anyway.
+        if hasattr(self.state, "k_pages"):
+            num_pages = self.state.k_pages.shape[2]
+            d_dtype = self.state.k_pages.dtype
+        else:  # QuantizedPagedKVState target
+            num_pages = self.state.k_values.shape[2]
+            d_dtype = cfg.dtype
         self.d_state = create_paged_state(
             draft_cfg,
-            self.state.k_pages.shape[2],
+            num_pages,
             self.page_size,
             batch=self.slots,
             pages_per_seq=self.pages_per_seq,
-            dtype=self.state.k_pages.dtype,
+            dtype=d_dtype,
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -180,14 +180,32 @@ def test_spec_engine_chunked_admission_matches_plain_chunked(target, draft):
     assert not eng.failed
 
 
-def test_spec_engine_rejects_unsupported_compositions(target, draft):
+def test_spec_engine_quantized_target_cache(target, draft):
+    """int8-KV target cache x speculative: the draft pool stays bf16 and
+    outputs must match the plain engine over the SAME quantized cache
+    (both sides read identical int8 pages; the verify extend and the
+    decode kernel dequantize the same values)."""
+    import jax.numpy as jnp
+
+    cfg, _ = target
+    prompts = _requests(cfg, seed=29)
+    n_new = {rid: 6 for rid in prompts}
+    want, _ = _run_plain(target, prompts, n_new, kv_dtype=jnp.int8)
+    got, eng = _run_spec(target, draft, prompts, n_new, kv_dtype=jnp.int8)
+    assert got == want
+    assert not eng.failed
+    assert eng.stats["spec_calls"] >= 1
+
+
+def test_spec_engine_rejects_sampling(target, draft):
     cfg, params = target
     dcfg, dparams = draft
-    import jax.numpy as jnp
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
     with pytest.raises(NotImplementedError):
         SpeculativeServingEngine(
             params, cfg, draft_params=dparams, draft_cfg=dcfg,
-            kv_dtype=jnp.int8, interpret=True, **POOL,
+            sampling=SamplingParams(temperature=0.7), interpret=True,
+            **POOL,
         )
 
 
