@@ -15,8 +15,10 @@ from flash_attention_cute_tpu.models.transformer import (
 from flash_attention_cute_tpu.models.llama import llama_config_from_hf
 from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
 from flash_attention_cute_tpu.models.heads import (
+    embedding_pooling_forward,
     question_answering_forward,
     sequence_classification_forward,
+    token_classification_forward,
 )
 
 __all__ = [
@@ -28,4 +30,6 @@ __all__ = [
     "qwen2_config_from_hf",
     "question_answering_forward",
     "sequence_classification_forward",
+    "token_classification_forward",
+    "embedding_pooling_forward",
 ]

@@ -16,9 +16,13 @@ from flash_attention_cute_tpu.runtime.engine import ServingEngine
 from flash_attention_cute_tpu.runtime.dp_engine import (
     DataParallelServingEngine,
 )
+from flash_attention_cute_tpu.runtime.spec_engine import (
+    SpeculativeServingEngine,
+)
 
 __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
     "speculative_generate",
     "ServingEngine", "DataParallelServingEngine",
+    "SpeculativeServingEngine",
 ]
