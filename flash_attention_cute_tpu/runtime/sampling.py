@@ -20,16 +20,15 @@ class SamplingParams:
     top_p: float = 1.0  # 1 => disabled
 
 
-def sample_token(
-    logits: jax.Array,
-    key: jax.Array | None,
-    params: SamplingParams = SamplingParams(),
+def filter_logits(
+    logits: jax.Array, params: SamplingParams
 ) -> jax.Array:
-    """logits [B, V] -> token ids [B] int32."""
-    if params.temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    """Temperature-scale + top-k/top-p mask (suppressed entries -> -inf).
 
-    assert key is not None, "sampling with temperature > 0 needs a PRNG key"
+    `softmax(filter_logits(l))` is the EXACT distribution `sample_token`
+    draws from — rejection-sampling speculative decoding accepts/rejects
+    against these filtered distributions (runtime/speculative.py)."""
+    assert params.temperature > 0.0
     logits = logits / params.temperature
 
     if params.top_k > 0:
@@ -48,4 +47,19 @@ def sample_token(
         )
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
 
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def sample_token(
+    logits: jax.Array,
+    key: jax.Array | None,
+    params: SamplingParams = SamplingParams(),
+) -> jax.Array:
+    """logits [B, V] -> token ids [B] int32."""
+    if params.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    assert key is not None, "sampling with temperature > 0 needs a PRNG key"
+    return jax.random.categorical(
+        key, filter_logits(logits, params), axis=-1
+    ).astype(jnp.int32)

@@ -136,3 +136,102 @@ def test_staggered_eos_freezes_rows(target, draft):
                              gamma=4, eos_token_id=eos, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Rejection-sampling speculative decoding (temperature > 0)
+# ---------------------------------------------------------------------------
+
+
+def test_accept_and_emit_marginal_is_target_distribution():
+    """The core speculative-sampling theorem, tested directly: for ANY
+    proposal q, the emitted token at the round's first position has
+    marginal distribution EXACTLY p_0 (the target's). Monte Carlo over
+    the factored acceptance/residual helper."""
+    from flash_attention_cute_tpu.runtime.speculative import (
+        _accept_and_emit,
+    )
+
+    V, gamma, N = 8, 2, 60000
+    kp, kq, kd, ku, kr = jax.random.split(jax.random.key(3), 5)
+    p = jax.nn.softmax(jax.random.normal(kp, (gamma + 1, V)) * 1.5, axis=-1)
+    q = jax.nn.softmax(jax.random.normal(kq, (gamma, V)) * 1.5, axis=-1)
+    tprobs = jnp.broadcast_to(p, (N, gamma + 1, V))
+    qprobs = jnp.broadcast_to(q, (N, gamma, V))
+    drafts = jax.vmap(
+        lambda k_: jax.random.categorical(k_, jnp.log(q), axis=-1)
+    )(jax.random.split(kd, N)).astype(jnp.int32)  # [N, gamma] ~ q
+    u = jax.random.uniform(ku, (N, gamma))
+    n, e = _accept_and_emit(
+        tprobs, qprobs, drafts, u, jax.random.split(kr, N)
+    )
+    hist = np.bincount(np.asarray(e[:, 0]), minlength=V) / N
+    # Monte-Carlo tolerance: ~5 sigma at N=60k is well under 0.012.
+    np.testing.assert_allclose(hist, np.asarray(p[0]), atol=0.012)
+    # Both acceptance and rejection paths must actually occur.
+    n = np.asarray(n)
+    assert (n == 0).any() and (n > 0).any()
+
+
+def test_sampled_speculative_deterministic_and_runs(target, draft):
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
+
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt(seed=11)
+    sp = SamplingParams(temperature=0.9, top_k=40)
+    a = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True,
+        sampling=sp, seed=5,
+    )
+    b = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True,
+        sampling=sp, seed=5,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True,
+        sampling=sp, seed=6,
+    )
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_sampled_speculative_low_temperature_matches_greedy(target, draft):
+    """As temperature -> 0 the filtered distribution collapses to the
+    argmax, so rejection-sampling output must equal the greedy chain."""
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
+
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt(seed=13)
+    want = greedy_generate(params, cfg, ids, 12, interpret=True)
+    got = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True,
+        sampling=SamplingParams(temperature=1e-4), seed=1,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sampled_speculative_eos_freezes(target, draft):
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
+
+    cfg, params = target
+    dcfg, dparams = draft
+    ids = prompt(b=2, seed=17)
+    sp = SamplingParams(temperature=0.8)
+    free = speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True,
+        sampling=sp, seed=2,
+    )
+    eos = int(np.asarray(free)[0, 4])
+    out = np.asarray(speculative_generate(
+        params, cfg, dparams, dcfg, ids, 12, gamma=3, interpret=True,
+        sampling=sp, seed=2, eos_token_id=eos,
+    ))
+    row = out[0].tolist()
+    assert eos in row
+    i = row.index(eos)
+    # Everything after the first EOS is padding (the pad value is EOS).
+    assert all(t == eos for t in row[i:])
+    # The stream up to EOS is unchanged from the free-running run.
+    np.testing.assert_array_equal(row[: i + 1], np.asarray(free)[0, : i + 1])
