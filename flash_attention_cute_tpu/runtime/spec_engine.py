@@ -44,13 +44,21 @@ from flash_attention_cute_tpu.models.config import ModelConfig
 from flash_attention_cute_tpu.runtime.engine import ServingEngine
 from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
 from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
+from flash_attention_cute_tpu.runtime.sampling import (
+    SamplingParams,
+    filter_logits,
+)
+from flash_attention_cute_tpu.runtime.speculative import (
+    _accept_and_emit,
+    _row_keys,
+)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "draft_cfg", "gamma", "rounds", "eos_token_id", "interpret",
-        "mesh",
+        "mesh", "sampling",
     ),
     donate_argnames=("t_state", "d_state"),
 )
@@ -70,6 +78,9 @@ def _spec_rounds(
     eos_token_id: int | None,
     interpret: bool | None,
     mesh=None,
+    sampling: SamplingParams | None = None,  # temp > 0: rejection sampling
+    seeds: jax.Array | None = None,  # [slots] per-request sampling seeds
+    positions0: jax.Array | None = None,  # [slots] generated-count at entry
 ):
     """Run `rounds` draft/verify rounds for every active slot.
 
@@ -112,28 +123,54 @@ def _spec_rounds(
         # Re-extending the already-cached `prev` is an idempotent page
         # rewrite; it uniformly covers the all-accepted case where the
         # draft cache is missing the last draft token's KV.
+        abs_pos = None if sampling is None else positions0 + out_pos
         chunk2 = jnp.stack([prev, cur], axis=1)
         dlog, d_state = forward_paged(
             draft_params, draft_cfg, chunk2, d_state, mode="extend",
             interpret=interpret, mesh=mesh,
         )
-        d1 = jnp.argmax(dlog[:, 1], axis=-1).astype(jnp.int32)
+        if sampling is None:
+            d1 = jnp.argmax(dlog[:, 1], axis=-1).astype(jnp.int32)
+        else:
+            f1 = filter_logits(dlog[:, 1], sampling)
+            d1 = jax.vmap(
+                lambda k_, lg: jax.random.categorical(k_, lg)
+            )(_row_keys(seeds, abs_pos, 0), f1).astype(jnp.int32)
 
-        def draft_step(carry, _):
+        def draft_step(carry, i):
             d_state, tok = carry
             lg, d_state = forward_paged(
                 draft_params, draft_cfg, tok[:, None], d_state,
                 mode="decode", interpret=interpret, mesh=mesh,
             )
-            nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
-            return (d_state, nxt), nxt
+            if sampling is None:
+                nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+                return (d_state, nxt), nxt
+            fl = filter_logits(lg[:, 0], sampling)
+            nxt = jax.vmap(
+                lambda k_, lg_: jax.random.categorical(k_, lg_)
+            )(_row_keys(seeds, abs_pos + 1 + i, 0), fl).astype(jnp.int32)
+            return (d_state, nxt), (nxt, fl)
 
         (d_state, _), rest = jax.lax.scan(
-            draft_step, (d_state, d1), None, length=gamma - 1
+            draft_step, (d_state, d1),
+            jnp.arange(gamma - 1, dtype=jnp.int32),
         )
-        drafts = jnp.concatenate(
-            [d1[:, None], rest.T.reshape(slots, gamma - 1)], axis=1
-        )  # [slots, gamma]
+        if sampling is None:
+            drafts = jnp.concatenate(
+                [d1[:, None], rest.T.reshape(slots, gamma - 1)], axis=1
+            )  # [slots, gamma]
+        else:
+            rest_tok, rest_fl = rest
+            drafts = jnp.concatenate(
+                [d1[:, None], rest_tok.T.reshape(slots, gamma - 1)], axis=1
+            )
+            qprobs = jax.nn.softmax(
+                jnp.concatenate(
+                    [f1[:, None], jnp.moveaxis(rest_fl, 0, 1)], axis=1
+                ),
+                axis=-1,
+            )  # [slots, gamma, V]
 
         # --- verify: one target paged-extend over [cur, d_1..d_gamma] ---
         vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
@@ -141,17 +178,29 @@ def _spec_rounds(
             params, cfg, vchunk, t_state, mode="extend",
             interpret=interpret, mesh=mesh,
         )
-        tgt_pred = jnp.argmax(vlog, axis=-1).astype(jnp.int32)
-
-        # Longest matching prefix n in [0, gamma]; bonus from position n.
-        match = tgt_pred[:, :gamma] == drafts
-        n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-        bonus = jnp.take_along_axis(tgt_pred, n[:, None], axis=1)[:, 0]
-
         padded = jnp.concatenate(
             [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
         )
-        e = jnp.where(iota[None, :] == n[:, None], bonus[:, None], padded)
+        if sampling is None:
+            tgt_pred = jnp.argmax(vlog, axis=-1).astype(jnp.int32)
+
+            # Longest matching prefix n in [0, gamma]; bonus at n.
+            match = tgt_pred[:, :gamma] == drafts
+            n = jnp.sum(
+                jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+            )
+            bonus = jnp.take_along_axis(tgt_pred, n[:, None], axis=1)[:, 0]
+            e = jnp.where(
+                iota[None, :] == n[:, None], bonus[:, None], padded
+            )
+        else:
+            tprobs = jax.nn.softmax(filter_logits(vlog, sampling), axis=-1)
+            u = jax.vmap(lambda k_: jax.random.uniform(k_, (gamma,)))(
+                _row_keys(seeds, abs_pos, 1)
+            )
+            n, e = _accept_and_emit(
+                tprobs, qprobs, drafts, u, _row_keys(seeds, abs_pos, 2)
+            )
 
         if eos_token_id is not None:
             is_eos = (e == eos_token_id) & (iota[None, :] <= n[:, None])
@@ -211,9 +260,14 @@ def _spec_rounds(
 class SpeculativeServingEngine(ServingEngine):
     """Continuous-batching engine whose decode phase is draft/verify.
 
-    Greedy-exact: emitted tokens are bit-identical to the plain
-    `ServingEngine` for any draft model (the draft only controls speed —
-    acceptance rate x (gamma+1) tokens per target forward).
+    Greedy (sampling None / temp<=0): emitted tokens are bit-identical
+    to the plain `ServingEngine` for any draft model (the draft only
+    controls speed — acceptance rate x (gamma+1) tokens per target
+    forward). Sampled (temp>0): REJECTION-SAMPLING speculative decoding —
+    every emitted token's marginal is exactly the target's filtered
+    sampling distribution; randomness is keyed by (request seed,
+    absolute position, stream), so preemption-recompute replays the
+    identical stream.
 
     Extra knobs over ServingEngine:
       draft_params/draft_cfg — the proposal model (same vocabulary).
@@ -242,11 +296,6 @@ class SpeculativeServingEngine(ServingEngine):
         assert cfg.vocab_size == draft_cfg.vocab_size, (
             "draft and target must share a vocabulary"
         )
-        if self.sampling is not None and self.sampling.temperature > 0.0:
-            raise NotImplementedError(
-                "SpeculativeServingEngine is greedy-exact only; sampled "
-                "speculative decoding (rejection sampling) is not built"
-            )
         self.draft_cfg = draft_cfg
         self.gamma = gamma
         self.rounds_per_call = max(1, rounds_per_call)
@@ -512,20 +561,32 @@ class SpeculativeServingEngine(ServingEngine):
         prev = np.zeros((self.slots,), np.int32)
         mask = np.zeros((self.slots,), bool)
         budget = np.zeros((self.slots,), np.int32)
+        seeds = np.zeros((self.slots,), np.int32)
+        pos0 = np.zeros((self.slots,), np.int32)
         for s in active:
-            req = self._requests[self._slot_req[s]]
+            rid = self._slot_req[s]
+            req = self._requests[rid]
             hist = req.prompt + req.generated
             cur[s] = hist[-1]
             prev[s] = hist[-2]
             mask[s] = True
             budget[s] = req.max_new_tokens - len(req.generated)
+            seeds[s] = self._req_seed(rid)
+            pos0[s] = len(req.generated)
 
+        sampling = (
+            self.sampling
+            if self.sampling is not None and self.sampling.temperature > 0.0
+            else None
+        )
         out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
             self.params, self.draft_params, self.cfg, self.draft_cfg,
             self.state, self.d_state,
             jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(mask),
             jnp.asarray(budget), self.gamma, rounds,
             self.eos_token_id, self.interpret, self.mesh,
+            sampling=sampling, seeds=jnp.asarray(seeds),
+            positions0=jnp.asarray(pos0),
         )
         self.stats["device_calls"] += 1
         self.stats["spec_calls"] += 1

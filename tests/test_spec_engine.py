@@ -197,16 +197,35 @@ def test_spec_engine_quantized_target_cache(target, draft):
     assert eng.stats["spec_calls"] >= 1
 
 
-def test_spec_engine_rejects_sampling(target, draft):
-    cfg, params = target
-    dcfg, dparams = draft
+def test_spec_engine_sampled_deterministic_and_replay_stable(target, draft):
+    """Rejection-sampling speculative serving: same seed => identical
+    streams, and a preemption-forcing tight pool must REPLAY the same
+    tokens (randomness is keyed by request seed + absolute position)."""
     from flash_attention_cute_tpu.runtime.sampling import SamplingParams
-    with pytest.raises(NotImplementedError):
-        SpeculativeServingEngine(
-            params, cfg, draft_params=dparams, draft_cfg=dcfg,
-            sampling=SamplingParams(temperature=0.7), interpret=True,
-            **POOL,
-        )
+
+    cfg, _ = target
+    prompts = _requests(cfg, seed=31, n=2)
+    n_new = {rid: 8 for rid in prompts}
+    sp = SamplingParams(temperature=0.9, top_k=50)
+    a, ea = _run_spec(target, draft, prompts, n_new, sampling=sp)
+    b, _ = _run_spec(target, draft, prompts, n_new, sampling=sp)
+    assert a == b
+    tight, et = _run_spec(target, draft, prompts, n_new, sampling=sp,
+                          num_pages=6)
+    assert tight == a, (tight, a)
+    assert et.stats["preemptions"] > 0, et.stats
+
+
+def test_spec_engine_sampled_low_temperature_matches_greedy(target, draft):
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
+
+    cfg, _ = target
+    prompts = _requests(cfg, seed=33, n=2)
+    n_new = {rid: 6 for rid in prompts}
+    want, _ = _run_plain(target, prompts, n_new)
+    got, _ = _run_spec(target, draft, prompts, n_new,
+                       sampling=SamplingParams(temperature=1e-4))
+    assert got == want
 
 
 def test_spec_engine_data_parallel_replicas(target, draft):
