@@ -262,3 +262,21 @@ def test_spec_engine_data_parallel_replicas(target, draft):
     assert got == want, (got, want)
     assert not eng.failed
     assert all(e.stats["requests_finished"] > 0 for e in eng.replicas)
+
+
+def test_spec_engine_sliding_window_model(draft):
+    """A Qwen2-style sliding-window target served speculatively must
+    match the plain engine exactly (the verify extends run the windowed
+    paged kernel for the windowed layer segment)."""
+    cfg = tiny_test_config(
+        num_layers=2, sliding_window=8, use_sliding_window=True,
+        max_window_layers=1,
+    )
+    params = init_params(cfg, jax.random.key(41))
+    prompts = _requests(cfg, seed=41, n=2)
+    prompts = {rid: p * 2 for rid, p in prompts.items()}  # exceed window
+    n_new = {rid: 6 for rid in prompts}
+    want, _ = _run_plain((cfg, params), prompts, n_new)
+    got, eng = _run_spec((cfg, params), draft, prompts, n_new)
+    assert got == want
+    assert not eng.failed
