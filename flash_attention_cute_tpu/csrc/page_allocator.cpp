@@ -30,6 +30,11 @@ struct Allocator {
   int pages_per_seq;
   std::vector<int32_t> free_pages;  // LIFO
   std::unordered_map<int64_t, std::vector<int32_t>> tables;
+  // Reference counts (prefix caching): a page is owned by every sequence
+  // table referencing it PLUS one count per cache pin. The free list
+  // holds exactly the pages with refcount 0. Mirrors
+  // runtime/paged_cache.py::PageAllocator (lockstep property test).
+  std::unordered_map<int32_t, int32_t> refs;
 
   Allocator(int num_pages, int ps, int pps)
       : page_size(ps), pages_per_seq(pps) {
@@ -56,18 +61,57 @@ struct Allocator {
     auto& tbl = tables[seq_id];
     if (static_cast<int>(tbl.size()) + n > pages_per_seq) return false;
     for (int i = 0; i < n; ++i) {
-      tbl.push_back(free_pages.back());
+      int32_t p = free_pages.back();
       free_pages.pop_back();
+      refs[p] = 1;
+      tbl.push_back(p);
     }
     return true;
+  }
+
+  // Append already-live pages (a cached prompt prefix) to seq_id's table,
+  // taking a reference on each; free pages cannot be shared.
+  bool share(int64_t seq_id, const int32_t* pages, int n) {
+    auto& tbl = tables[seq_id];
+    if (static_cast<int>(tbl.size()) + n > pages_per_seq) return false;
+    for (int i = 0; i < n; ++i) {
+      auto it = refs.find(pages[i]);
+      if (it == refs.end() || it->second <= 0) return false;
+    }
+    for (int i = 0; i < n; ++i) {
+      refs[pages[i]] += 1;
+      tbl.push_back(pages[i]);
+    }
+    return true;
+  }
+
+  bool pin(int32_t page) {
+    auto it = refs.find(page);
+    if (it == refs.end() || it->second <= 0) return false;
+    it->second += 1;
+    return true;
+  }
+
+  void unpin(int32_t page) {
+    int32_t r = refs[page] - 1;
+    refs[page] = r;
+    if (r == 0) free_pages.push_back(page);
+  }
+
+  int refcount(int32_t page) const {
+    auto it = refs.find(page);
+    return it == refs.end() ? 0 : it->second;
   }
 
   void release(int64_t seq_id) {
     auto it = tables.find(seq_id);
     if (it == tables.end()) return;
-    // Python extends with reversed(tbl); match it.
-    for (auto rit = it->second.rbegin(); rit != it->second.rend(); ++rit)
-      free_pages.push_back(*rit);
+    // Python extends with reversed(tbl), refcount-0 pages only; match it.
+    for (auto rit = it->second.rbegin(); rit != it->second.rend(); ++rit) {
+      int32_t r = refs[*rit] - 1;
+      refs[*rit] = r;
+      if (r == 0) free_pages.push_back(*rit);
+    }
     tables.erase(it);
   }
 };
@@ -88,6 +132,10 @@ struct Scheduler {
   Allocator alloc;
   int max_slots;
   std::deque<Request> waiting;
+  // Prefix-cache grants: rid -> cached prefix pages to share at
+  // admission. Advisory and consumed per admission attempt — the engine
+  // re-grants from the live cache before every admit().
+  std::unordered_map<int64_t, std::vector<int32_t>> grants;
   std::vector<Request> running;   // index == batch slot, id -1 = empty slot
   std::vector<int64_t> slot_ids;  // -1 = free
   // Anti-livelock gate: while a running request is page-starved, admission
@@ -116,13 +164,33 @@ struct Scheduler {
     for (int s = 0; s < max_slots && !waiting.empty(); ++s) {
       if (slot_ids[s] != -1) continue;
       Request r = waiting.front();
-      if (!alloc.allocate(r.id, 0, r.prompt_len)) break;  // FCFS: no skip
+      std::vector<int32_t> pages;
+      auto git = grants.find(r.id);
+      if (git != grants.end()) {
+        pages = std::move(git->second);
+        grants.erase(git);
+      }
+      int granted = static_cast<int>(pages.size()) * alloc.page_size;
+      if (!pages.empty() &&
+          !alloc.share(r.id, pages.data(),
+                       static_cast<int>(pages.size()))) {
+        alloc.release(r.id);
+        break;  // FCFS: no skip
+      }
+      if (!alloc.allocate(r.id, granted, r.prompt_len - granted)) {
+        alloc.release(r.id);  // undo the shared prefix
+        break;
+      }
       waiting.pop_front();
       slot_ids[s] = r.id;
       running[s] = r;
       ++n;
     }
     return n;
+  }
+
+  void grant_prefix(int64_t id, const int32_t* pages, int n) {
+    grants[id] = std::vector<int32_t>(pages, pages + n);
   }
 
   // One decode step for slot s: reserve room for 1 token. Returns:
@@ -254,6 +322,30 @@ int sched_table_row(void* h, int64_t seq_id, int32_t* out, int cap) {
 int sched_num_free_pages(void* h) {
   return static_cast<int>(
       static_cast<Scheduler*>(h)->alloc.free_pages.size());
+}
+void sched_grant_prefix(void* h, int64_t id, const int32_t* pages, int n) {
+  static_cast<Scheduler*>(h)->grant_prefix(id, pages, n);
+}
+int sched_pin_page(void* h, int32_t page) {
+  return static_cast<Scheduler*>(h)->alloc.pin(page) ? 1 : 0;
+}
+void sched_unpin_page(void* h, int32_t page) {
+  static_cast<Scheduler*>(h)->alloc.unpin(page);
+}
+int sched_page_refcount(void* h, int32_t page) {
+  return static_cast<Scheduler*>(h)->alloc.refcount(page);
+}
+int pa_share(void* h, int64_t seq_id, const int32_t* pages, int n) {
+  return static_cast<Allocator*>(h)->share(seq_id, pages, n) ? 1 : 0;
+}
+int pa_pin(void* h, int32_t page) {
+  return static_cast<Allocator*>(h)->pin(page) ? 1 : 0;
+}
+void pa_unpin(void* h, int32_t page) {
+  static_cast<Allocator*>(h)->unpin(page);
+}
+int pa_refcount(void* h, int32_t page) {
+  return static_cast<Allocator*>(h)->refcount(page);
 }
 
 }  // extern "C"

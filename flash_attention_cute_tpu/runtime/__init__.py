@@ -19,10 +19,11 @@ from flash_attention_cute_tpu.runtime.dp_engine import (
 from flash_attention_cute_tpu.runtime.spec_engine import (
     SpeculativeServingEngine,
 )
+from flash_attention_cute_tpu.runtime.prefix_cache import PrefixCache
 
 __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
     "speculative_generate",
     "ServingEngine", "DataParallelServingEngine",
-    "SpeculativeServingEngine",
+    "SpeculativeServingEngine", "PrefixCache",
 ]

@@ -131,6 +131,11 @@ class ServingEngine:
         # rounds of the other slots (bounds head-of-line blocking by long
         # prompts; dense pages only). 0 = whole-prompt admission.
         eos_token_id: int | None = None,  # finish a request early at EOS
+        enable_prefix_cache: bool = False,  # reuse page-aligned shared
+        # prompt prefixes across requests: admission prefills only the
+        # unseen suffix through the paged-extend forward; page lifetime is
+        # refcounted in the (native or Python) allocator and the content
+        # map is an exact-key LRU (runtime/prefix_cache.py)
         collect_clamp_stats: bool = False,  # observability mode: fetch the
         # lazy-softmax saturation counter from every chunked-admission
         # extend forward into stats["softmax_clamps"] (one extra small
@@ -156,7 +161,13 @@ class ServingEngine:
         self.collect_clamp_stats = collect_clamp_stats
         self.eos_token_id = eos_token_id
         self.interpret = interpret
+        self.enable_prefix_cache = enable_prefix_cache
         self._prefilling: dict[int, int] = {}  # slot -> tokens scattered
+        # Prefix caching: tokens of each waiting/admitting request served
+        # from the cache (granted to the scheduler this round), and the
+        # per-slot shared-token count consumed by the admission forward.
+        self._granted: dict[int, int] = {}
+        self._admit_shared: dict[int, int] = {}
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
                 create_quantized_paged_state,
@@ -225,6 +236,15 @@ class ServingEngine:
             )
             self.native = False
 
+        if enable_prefix_cache:
+            from flash_attention_cute_tpu.runtime.prefix_cache import (
+                PrefixCache,
+            )
+
+            self.prefix_cache = PrefixCache(self.sched, page_size)
+        else:
+            self.prefix_cache = None
+
         self._requests: dict[int, _Request] = {}
         self._slot_req: list[int] = [-1] * slots
         self._done: dict[int, list[int]] = {}
@@ -247,6 +267,11 @@ class ServingEngine:
             # extend kernels (0 = every score within the lazy-max
             # envelope; see ops/flash_fwd.py stable=True).
             "softmax_clamps": 0,
+            # Prefix caching: prompt tokens served from cached pages
+            # (never recomputed), and cache entries evicted under pool
+            # pressure.
+            "prefix_hit_tokens": 0,
+            "prefix_evictions": 0,
         }
         # Completed per-request latency records (see request_metrics).
         self.metrics: list[dict] = []
@@ -343,7 +368,7 @@ class ServingEngine:
                 continue
             ok = True
             for _ in range(chunk):
-                r = self.sched.step_slot(s)
+                r = self._step_slot_evicting(s)
                 if r == 1:
                     continue
                 victim = self.sched.preempt_youngest()
@@ -444,9 +469,54 @@ class ServingEngine:
 
     # ---- internals ----
 
+    def _grant_prefixes(self):
+        """Re-derive cache grants for every waiting request immediately
+        before an admission attempt (grants are advisory; deriving them
+        here means eviction can never leave a stale grant dangling)."""
+        in_slots = set(self._slot_req)
+        for rid, req in self._requests.items():
+            if rid in in_slots:
+                continue
+            pages = self.prefix_cache.lookup(req.prompt)
+            self.sched.grant_prefix(rid, pages)
+            self._granted[rid] = len(pages) * self.page_size
+
+    def _sched_admit(self) -> int:
+        if self.prefix_cache is None:
+            return self.sched.admit()
+        self._grant_prefixes()
+        n = self.sched.admit()
+        # Page-starved admission with cached-but-idle pages: evict LRU
+        # entries and retry (only when a slot is actually free — a full
+        # batch is not a page problem).
+        free_slot = any(r == -1 for r in self._slot_req)
+        while (
+            n == 0 and free_slot and self.sched.num_waiting > 0
+            and len(self.prefix_cache)
+        ):
+            self.prefix_cache.evict(1)
+            self.stats["prefix_evictions"] += 1
+            self._grant_prefixes()
+            n = self.sched.admit()
+        return n
+
+    def _step_slot_evicting(self, s: int) -> int:
+        """step_slot with cache-eviction retry before the caller falls
+        back to preemption: idle cached pages go first."""
+        r = self.sched.step_slot(s)
+        if r == 1 or self.prefix_cache is None:
+            return r
+        while len(self.prefix_cache):
+            self.prefix_cache.evict(1)
+            self.stats["prefix_evictions"] += 1
+            r = self.sched.step_slot(s)
+            if r == 1:
+                return r
+        return r
+
     def _admit(self):
         before = {s: self.sched.slot_id(s) for s in range(self.slots)}
-        if self.sched.admit() == 0:
+        if self._sched_admit() == 0:
             return
         # Batch same-bucket admissions into one prefill program: a burst of
         # arrivals costs one forward instead of one per request.
@@ -455,17 +525,24 @@ class ServingEngine:
             rid = self.sched.slot_id(s)
             if rid != -1 and before[s] == -1:
                 self._slot_req[s] = rid
+                shared = (
+                    self._granted.get(rid, 0)
+                    if self.prefix_cache is not None else 0
+                )
                 if self.prefill_chunk > 0:
                     # Chunked admission: mark the slot; chunks advance one
-                    # per engine round (interleaved with decode).
+                    # per engine round (interleaved with decode). A cached
+                    # prefix simply starts the chunk walk at `shared`.
                     req = self._requests[rid]
                     self.stats["prefills"] += 1
                     req.generated = []
-                    self._prefilling[s] = 0
+                    self._prefilling[s] = shared
+                    self.stats["prefix_hit_tokens"] += shared
                     self._sync_table(s)
                     self._set_length(s, 0)
                     continue
-                b = _bucket(len(self._requests[rid].prompt))
+                self._admit_shared[s] = shared
+                b = _bucket(len(self._requests[rid].prompt) - shared)
                 groups.setdefault(b, []).append(s)
         # CROSS-bucket grouping (round 3): chunks are cut from the
         # bucket-descending order and padded to the chunk's max bucket —
@@ -493,11 +570,20 @@ class ServingEngine:
         reqs = [self._requests[self._slot_req[s]] for s in slots]
         ids = np.zeros((g, bucket), np.int32)
         plens = np.zeros((g,), np.int32)
-        for i, req in enumerate(reqs):
+        shareds = np.zeros((g,), np.int32)
+        for i, (s, req) in enumerate(zip(slots, reqs)):
             self.stats["prefills"] += 1
             req.generated = []
             plens[i] = len(req.prompt)
-            ids[i, : plens[i]] = req.prompt
+            shareds[i] = self._admit_shared.pop(s, 0)
+            suffix = req.prompt[int(shareds[i]) :]
+            ids[i, : len(suffix)] = suffix
+            self.stats["prefix_hit_tokens"] += int(shareds[i])
+        # Subclasses mirroring this admission (speculative draft pools)
+        # need the same shared-prefix offsets.
+        self._last_prefill_shared = {
+            s: int(shareds[i]) for i, s in enumerate(slots)
+        }
         for s in slots:
             self._sync_table(s)
             self._set_length(s, 0)
@@ -522,16 +608,34 @@ class ServingEngine:
             table = jnp.concatenate(
                 [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
             )
-        sub = dataclasses.replace(
-            self.state,
-            page_table=table,
-            lengths=jnp.zeros((g_pad,), jnp.int32),
-        )
-        logits, sub = forward_paged(
-            self.params, self.cfg, jnp.asarray(ids), sub, mode="prefill",
-            valid_len=jnp.asarray(plens_in),
-            interpret=self.interpret, mesh=self.mesh,
-        )
+        if self.prefix_cache is not None:
+            # Suffix-only admission: the chunk sits at global positions
+            # shared..shared+bucket-1 and attends the cached prefix pages
+            # plus itself (the chunked-admission kernel); rows without a
+            # cached prefix have shared == 0, which is exactly prefill.
+            sub_lens = np.concatenate(
+                [shareds, np.zeros((g_pad - g,), np.int32)]
+            ) if g_pad != g else shareds
+            sub = dataclasses.replace(
+                self.state,
+                page_table=table,
+                lengths=jnp.asarray(sub_lens),
+            )
+            logits, sub = forward_paged(
+                self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
+                interpret=self.interpret, mesh=self.mesh,
+            )
+        else:
+            sub = dataclasses.replace(
+                self.state,
+                page_table=table,
+                lengths=jnp.zeros((g_pad,), jnp.int32),
+            )
+            logits, sub = forward_paged(
+                self.params, self.cfg, jnp.asarray(ids), sub, mode="prefill",
+                valid_len=jnp.asarray(plens_in),
+                interpret=self.interpret, mesh=self.mesh,
+            )
         self.stats["device_calls"] += 1
         # Merge back every pool field (k/v pages or quantized values+scales);
         # per-slot metadata stays with the engine's full-batch arrays.
@@ -547,7 +651,7 @@ class ServingEngine:
         )
         # Select + sample on DEVICE; fetch only [g] token ids (full-vocab
         # logits are half a megabyte per row over a tunneled link).
-        last_logits = logits[jnp.arange(g), plens - 1]  # [g, V] device
+        last_logits = logits[jnp.arange(g), plens - 1 - shareds]  # [g, V]
         if self.sampling is not None and self.sampling.temperature > 0.0:
             from flash_attention_cute_tpu.runtime.sampling import sample_token
 
@@ -579,6 +683,11 @@ class ServingEngine:
             # Count the sampled token against the budget/pages.
             self.sched.step_slot(s)
             self._sync_table(s)
+        if self.prefix_cache is not None:
+            for req in reqs:
+                self.prefix_cache.insert(
+                    req.prompt, self.sched.table_row(req.req_id)
+                )
 
     def _advance_prefills(self):
         """Scatter + attend ONE prompt chunk for EVERY chunk-admitting slot
@@ -653,9 +762,12 @@ class ServingEngine:
                 self._prefilling[s] = p
                 continue
             # Admission complete: publish the real length, sample token 0.
+            # (p - c is the chunk's start position — with a cached prefix
+            # the walk starts at `shared`, not 0, so the last real token's
+            # in-chunk index is plen-1-(p-c), not (plen-1) % c.)
             del self._prefilling[s]
             self._set_length(s, plen)
-            last_logits = logits[j : j + 1, (plen - 1) % c]
+            last_logits = logits[j : j + 1, plen - 1 - (p - c)]
             if self.sampling is not None and self.sampling.temperature > 0.0:
                 from flash_attention_cute_tpu.runtime.sampling import (
                     sample_token,
@@ -676,6 +788,10 @@ class ServingEngine:
             self.stats["tokens_generated"] += 1
             self.sched.step_slot(s)
             self._sync_table(s)
+            if self.prefix_cache is not None:
+                self.prefix_cache.insert(
+                    req.prompt, self.sched.table_row(rid)
+                )
 
     def _req_seed(self, rid: int) -> int:
         """Per-request sampling seed: stable across preemption-recompute so
@@ -723,7 +839,7 @@ class ServingEngine:
     def _drain_unservable(self) -> bool:
         """No slot active but requests wait: if admission is gated/starved
         forever (prompt larger than the whole pool), fail them."""
-        if self.sched.admit() > 0:
+        if self._sched_admit() > 0:
             for s in range(self.slots):
                 rid = self.sched.slot_id(s)
                 if rid != -1 and self._slot_req[s] == -1:
@@ -747,9 +863,17 @@ class _PyScheduler:
         self.running: dict[int, list] = {}  # slot -> [id, plen, max_new, gen]
         self.stalled = False
         self.pages_per_seq = pages_per_seq
+        self.page_size = self.alloc.page_size
+        # Prefix-cache grants: rid -> cached prefix pages to share at
+        # admission. Advisory and consumed per admission attempt — the
+        # engine re-grants from the live cache before every admit().
+        self.grants: dict[int, list[int]] = {}
 
     def submit(self, rid, plen, max_new):
         self.waiting.append((rid, plen, max_new))
+
+    def grant_prefix(self, rid, pages):
+        self.grants[rid] = list(pages)
 
     def admit(self):
         if self.stalled:
@@ -759,12 +883,28 @@ class _PyScheduler:
             if not self.waiting or s in self.running:
                 continue
             rid, plen, max_new = self.waiting[0]
-            if not self.alloc.allocate(rid, 0, plen):
+            pages = self.grants.pop(rid, [])
+            granted = len(pages) * self.page_size
+            assert granted <= max(plen - 1, 0), (granted, plen)
+            if pages and not self.alloc.share(rid, pages):
+                self.alloc.release(rid)
+                break
+            if not self.alloc.allocate(rid, granted, plen - granted):
+                self.alloc.release(rid)  # undo the shared prefix
                 break
             self.waiting.pop(0)
             self.running[s] = [rid, plen, max_new, 0]
             n += 1
         return n
+
+    def pin_page(self, page):
+        return self.alloc.pin(page)
+
+    def unpin_page(self, page):
+        self.alloc.unpin(page)
+
+    def page_refcount(self, page):
+        return self.alloc.refcount(page)
 
     def step_slot(self, s):
         if s not in self.running:

@@ -100,6 +100,14 @@ def load() -> ctypes.CDLL | None:
         "sched_num_waiting": ([c_void], c_int),
         "sched_table_row": ([c_void, c_i64, c_i32p, c_int], c_int),
         "sched_num_free_pages": ([c_void], c_int),
+        "sched_grant_prefix": ([c_void, c_i64, c_i32p, c_int], None),
+        "sched_pin_page": ([c_void, ctypes.c_int32], c_int),
+        "sched_unpin_page": ([c_void, ctypes.c_int32], None),
+        "sched_page_refcount": ([c_void, ctypes.c_int32], c_int),
+        "pa_share": ([c_void, c_i64, c_i32p, c_int], c_int),
+        "pa_pin": ([c_void, ctypes.c_int32], c_int),
+        "pa_unpin": ([c_void, ctypes.c_int32], None),
+        "pa_refcount": ([c_void, ctypes.c_int32], c_int),
     }
     for name, (argtypes, restype) in sigs.items():
         fn = getattr(lib, name)
@@ -138,6 +146,24 @@ class NativePageAllocator:
 
     def release(self, seq_id: int) -> None:
         self._lib.pa_release(self._h, seq_id)
+
+    def share(self, seq_id: int, pages) -> bool:
+        import numpy as np
+
+        arr = np.asarray(list(pages), np.int32)
+        return bool(self._lib.pa_share(
+            self._h, seq_id,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(arr),
+        ))
+
+    def pin(self, page: int) -> bool:
+        return bool(self._lib.pa_pin(self._h, page))
+
+    def unpin(self, page: int) -> None:
+        self._lib.pa_unpin(self._h, page)
+
+    def refcount(self, page: int) -> int:
+        return self._lib.pa_refcount(self._h, page)
 
     def table_row(self, seq_id: int):
         import numpy as np
@@ -198,6 +224,24 @@ class NativeScheduler:
     @property
     def num_waiting(self) -> int:
         return self._lib.sched_num_waiting(self._h)
+
+    def grant_prefix(self, rid: int, pages) -> None:
+        import numpy as np
+
+        arr = np.asarray(list(pages), np.int32)
+        self._lib.sched_grant_prefix(
+            self._h, rid,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(arr),
+        )
+
+    def pin_page(self, page: int) -> bool:
+        return bool(self._lib.sched_pin_page(self._h, page))
+
+    def unpin_page(self, page: int) -> None:
+        self._lib.sched_unpin_page(self._h, page)
+
+    def page_refcount(self, page: int) -> int:
+        return self._lib.sched_page_refcount(self._h, page)
 
     @property
     def num_free_pages(self) -> int:

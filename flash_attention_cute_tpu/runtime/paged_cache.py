@@ -194,6 +194,10 @@ class PageAllocator:
         self.pages_per_seq = pages_per_seq
         self.free = list(range(num_pages - 1, 0, -1))  # page 0 reserved
         self.tables: dict[int, list[int]] = {}
+        # Reference counts (prefix caching): a page is owned by every
+        # sequence table that references it PLUS one count per cache pin.
+        # The free list holds exactly the pages with refcount 0.
+        self.refs: dict[int, int] = {}
 
     @property
     def num_free(self) -> int:
@@ -213,12 +217,49 @@ class PageAllocator:
         if len(tbl) + n > self.pages_per_seq:
             return False
         for _ in range(n):
-            tbl.append(self.free.pop())
+            p = self.free.pop()
+            self.refs[p] = 1
+            tbl.append(p)
         return True
+
+    def share(self, seq_id: int, pages: list[int]) -> bool:
+        """Append already-live pages (a cached prompt prefix) to seq_id's
+        table, taking a reference on each. Pages must have refcount > 0 —
+        free pages cannot be shared (their contents are unowned)."""
+        tbl = self.tables.setdefault(seq_id, [])
+        if len(tbl) + len(pages) > self.pages_per_seq:
+            return False
+        if any(self.refs.get(p, 0) <= 0 for p in pages):
+            return False
+        for p in pages:
+            self.refs[p] += 1
+            tbl.append(p)
+        return True
+
+    def pin(self, page: int) -> bool:
+        """Take a cache reference on a live page (prefix-cache insert)."""
+        if self.refs.get(page, 0) <= 0:
+            return False
+        self.refs[page] += 1
+        return True
+
+    def unpin(self, page: int) -> None:
+        """Drop a cache reference; a page reaching refcount 0 is freed."""
+        r = self.refs.get(page, 0) - 1
+        self.refs[page] = r
+        if r == 0:
+            self.free.append(page)
+
+    def refcount(self, page: int) -> int:
+        return self.refs.get(page, 0)
 
     def release(self, seq_id: int) -> None:
         tbl = self.tables.pop(seq_id, [])
-        self.free.extend(reversed(tbl))
+        for p in reversed(tbl):
+            r = self.refs.get(p, 0) - 1
+            self.refs[p] = r
+            if r == 0:
+                self.free.append(p)
 
     def table_row(self, seq_id: int) -> np.ndarray:
         """Padded page-table row for the device array."""

@@ -390,13 +390,22 @@ class SpeculativeServingEngine(ServingEngine):
         reqs = [self._requests[self._slot_req[s]] for s in slots]
         super()._prefill_group(bucket, slots)
         # Mirror the prompts into the draft cache: one extra (small-model)
-        # prefill per admission group.
+        # forward per admission group. With prefix caching the draft pool
+        # rides the SAME shared pages (every admission mirrors the draft's
+        # KV into them), so the mirror extends only the suffix too.
+        shared_by_slot = (
+            getattr(self, "_last_prefill_shared", {})
+            if self.prefix_cache is not None else {}
+        )
         g = len(slots)
         ids = np.zeros((g, bucket), np.int32)
         plens = np.zeros((g,), np.int32)
-        for i, req in enumerate(reqs):
+        shareds = np.zeros((g,), np.int32)
+        for i, (s, req) in enumerate(zip(slots, reqs)):
             plens[i] = len(req.prompt)
-            ids[i, : plens[i]] = req.prompt
+            shareds[i] = shared_by_slot.get(s, 0)
+            suffix = req.prompt[int(shareds[i]) :]
+            ids[i, : len(suffix)] = suffix
         g_pad = 1 << (g - 1).bit_length()
         if g_pad != g:
             ids = np.pad(ids, ((0, g_pad - g), (0, 0)))
@@ -411,16 +420,30 @@ class SpeculativeServingEngine(ServingEngine):
             table = jnp.concatenate(
                 [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
             )
-        sub = dataclasses.replace(
-            self.d_state,
-            page_table=table,
-            lengths=jnp.zeros((g_pad,), jnp.int32),
-        )
-        _, sub = forward_paged(
-            self.draft_params, self.draft_cfg, jnp.asarray(ids), sub,
-            mode="prefill", valid_len=jnp.asarray(plens_in),
-            interpret=self.interpret, mesh=self.mesh,
-        )
+        if self.prefix_cache is not None:
+            sub_lens = np.concatenate(
+                [shareds, np.zeros((g_pad - g,), np.int32)]
+            ) if g_pad != g else shareds
+            sub = dataclasses.replace(
+                self.d_state,
+                page_table=table,
+                lengths=jnp.asarray(sub_lens),
+            )
+            _, sub = forward_paged(
+                self.draft_params, self.draft_cfg, jnp.asarray(ids), sub,
+                mode="extend", interpret=self.interpret, mesh=self.mesh,
+            )
+        else:
+            sub = dataclasses.replace(
+                self.d_state,
+                page_table=table,
+                lengths=jnp.zeros((g_pad,), jnp.int32),
+            )
+            _, sub = forward_paged(
+                self.draft_params, self.draft_cfg, jnp.asarray(ids), sub,
+                mode="prefill", valid_len=jnp.asarray(plens_in),
+                interpret=self.interpret, mesh=self.mesh,
+            )
         self.stats["device_calls"] += 1
         pool_fields = {
             f.name for f in dataclasses.fields(self.d_state)
@@ -525,7 +548,7 @@ class SpeculativeServingEngine(ServingEngine):
             need = target - self._covered.get(s, 0)
             ok = True
             for _ in range(max(need, 0)):
-                r = self.sched.step_slot(s)
+                r = self._step_slot_evicting(s)
                 if r == 1:
                     self._covered[s] = self._covered.get(s, 0) + 1
                     continue

@@ -61,6 +61,12 @@ def parse_args(argv=None):
                    help="draft/verify rounds folded into one device "
                         "program (the speculative analog of decode-chunk)")
     p.add_argument("--draft-layers", type=int, default=1)
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="automatic prefix caching (shared-prompt KV "
+                        "reuse); pair with --shared-prefix to give the "
+                        "request stream a common system prompt")
+    p.add_argument("--shared-prefix", type=int, default=0,
+                   help="tokens of system prompt shared by ALL requests")
     return p.parse_args(argv)
 
 
@@ -86,8 +92,9 @@ def main(argv=None):
     params = init_params(cfg, jax.random.key(0))
 
     rng = np.random.default_rng(0)
+    system = rng.integers(0, cfg.vocab_size, a.shared_prefix).tolist()
     prompts = {
-        rid: rng.integers(
+        rid: system + rng.integers(
             0, cfg.vocab_size, int(rng.integers(a.min_prompt, a.max_prompt + 1))
         ).tolist()
         for rid in range(a.requests)
@@ -100,7 +107,7 @@ def main(argv=None):
     # Speculative scatters transiently touch up to gamma positions past
     # the accepted length (spec_engine pool-sizing rule).
     slack = a.spec_gamma if a.speculative != "off" else 0
-    max_tokens = a.max_prompt + a.max_new_tokens + slack
+    max_tokens = a.shared_prefix + a.max_prompt + a.max_new_tokens + slack
     pages_per_seq = -(-max_tokens // a.page_size)
     num_pages = a.num_pages or (a.slots * pages_per_seq + 1)
 
@@ -125,6 +132,7 @@ def main(argv=None):
             slots=a.slots, num_pages=num_pages,
             page_size=a.page_size, pages_per_seq=pages_per_seq,
             prefill_group=a.prefill_group, interpret=interp,
+            enable_prefix_cache=a.prefix_cache,
         )
     else:
         eng = ServingEngine(
@@ -132,6 +140,7 @@ def main(argv=None):
             page_size=a.page_size, pages_per_seq=pages_per_seq,
             decode_chunk=a.decode_chunk, prefill_chunk=a.prefill_chunk,
             prefill_group=a.prefill_group, interpret=interp,
+            enable_prefix_cache=a.prefix_cache,
         )
 
     print(f"model={a.model} layers={cfg.num_layers} slots={a.slots} "
@@ -176,6 +185,9 @@ def main(argv=None):
               f"{st['accepted_drafts']}  new-tokens/verify-forward "
               f"{total_new / max(verifies, 1):.2f} (ceiling "
               f"{a.spec_gamma + 1})")
+    if a.prefix_cache:
+        print(f"prefix cache: hit tokens {st['prefix_hit_tokens']}  "
+              f"evictions {st['prefix_evictions']}")
     ttfts = [m["ttft_s"] for m in eng.request_metrics]
     e2es = [m["e2e_s"] for m in eng.request_metrics]
     print(f"TTFT p50 {_pct(ttfts, 50)*1e3:8.1f} ms   "

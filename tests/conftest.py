@@ -35,3 +35,15 @@ def mesh8():
 
     devices = np.array(jax.devices()).reshape(2, 4)
     return Mesh(devices, axis_names=("data", "model"))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_mmap_growth():
+    """Every XLA CPU executable holds several mmaps and jit caches never
+    drop them; a full-suite process crosses vm.max_map_count (65530)
+    after ~150 tests and the NEXT compile segfaults inside
+    backend_compile (reproduced deterministically; maps grow ~70/test).
+    Clearing the compiled-function caches at module boundaries keeps the
+    map count bounded at the cost of cross-module recompiles."""
+    jax.clear_caches()
+    yield

@@ -154,3 +154,94 @@ def test_scheduler_lockstep_with_python():
         for s in range(3):
             assert cc.slot_id(s) == py.slot_id(s), (step, s)
             assert cc.slot_generated(s) == py.slot_generated(s), (step, s)
+
+
+def test_refcount_share_pin_semantics():
+    """Prefix-cache allocator primitives: shared pages survive their
+    original owner's release; a cache pin keeps a page alive with no
+    owners; unpinning the last reference frees it (both backends)."""
+    for alloc in (PageAllocator(16, 8, 6),
+                  native.NativePageAllocator(16, 8, 6)):
+        assert alloc.allocate(1, 0, 16)  # 2 pages
+        pages = [int(p) for p in alloc.table_row(1)[:2]]
+        assert alloc.share(2, pages)
+        assert not alloc.share(3, [15])  # free page: not shareable
+        free_before = alloc.num_free
+        alloc.release(1)
+        assert alloc.num_free == free_before  # still owned by 2
+        assert alloc.pin(pages[0])
+        alloc.release(2)
+        assert alloc.num_free == free_before + 1  # page[1] freed
+        assert alloc.refcount(pages[0]) == 1  # the pin
+        alloc.unpin(pages[0])
+        assert alloc.num_free == free_before + 2
+        assert alloc.refcount(pages[0]) == 0
+        assert not alloc.pin(pages[0])  # free pages cannot be pinned
+
+
+def test_scheduler_lockstep_with_prefix_grants():
+    """Random-driven parity including the prefix-cache operations: grants
+    consumed at admission, shared pages refcounted identically, pins and
+    evictions keeping both backends' free lists in lockstep."""
+    from flash_attention_cute_tpu.runtime.engine import _PyScheduler
+
+    cc = native.NativeScheduler(14, 4, 8, slots=3)
+    py = _PyScheduler(14, 4, 8, slots=3)
+    rng = np.random.default_rng(11)
+    next_id = 0
+    pinned: list[int] = []
+    for step in range(400):
+        op = rng.random()
+        if op < 0.22:
+            plen = int(rng.integers(2, 20))
+            mnew = int(rng.integers(1, 8))
+            cc.submit(next_id, plen, mnew)
+            py.submit(next_id, plen, mnew)
+            # Sometimes grant a (valid-by-construction) cached prefix:
+            # pages currently pinned, prefix strictly under plen-1.
+            if pinned and rng.random() < 0.6:
+                max_blocks = min(len(pinned), (plen - 1) // 4)
+                k = int(rng.integers(0, max_blocks + 1))
+                if k:
+                    grant = pinned[:k]
+                    cc.grant_prefix(next_id, grant)
+                    py.grant_prefix(next_id, grant)
+            next_id += 1
+        elif op < 0.42:
+            assert cc.admit() == py.admit()
+        elif op < 0.62:
+            s = int(rng.integers(0, 3))
+            assert cc.step_slot(s) == py.step_slot(s)
+        elif op < 0.72:
+            s = int(rng.integers(0, 3))
+            rq = bool(rng.random() < 0.5)
+            if cc.slot_id(s) != -1:
+                # Pin one of the slot's pages before releasing sometimes
+                # (the prefix cache does exactly this at admission).
+                row = cc.table_row(cc.slot_id(s))
+                live = [int(p) for p in row if p > 0]
+                if live and rng.random() < 0.5:
+                    p0 = live[0]
+                    assert cc.pin_page(p0) == py.pin_page(p0)
+                    if cc.page_refcount(p0) > 0:
+                        pinned.append(p0)
+            assert cc.slot_id(s) == py.slot_id(s)
+            cc.release_slot(s, requeue=rq)
+            py.release_slot(s, requeue=rq)
+        elif op < 0.82 and pinned:
+            p0 = pinned.pop(int(rng.integers(0, len(pinned))))
+            cc.unpin_page(p0)
+            py.unpin_page(p0)
+        else:
+            assert cc.preempt_youngest() == py.preempt_youngest()
+        assert cc.num_free_pages == py.num_free_pages, step
+        assert cc.num_waiting == py.num_waiting, step
+        for s in range(3):
+            assert cc.slot_id(s) == py.slot_id(s), step
+            sid = cc.slot_id(s)
+            if sid != -1:
+                np.testing.assert_array_equal(
+                    cc.table_row(sid), py.table_row(sid), err_msg=str(step)
+                )
+        for p0 in pinned:
+            assert cc.page_refcount(p0) == py.page_refcount(p0), step
