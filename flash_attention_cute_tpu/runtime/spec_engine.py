@@ -41,13 +41,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_attention_cute_tpu.models.config import ModelConfig
-from flash_attention_cute_tpu.runtime.engine import ServingEngine
+from flash_attention_cute_tpu.runtime.engine import ServingEngine, _bucket
 from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
 from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 from flash_attention_cute_tpu.runtime.sampling import (
     SamplingParams,
     filter_logits,
 )
+from flash_attention_cute_tpu.runtime.prompt_lookup import ngram_propose
 from flash_attention_cute_tpu.runtime.speculative import (
     _accept_and_emit,
     _row_keys,
@@ -257,6 +258,133 @@ def _spec_rounds(
     return out, out_pos, t_state, d_state, accepted
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "gamma", "rounds", "ngram", "eos_token_id", "interpret",
+        "mesh", "sampling",
+    ),
+    donate_argnames=("t_state",),
+)
+def _spec_rounds_lookup(
+    params,
+    cfg: ModelConfig,
+    t_state,
+    hist: jax.Array,  # [slots, cap] history (prompt + generated incl cur)
+    hlen: jax.Array,  # [slots] valid history length
+    active: jax.Array,
+    budget: jax.Array,
+    gamma: int,
+    rounds: int,
+    ngram: int,
+    eos_token_id: int | None,
+    interpret: bool | None,
+    mesh=None,
+    sampling=None,
+    seeds: jax.Array | None = None,
+    positions0: jax.Array | None = None,
+):
+    """Draft-free (prompt-lookup) variant of _spec_rounds: proposals come
+    from the history buffer's most recent n-gram continuation; no draft
+    model, no draft pool — one verify extend per round is the ONLY
+    forward. Cache invariant: t_state holds tokens 0..L-1 with the
+    history's last token (hist[hlen-1]) = token L."""
+    slots = hlen.shape[0]
+    width = rounds * (gamma + 1)
+    pad = eos_token_id if eos_token_id is not None else 0
+    out = jnp.full((slots, width), pad, jnp.int32)
+    out_pos = jnp.zeros((slots,), jnp.int32)
+    iota = jnp.arange(gamma + 1, dtype=jnp.int32)
+    done0 = ~active
+
+    # Inactive rows (incl. mid chunked-admission) must scatter into the
+    # null page only — same hazard as _spec_rounds.
+    t_tbl = t_state.page_table
+    t_state = dataclasses.replace(
+        t_state, page_table=jnp.where(active[:, None], t_tbl, 0)
+    )
+
+    def body(carry, _):
+        (t_state, hist, hlen, done, out, out_pos, accepted_total) = carry
+        alive = ~done & (out_pos < budget)
+        t_len = t_state.lengths
+        cur = jnp.take_along_axis(
+            hist, jnp.maximum(hlen[:, None] - 1, 0), axis=1
+        )[:, 0].astype(jnp.int32)
+
+        drafts, _ = ngram_propose(hist, hlen, gamma, ngram)
+
+        vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
+        vlog, t_state = forward_paged(
+            params, cfg, vchunk, t_state, mode="extend",
+            interpret=interpret, mesh=mesh,
+        )
+        padded = jnp.concatenate(
+            [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
+        )
+        if sampling is None:
+            tgt_pred = jnp.argmax(vlog, axis=-1).astype(jnp.int32)
+            match = tgt_pred[:, :gamma] == drafts
+            n = jnp.sum(
+                jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+            )
+            bonus = jnp.take_along_axis(tgt_pred, n[:, None], axis=1)[:, 0]
+            e = jnp.where(
+                iota[None, :] == n[:, None], bonus[:, None], padded
+            )
+        else:
+            abs_pos = positions0 + out_pos
+            tprobs = jax.nn.softmax(filter_logits(vlog, sampling), axis=-1)
+            qprobs = jax.nn.one_hot(
+                drafts, vlog.shape[-1], dtype=tprobs.dtype
+            )
+            u = jax.vmap(lambda k_: jax.random.uniform(k_, (gamma,)))(
+                _row_keys(seeds, abs_pos, 1)
+            )
+            n, e = _accept_and_emit(
+                tprobs, qprobs, drafts, u, _row_keys(seeds, abs_pos, 2)
+            )
+
+        if eos_token_id is not None:
+            is_eos = (e == eos_token_id) & (iota[None, :] <= n[:, None])
+            has_eos = jnp.any(is_eos, axis=1)
+            first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+            n_eff = jnp.where(has_eos, first_eos, n)
+            done_new = done | (alive & has_eos)
+        else:
+            n_eff = n
+            done_new = done
+
+        mask = (iota[None, :] <= n_eff[:, None]) & alive[:, None]
+
+        def write_row(row, pos0, e_row, m_row):
+            idx = jnp.clip(pos0 + iota, 0, row.shape[0] - 1)
+            vals = jnp.where(m_row, e_row, row[idx])
+            return row.at[idx].set(vals)
+
+        out = jax.vmap(write_row)(out, out_pos, e, mask)
+        hist = jax.vmap(write_row)(hist, hlen, e, mask)
+
+        count = n_eff + 1
+        out_pos = jnp.where(alive, out_pos + count, out_pos)
+        hlen = jnp.where(alive, hlen + count, hlen)
+        t_state = dataclasses.replace(
+            t_state, lengths=jnp.where(alive, t_len + count, t_len)
+        )
+        accepted_total = accepted_total + jnp.sum(
+            jnp.where(alive, n_eff, 0)
+        )
+        return (t_state, hist, hlen, done_new, out, out_pos,
+                accepted_total), None
+
+    init = (t_state, hist, hlen, done0, out, out_pos, jnp.int32(0))
+    (t_state, _, _, _, out, out_pos, accepted), _ = jax.lax.scan(
+        body, init, None, length=rounds
+    )
+    t_state = dataclasses.replace(t_state, page_table=t_tbl)
+    return out, out_pos, t_state, accepted
+
+
 class SpeculativeServingEngine(ServingEngine):
     """Continuous-batching engine whose decode phase is draft/verify.
 
@@ -285,17 +413,29 @@ class SpeculativeServingEngine(ServingEngine):
         params,
         cfg: ModelConfig,
         *,
-        draft_params,
-        draft_cfg: ModelConfig,
+        draft_params=None,
+        draft_cfg: ModelConfig | None = None,
         gamma: int = 4,
         rounds_per_call: int = 1,
+        ngram: int = 0,  # >0: PROMPT-LOOKUP speculation (draft-free) —
+        # proposals copy the continuation of the most recent ngram match
+        # in the sequence's own history; no draft model or pool at all.
         **kwargs,
     ):
         super().__init__(params, cfg, **kwargs)
         assert gamma >= 1, gamma
-        assert cfg.vocab_size == draft_cfg.vocab_size, (
-            "draft and target must share a vocabulary"
-        )
+        if ngram > 0:
+            assert draft_params is None and draft_cfg is None, (
+                "ngram (prompt-lookup) mode takes no draft model"
+            )
+        else:
+            assert draft_params is not None and draft_cfg is not None, (
+                "pass a draft model, or ngram > 0 for prompt lookup"
+            )
+            assert cfg.vocab_size == draft_cfg.vocab_size, (
+                "draft and target must share a vocabulary"
+            )
+        self.ngram = ngram
         self.draft_cfg = draft_cfg
         self.gamma = gamma
         self.rounds_per_call = max(1, rounds_per_call)
@@ -307,6 +447,10 @@ class SpeculativeServingEngine(ServingEngine):
         # rewritten by later rounds.
         self._covered: dict[int, int] = {}
 
+        if ngram > 0:
+            self.d_state = None
+            self.draft_params = None
+            return
         # The draft pool shares the target's page table (same allocator,
         # same geometry); only the per-page payload differs. The draft
         # stays unquantized even over an int8/fp8 TARGET cache — it is
@@ -361,7 +505,7 @@ class SpeculativeServingEngine(ServingEngine):
     def _sync_table(self, slot: int):
         super()._sync_table(slot)
         rid = self._slot_req[slot]
-        if rid == -1:
+        if rid == -1 or self.d_state is None:
             return
         self.d_state = dataclasses.replace(
             self.d_state,
@@ -372,6 +516,8 @@ class SpeculativeServingEngine(ServingEngine):
 
     def _clear_table(self, slot: int):
         super()._clear_table(slot)
+        if self.d_state is None:
+            return
         self.d_state = dataclasses.replace(
             self.d_state,
             page_table=self.d_state.page_table.at[slot].set(0),
@@ -379,6 +525,8 @@ class SpeculativeServingEngine(ServingEngine):
 
     def _set_length(self, slot: int, value: int):
         super()._set_length(slot, value)
+        if self.d_state is None:
+            return
         # Draft invariant: one token behind the target (the round's
         # 2-token re-extend fills the gap).
         self.d_state = dataclasses.replace(
@@ -389,6 +537,10 @@ class SpeculativeServingEngine(ServingEngine):
     def _prefill_group(self, bucket: int, slots: list[int]):
         reqs = [self._requests[self._slot_req[s]] for s in slots]
         super()._prefill_group(bucket, slots)
+        if self.d_state is None:  # prompt-lookup mode: no draft pool
+            for i, s in enumerate(slots):
+                self._covered[s] = len(reqs[i].prompt) + 1
+            return
         # Mirror the prompts into the draft cache: one extra (small-model)
         # forward per admission group. With prefix caching the draft pool
         # rides the SAME shared pages (every admission mirrors the draft's
@@ -467,7 +619,15 @@ class SpeculativeServingEngine(ServingEngine):
         bookkeeping rides the overridden _set_length."""
         snapshot = dict(self._prefilling)
         super()._advance_prefills()
-        if not snapshot:
+        if not snapshot or self.d_state is None:
+            if self.d_state is None:
+                for s in snapshot:
+                    if (
+                        s not in self._prefilling
+                        and self._slot_req[s] != -1
+                    ):
+                        req = self._requests[self._slot_req[s]]
+                        self._covered[s] = len(req.prompt) + 1
             return
         slots = sorted(snapshot)
         c = self.prefill_chunk
@@ -602,15 +762,43 @@ class SpeculativeServingEngine(ServingEngine):
             if self.sampling is not None and self.sampling.temperature > 0.0
             else None
         )
-        out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
-            self.params, self.draft_params, self.cfg, self.draft_cfg,
-            self.state, self.d_state,
-            jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(mask),
-            jnp.asarray(budget), self.gamma, rounds,
-            self.eos_token_id, self.interpret, self.mesh,
-            sampling=sampling, seeds=jnp.asarray(seeds),
-            positions0=jnp.asarray(pos0),
-        )
+        if self.ngram > 0:
+            # Prompt-lookup mode: ship each slot's token history (bucketed
+            # to a power of two so compiles stay bounded); proposals and
+            # history updates happen in-scan.
+            span = rounds * (self.gamma + 1)
+            max_hist = max(
+                len(self._requests[self._slot_req[s]].prompt)
+                + len(self._requests[self._slot_req[s]].generated)
+                for s in active
+            )
+            cap = _bucket(max_hist + span)
+            hist = np.zeros((self.slots, cap), np.int32)
+            hlen = np.zeros((self.slots,), np.int32)
+            for s in active:
+                req = self._requests[self._slot_req[s]]
+                h = req.prompt + req.generated
+                hist[s, : len(h)] = h
+                hlen[s] = len(h)
+            out, out_pos, self.state, accepted = _spec_rounds_lookup(
+                self.params, self.cfg, self.state,
+                jnp.asarray(hist), jnp.asarray(hlen),
+                jnp.asarray(mask), jnp.asarray(budget),
+                self.gamma, rounds, self.ngram,
+                self.eos_token_id, self.interpret, self.mesh,
+                sampling=sampling, seeds=jnp.asarray(seeds),
+                positions0=jnp.asarray(pos0),
+            )
+        else:
+            out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
+                self.params, self.draft_params, self.cfg, self.draft_cfg,
+                self.state, self.d_state,
+                jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(mask),
+                jnp.asarray(budget), self.gamma, rounds,
+                self.eos_token_id, self.interpret, self.mesh,
+                sampling=sampling, seeds=jnp.asarray(seeds),
+                positions0=jnp.asarray(pos0),
+            )
         self.stats["device_calls"] += 1
         self.stats["spec_calls"] += 1
         self.stats["accepted_drafts"] += int(accepted)

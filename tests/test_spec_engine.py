@@ -280,3 +280,51 @@ def test_spec_engine_sliding_window_model(draft):
     got, eng = _run_spec((cfg, params), draft, prompts, n_new)
     assert got == want
     assert not eng.failed
+
+
+def test_spec_engine_prompt_lookup_mode(target):
+    """ngram > 0: draft-free prompt-lookup speculation in the engine —
+    no draft pool at all, outputs exactly match the plain engine, and a
+    repetitive prompt exercises real hit/reject traffic."""
+    cfg, params = target
+    rng = np.random.default_rng(37)
+    base = rng.integers(0, cfg.vocab_size, 5).tolist()
+    prompts = {
+        300: base * 4,                                   # repetitive
+        301: rng.integers(0, cfg.vocab_size, 9).tolist(),  # random
+    }
+    n_new = {300: 8, 301: 8}
+    want, _ = _run_plain(target, prompts, n_new)
+    eng = SpeculativeServingEngine(
+        params, cfg, ngram=2, gamma=3, rounds_per_call=2,
+        interpret=True, **POOL,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    got = eng.run()
+    assert got == want
+    assert not eng.failed
+    assert eng.d_state is None
+
+
+def test_spec_engine_prompt_lookup_with_prefix_cache(target):
+    """ngram mode composes with prefix caching (no draft pool to
+    mirror)."""
+    cfg, params = target
+    rng = np.random.default_rng(39)
+    system = rng.integers(0, cfg.vocab_size, 17).tolist()
+    prompts = {
+        400 + i: system + rng.integers(0, cfg.vocab_size, 4 + i).tolist()
+        for i in range(3)
+    }
+    n_new = {rid: 6 for rid in prompts}
+    want, _ = _run_plain(target, prompts, n_new)
+    eng = SpeculativeServingEngine(
+        params, cfg, ngram=2, gamma=3, interpret=True,
+        enable_prefix_cache=True, **POOL,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, n_new[rid])
+    got = eng.run()
+    assert got == want
+    assert eng.stats["prefix_hit_tokens"] >= 16
