@@ -13,6 +13,7 @@ from flash_attention_cute_tpu.models.transformer import (
     init_params,
 )
 from flash_attention_cute_tpu.models.llama import llama_config_from_hf
+from flash_attention_cute_tpu.models.gemma2 import gemma2_config_from_hf
 from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
 from flash_attention_cute_tpu.models.heads import (
     embedding_pooling_forward,
@@ -28,6 +29,7 @@ __all__ = [
     "init_params",
     "llama_config_from_hf",
     "qwen2_config_from_hf",
+    "gemma2_config_from_hf",
     "question_answering_forward",
     "sequence_classification_forward",
     "token_classification_forward",

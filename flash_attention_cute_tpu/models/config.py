@@ -53,6 +53,21 @@ class ModelConfig:
     # Gemma-style tanh soft-capping of attention logits; plumbed through
     # every kernel path (prefill/decode/extend, dense/paged/quantized).
     logit_softcap: float | None = None
+    # ---- Gemma2 architecture bits (defaults preserve Llama/Qwen2) ----
+    hidden_activation: str = "silu"  # "silu" | "gelu_tanh" (Gemma GeGLU)
+    attention_scale: float | None = None  # None -> head_dim**-0.5;
+    # Gemma2 uses query_pre_attn_scalar**-0.5 (can differ from head_dim)
+    final_logit_softcap: float | None = None  # tanh cap on LM logits
+    sandwich_norms: bool = False  # Gemma2: post-attention and pre/post-
+    # feedforward RMSNorms around each residual branch
+    scale_embeddings: bool = False  # Gemma: embeddings * sqrt(hidden)
+    rms_norm_plus_one: bool = False  # Gemma RMSNorm computes x*(1+w);
+    # conversion folds the +1 into the stored weight (model code is
+    # unchanged) — this flag only drives convert.py
+    # Per-layer sliding-window pattern, repeated every len(pattern)
+    # layers (Gemma2: (sliding_window, None) — even layers windowed).
+    # None falls back to the suffix semantics above (Qwen2).
+    layer_window_pattern: tuple | None = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -61,6 +76,14 @@ class ModelConfig:
 
     def __post_init__(self):
         assert self.num_q_heads % self.num_kv_heads == 0
+        if self.layer_window_pattern is not None:
+            assert self.num_layers % len(self.layer_window_pattern) == 0, (
+                "layer_window_pattern must tile num_layers"
+            )
+            assert not self.use_sliding_window, (
+                "layer_window_pattern and use_sliding_window (suffix "
+                "semantics) are mutually exclusive"
+            )
 
 
 def tiny_test_config(**overrides) -> ModelConfig:

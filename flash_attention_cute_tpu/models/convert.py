@@ -59,11 +59,18 @@ def params_from_state_dict(
     def stack(fmt, conv):
         return jnp.stack([conv(fmt.format(i)) for i in range(cfg.num_layers)])
 
+    def norm_w(k):
+        w = get(k).astype(np.float32)
+        if cfg.rms_norm_plus_one:
+            # Gemma RMSNorm computes x * (1 + w); folding the +1 into the
+            # stored weight keeps the model code identical across families.
+            w = w + 1.0
+        return jnp.asarray(w, dt)
+
     layers = {
-        "input_ln": stack("layers.{}.input_layernorm.weight",
-                          lambda k: jnp.asarray(get(k), dt)),
+        "input_ln": stack("layers.{}.input_layernorm.weight", norm_w),
         "post_ln": stack("layers.{}.post_attention_layernorm.weight",
-                         lambda k: jnp.asarray(get(k), dt)),
+                         norm_w),
         "q_proj": stack("layers.{}.self_attn.q_proj.weight", linear),
         "k_proj": stack("layers.{}.self_attn.k_proj.weight", linear),
         "v_proj": stack("layers.{}.self_attn.v_proj.weight", linear),
@@ -78,11 +85,18 @@ def params_from_state_dict(
                 "layers.{}.self_attn." + name + "_proj.bias",
                 lambda k: jnp.asarray(get(k), dt),
             )
+    if cfg.sandwich_norms:  # Gemma2 pre/post-feedforward norms
+        layers["pre_ffw_ln"] = stack(
+            "layers.{}.pre_feedforward_layernorm.weight", norm_w
+        )
+        layers["post_ffw_ln"] = stack(
+            "layers.{}.post_feedforward_layernorm.weight", norm_w
+        )
 
     params = {
         "embed": jnp.asarray(get("embed_tokens.weight"), dt),
         "layers": layers,
-        "final_ln": jnp.asarray(get("norm.weight"), dt),
+        "final_ln": norm_w("norm.weight"),
     }
     if with_lm_head and not cfg.tie_word_embeddings:
         # lm_head lives outside the model.* prefix in HF checkpoints.
@@ -139,6 +153,11 @@ def load_hf_model(model_name_or_path: str, dtype=jnp.bfloat16):
     if model_type == "qwen2":
         from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
         cfg = qwen2_config_from_hf(hf_cfg, dtype=dtype)
+    elif model_type == "gemma2":
+        from flash_attention_cute_tpu.models.gemma2 import (
+            gemma2_config_from_hf,
+        )
+        cfg = gemma2_config_from_hf(hf_cfg, dtype=dtype)
     else:
         from flash_attention_cute_tpu.models.llama import llama_config_from_hf
         cfg = llama_config_from_hf(hf_cfg, dtype=dtype)

@@ -88,11 +88,34 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
-def mlp(x: jax.Array, p: dict) -> jax.Array:
-    """SwiGLU: down(silu(gate(x)) * up(x))."""
+def mlp(x: jax.Array, p: dict, activation: str = "silu") -> jax.Array:
+    """Gated MLP: down(act(gate(x)) * up(x)) — SwiGLU for Llama/Qwen2,
+    GeGLU (tanh-approximated gelu) for Gemma2."""
     gate = jnp.dot(x, p["gate_proj"])
     up = jnp.dot(x, p["up_proj"])
-    return jnp.dot(jax.nn.silu(gate) * up, p["down_proj"])
+    if activation == "silu":
+        act = jax.nn.silu(gate)
+    elif activation == "gelu_tanh":
+        act = jax.nn.gelu(gate, approximate=True)
+    else:
+        raise ValueError(f"unknown activation {activation!r}")
+    return jnp.dot(act * up, p["down_proj"])
+
+
+def layer_tail(x: jax.Array, attn: jax.Array, lp: dict, cfg) -> jax.Array:
+    """Residual tail shared by every layer body: attention output
+    projection + MLP, with either the Llama structure or Gemma2's
+    sandwich norms (post-attention and pre/post-feedforward RMSNorms;
+    `post_ln` holds HF's post_attention_layernorm in both cases)."""
+    a = attention_output(attn, lp, cfg)
+    if cfg.sandwich_norms:
+        x = x + rms_norm(a, lp["post_ln"], cfg.rms_norm_eps)
+        h = rms_norm(x, lp["pre_ffw_ln"], cfg.rms_norm_eps)
+        m = mlp(h, lp, cfg.hidden_activation)
+        return x + rms_norm(m, lp["post_ffw_ln"], cfg.rms_norm_eps)
+    x = x + a
+    h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+    return x + mlp(h, lp, cfg.hidden_activation)
 
 
 def qkv_project(

@@ -58,7 +58,8 @@ def _layer_forward(
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
-    attn = attn_fn(q, k, v, causal=True, window=window,
+    attn = attn_fn(q, k, v, softmax_scale=cfg.attention_scale,
+                   causal=True, window=window,
                    logit_softcap=cfg.logit_softcap, interpret=interpret)
     if k_cache_l is not None:
         if isinstance(k_cache_l, tuple):  # quantized (values, scales)
@@ -83,9 +84,7 @@ def _layer_forward(
                 v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
             )
 
-    x = x + L.attention_output(attn, lp, cfg)
-    h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    x = x + L.mlp(h, lp)
+    x = L.layer_tail(x, attn, lp, cfg)
     return x, k_cache_l, v_cache_l
 
 
@@ -158,7 +157,8 @@ def _layer_forward_carry(
         use_kernel = dispatch.on_tpu() or bool(interpret)
         if mode == "decode" and use_kernel and mesh is None:
             attn = flash_attention_decode_quantized(
-                q, kq_l, vq_l, kv_length=new_len, window=window,
+                q, kq_l, vq_l, kv_length=new_len,
+                sm_scale=cfg.attention_scale, window=window,
                 logit_softcap=cfg.logit_softcap,
                 interpret=bool(interpret),
             )
@@ -169,6 +169,7 @@ def _layer_forward_carry(
                 q,
                 dequantize_kv(kq_l, q.dtype),
                 dequantize_kv(vq_l, q.dtype),
+                softmax_scale=cfg.attention_scale,
                 causal=(mode == "extend"),
                 kv_length=new_len,
                 q_offset=lengths if mode == "extend" else None,
@@ -199,6 +200,7 @@ def _layer_forward_carry(
             # capacity on an 8-layer 8B-width model.
             attn = flash_attention_decode(
                 q, ck, cv, kv_length=new_len, layer=layer_idx,
+                sm_scale=cfg.attention_scale,
                 window=window, logit_softcap=cfg.logit_softcap,
                 interpret=bool(interpret),
             )
@@ -213,6 +215,7 @@ def _layer_forward_carry(
                 q,
                 k_l.astype(q.dtype),
                 v_l.astype(q.dtype),
+                softmax_scale=cfg.attention_scale,
                 causal=(mode == "extend"),
                 kv_length=new_len,
                 q_offset=lengths if mode == "extend" else None,
@@ -221,9 +224,7 @@ def _layer_forward_carry(
                 interpret=interpret,
             )
 
-    x = x + L.attention_output(attn, lp, cfg)
-    h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    x = x + L.mlp(h, lp)
+    x = L.layer_tail(x, attn, lp, cfg)
     return x, ck, cv
 
 
@@ -261,6 +262,8 @@ def forward(
     if mode == "decode":
         assert s == 1, f"decode mode requires seqlen 1, got {s}"
     x = params["embed"][input_ids].astype(cfg.dtype)
+    if cfg.scale_embeddings:  # Gemma: embeddings * sqrt(hidden), in-dtype
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
 
     if cache is None or mode == "prefill":
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
@@ -285,10 +288,25 @@ def forward(
             return x, (new_k, new_v)
         return scan_body
 
-    # Sliding window (Qwen2, HF semantics): layers with index >=
-    # max_window_layers use windowed attention; earlier layers are full.
-    # Under scan this becomes (at most) two scan segments
+    # Per-layer window plan. Periodic patterns (Gemma2: alternating
+    # sliding/full layers) scan over len(pattern)-layer bodies with static
+    # windows; suffix semantics (Qwen2: layers >= max_window_layers are
+    # windowed) stay (at most) two contiguous scan segments
     # (reference rejects sliding windows, models/modeling_qwen2.py:261-269).
+    pattern = cfg.layer_window_pattern
+    pn = len(pattern) if pattern is not None else 1
+
+    def resh(tree):
+        return jax.tree.map(
+            lambda a: a.reshape(cfg.num_layers // pn, pn, *a.shape[1:]),
+            tree,
+        )
+
+    def unresh(tree):
+        return jax.tree.map(
+            lambda a: a.reshape(cfg.num_layers, *a.shape[2:]), tree
+        )
+
     if cfg.use_sliding_window and cfg.sliding_window:
         split = min(max(cfg.max_window_layers, 0), cfg.num_layers)
         segments = [(0, split, None), (split, cfg.num_layers, cfg.sliding_window)]
@@ -334,14 +352,61 @@ def forward(
             return body
 
         carry = (x, cache_k, cache_v)
-        for (a, z, window) in segments:
-            lp_seg = seg_slice(lp_stacked, a, z)
-            idxs = jnp.arange(a, z, dtype=jnp.int32)
+        if pattern is not None:
+            def pbody(carry, xs_l):
+                x, ck, cv = carry
+                lp_slab, idx_slab = xs_l
+                for j in range(pn):
+                    lp_j = jax.tree.map(lambda a: a[j], lp_slab)
+                    x, ck, cv = _layer_forward_carry(
+                        x, lp_j, idx_slab[j], cfg, cos, sin, ck, cv,
+                        lengths, mode, interpret, mesh, pattern[j],
+                    )
+                return (x, ck, cv), None
+
+            idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
             carry, _ = jax.lax.scan(
-                make_carry_body(window), carry, (lp_seg, idxs)
+                pbody, carry, (resh(lp_stacked), idxs.reshape(-1, pn))
             )
+        else:
+            for (a, z, window) in segments:
+                lp_seg = seg_slice(lp_stacked, a, z)
+                idxs = jnp.arange(a, z, dtype=jnp.int32)
+                carry, _ = jax.lax.scan(
+                    make_carry_body(window), carry, (lp_seg, idxs)
+                )
         x, ck, cv = carry
         new_cache = rebuild_cache(ck, cv)
+    elif pattern is not None:
+        def pick(tree, j):
+            return (
+                None if tree is None
+                else jax.tree.map(lambda a: a[j], tree)
+            )
+
+        def pbody(x, xs_l):
+            lp_slab, k_slab, v_slab = xs_l
+            nks, nvs = [], []
+            for j in range(pn):
+                x, nk, nv = _layer_forward(
+                    x, pick(lp_slab, j), cfg, cos, sin,
+                    pick(k_slab, j), pick(v_slab, j),
+                    interpret, mesh, pattern[j],
+                )
+                nks.append(nk)
+                nvs.append(nv)
+            if nks[0] is None:
+                return x, None
+            stack = lambda lst: jax.tree.map(lambda *a: jnp.stack(a), *lst)
+            return x, (stack(nks), stack(nvs))
+
+        if cache is not None:
+            xs = (resh(lp_stacked), resh(cache_k), resh(cache_v))
+            x, (nk, nv) = jax.lax.scan(pbody, x, xs)
+            new_cache = rebuild_cache(unresh(nk), unresh(nv))
+        else:
+            x, _ = jax.lax.scan(pbody, x, (resh(lp_stacked), None, None))
+            new_cache = None
     else:
         new_ks, new_vs = [], []
         for (a, z, window) in segments:
@@ -373,9 +438,12 @@ def forward(
     if return_hidden:
         return x, new_cache
     lm_head = params.get("lm_head")
-    if lm_head is None:  # tied embeddings (Qwen2 small models)
+    if lm_head is None:  # tied embeddings (Qwen2 small models, Gemma)
         lm_head = params["embed"].T
     logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        c = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / c) * c
     return logits, new_cache
 
 
@@ -408,6 +476,9 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> dict:
         layers["q_bias"] = jnp.zeros((lcount, hq), cfg.dtype)
         layers["k_bias"] = jnp.zeros((lcount, hkv), cfg.dtype)
         layers["v_bias"] = jnp.zeros((lcount, hkv), cfg.dtype)
+    if cfg.sandwich_norms:
+        layers["pre_ffw_ln"] = jnp.ones((lcount, e), cfg.dtype)
+        layers["post_ffw_ln"] = jnp.ones((lcount, e), cfg.dtype)
 
     params = {
         "embed": norm(next(keys), (cfg.vocab_size, e), scale=0.02),

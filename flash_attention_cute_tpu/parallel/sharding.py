@@ -98,6 +98,7 @@ def sharded_attention(
     q_offset: jax.Array | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    softmax_scale: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Run the dispatching attention op under shard_map.
@@ -137,7 +138,8 @@ def sharded_attention(
         kvl = next(it) if has_len else None
         qoff = next(it) if has_off else None
         return flash_attention_forward(
-            q, k, v, causal=causal, kv_length=kvl, q_offset=qoff,
+            q, k, v, softmax_scale=softmax_scale, causal=causal,
+            kv_length=kvl, q_offset=qoff,
             window=window, logit_softcap=logit_softcap,
             interpret=interpret,
         )

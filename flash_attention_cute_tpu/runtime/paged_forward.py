@@ -69,6 +69,8 @@ def forward_paged(
     if mode == "decode":
         assert s == 1, s
     x = params["embed"][input_ids].astype(cfg.dtype)
+    if cfg.scale_embeddings:  # Gemma: embeddings * sqrt(hidden), in-dtype
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
 
     lengths = state.lengths
     if mode == "prefill":
@@ -132,11 +134,13 @@ def forward_paged(
 
                 attn = sharded_attention(
                     mesh, q, k, v, causal=True, window=window,
-                    logit_softcap=cfg.logit_softcap, interpret=interpret,
+                    logit_softcap=cfg.logit_softcap,
+                    softmax_scale=cfg.attention_scale, interpret=interpret,
                 )
             else:
                 attn = flash_attention_forward(
-                    q, k, v, causal=True, window=window,
+                    q, k, v, softmax_scale=cfg.attention_scale,
+                    causal=True, window=window,
                     logit_softcap=cfg.logit_softcap, interpret=interpret,
                 )
             clamps = 0.0
@@ -152,6 +156,7 @@ def forward_paged(
                         out = paged_attention_extend_quantized(
                             q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
                             lens_ - q_.shape[2], lens_, tbl_,
+                            sm_scale=cfg.attention_scale,
                             window=window,
                             logit_softcap=cfg.logit_softcap,
                             return_clamps=collect_clamps,
@@ -172,6 +177,7 @@ def forward_paged(
                             q_, k_slab_.astype(q_.dtype),
                             v_slab_.astype(q_.dtype),
                             lens_ - q_.shape[2], lens_, tbl_,
+                            sm_scale=cfg.attention_scale,
                             window=window,
                             logit_softcap=cfg.logit_softcap,
                             return_clamps=collect_clamps,
@@ -186,7 +192,8 @@ def forward_paged(
                 def attend(q_, k_slab_, v_slab_, lens_, tbl_):
                     return (paged_attention_decode_quantized(
                         q_, QuantizedKV(*k_slab_), QuantizedKV(*v_slab_),
-                        lens_, tbl_, window=window,
+                        lens_, tbl_, sm_scale=cfg.attention_scale,
+                        window=window,
                         logit_softcap=cfg.logit_softcap,
                         interpret=bool(interpret),
                     ), 0.0)
@@ -195,6 +202,7 @@ def forward_paged(
                     return (paged_attention_decode(
                         q_, k_slab_.astype(q_.dtype),
                         v_slab_.astype(q_.dtype), lens_, tbl_,
+                        sm_scale=cfg.attention_scale,
                         window=window,
                         logit_softcap=cfg.logit_softcap,
                         interpret=bool(interpret),
@@ -228,9 +236,7 @@ def forward_paged(
                     q, k_slab, v_slab, lengths + valid_len, state.page_table
                 )
 
-        x = x + L.attention_output(attn, lp, cfg)
-        h = L.rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-        x = x + L.mlp(h, lp)
+        x = L.layer_tail(x, attn, lp, cfg)
         return (x, clamp_tot + clamps), (k_slab, v_slab)
 
       return layer
@@ -244,9 +250,10 @@ def forward_paged(
     else:
         xs = (params["layers"], state.k_pages, state.v_pages)
 
-    # Sliding-window models (Qwen2 semantics): layers >= max_window_layers
-    # attend through the window — two scan segments, like
-    # models/transformer.py.
+    # Sliding-window models: Qwen2 suffix semantics become two scan
+    # segments; Gemma2's PERIODIC pattern (alternating sliding/full)
+    # scans over len(pattern)-layer bodies with static windows.
+    pattern = cfg.layer_window_pattern
     if cfg.use_sliding_window and cfg.sliding_window:
         split = min(max(cfg.max_window_layers, 0), cfg.num_layers)
         segments = [(0, split, None), (split, cfg.num_layers, cfg.sliding_window)]
@@ -255,7 +262,29 @@ def forward_paged(
         segments = [(0, cfg.num_layers, None)]
 
     carry0 = (x, jnp.zeros((), jnp.float32))
-    if len(segments) == 1:
+    if pattern is not None:
+        pn = len(pattern)
+        resh = lambda t: jax.tree.map(
+            lambda a: a.reshape(cfg.num_layers // pn, pn, *a.shape[1:]), t
+        )
+        bodies = [make_layer(w) for w in pattern]
+
+        def pbody(carry, xs_l):
+            nks, nvs = [], []
+            for j in range(pn):
+                xs_j = jax.tree.map(lambda a: a[j], xs_l)
+                carry, (nk, nv) = bodies[j](carry, xs_j)
+                nks.append(nk)
+                nvs.append(nv)
+            stack = lambda lst: jax.tree.map(lambda *a: jnp.stack(a), *lst)
+            return carry, (stack(nks), stack(nvs))
+
+        (x, clamps), (new_k, new_v) = jax.lax.scan(pbody, carry0, resh(xs))
+        unresh = lambda t: jax.tree.map(
+            lambda a: a.reshape(cfg.num_layers, *a.shape[2:]), t
+        )
+        new_k, new_v = unresh(new_k), unresh(new_v)
+    elif len(segments) == 1:
         (x, clamps), (new_k, new_v) = jax.lax.scan(
             make_layer(segments[0][2]), carry0, xs
         )
@@ -278,6 +307,9 @@ def forward_paged(
     if lm_head is None:
         lm_head = params["embed"].T
     logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
 
     if quant:
         new_state = QuantizedPagedKVState(

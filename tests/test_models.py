@@ -340,3 +340,133 @@ def test_embedding_pooling_semantics(pooling):
     want = want / np.linalg.norm(want, axis=-1, keepdims=True)
     assert emb.shape == (2, cfg.hidden_size)
     np.testing.assert_allclose(np.asarray(emb), want, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gemma 2 (third model family, beyond the reference's Llama + Qwen2):
+# alternating sliding/full layers, GeGLU, sandwich norms, (1+w) RMSNorm,
+# scaled embeddings, query_pre_attn_scalar, attn + final logit softcaps.
+# ---------------------------------------------------------------------------
+
+
+def tiny_hf_gemma2(window=8):
+    cfg = transformers.Gemma2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        attention_bias=False,
+        tie_word_embeddings=True,
+        sliding_window=window,
+        query_pre_attn_scalar=24,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        hidden_activation="gelu_pytorch_tanh",
+        attn_implementation="eager",
+    )
+    torch.manual_seed(4)
+    with torch.device("cpu"):
+        model = transformers.Gemma2ForCausalLM(cfg).eval()
+    return cfg, model
+
+
+def test_gemma2_logits_parity_with_hf():
+    from flash_attention_cute_tpu.models import forward
+    from flash_attention_cute_tpu.models.gemma2 import gemma2_config_from_hf
+
+    hf_cfg, model = tiny_hf_gemma2()
+    cfg = gemma2_config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.layer_window_pattern == (8, None)
+    assert cfg.sandwich_norms and cfg.scale_embeddings
+    params = params_from_state_dict(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(20)
+    # Long enough that the sliding window actually truncates attention.
+    ids = rng.integers(0, 128, (2, 24)).astype(np.int64)
+    want = hf_logits(model, ids)
+    got, _ = forward(
+        params, cfg, jnp.asarray(ids, jnp.int32), mode="prefill",
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=3e-3)
+
+
+def test_gemma2_prefill_decode_matches_full_forward():
+    """Cached decode through the ALTERNATING-window carry scan must match
+    a fresh full prefill at every step (exercises the periodic pattern in
+    the stacked-cache path)."""
+    from flash_attention_cute_tpu.models import KVCache, forward
+    from flash_attention_cute_tpu.models.gemma2 import gemma2_config_from_hf
+
+    hf_cfg, model = tiny_hf_gemma2()
+    cfg = gemma2_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = params_from_state_dict(model.state_dict(), cfg)
+    rng = np.random.default_rng(21)
+    ids = rng.integers(0, 128, (1, 12)).astype(np.int32)
+
+    cache = KVCache.create(cfg, batch=1, capacity=32)
+    logits, cache = forward(
+        params, cfg, jnp.asarray(ids), cache=cache, mode="prefill",
+        interpret=True,
+    )
+    toks = list(ids[0])
+    for step in range(4):
+        nxt = int(jnp.argmax(logits[0, -1] if step == 0 else logits[0, 0]))
+        toks.append(nxt)
+        full, _ = forward(
+            params, cfg, jnp.asarray([toks], jnp.int32), mode="prefill",
+            interpret=True,
+        )
+        logits, cache = forward(
+            params, cfg, jnp.asarray([[nxt]], jnp.int32), cache=cache,
+            mode="decode", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[0, 0]), np.asarray(full[0, -1]),
+            atol=2e-4, rtol=2e-3,
+        )
+
+
+def test_gemma2_serving_engine_exact():
+    """Gemma2 through the PAGED serving path (alternating windows +
+    softcaps + scaled embeddings in forward_paged) must match dense
+    greedy generation."""
+    from flash_attention_cute_tpu.models import forward
+    from flash_attention_cute_tpu.models.gemma2 import gemma2_config_from_hf
+    from flash_attention_cute_tpu.runtime.engine import ServingEngine
+
+    hf_cfg, model = tiny_hf_gemma2()
+    cfg = gemma2_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = params_from_state_dict(model.state_dict(), cfg)
+    rng = np.random.default_rng(22)
+    prompts = {
+        0: rng.integers(0, 128, 13).tolist(),
+        1: rng.integers(0, 128, 6).tolist(),
+    }
+
+    eng = ServingEngine(
+        params, cfg, slots=2, num_pages=33, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, 5)
+    results = eng.run()
+    assert not eng.failed
+    for rid, p in prompts.items():
+        ids = list(p)
+        want = []
+        for _ in range(5):
+            lg, _ = forward(
+                params, cfg, jnp.asarray([ids], jnp.int32),
+                mode="prefill", interpret=True,
+            )
+            nxt = int(jnp.argmax(lg[0, -1]))
+            want.append(nxt)
+            ids.append(nxt)
+        assert results[rid] == want, (rid, results[rid], want)
