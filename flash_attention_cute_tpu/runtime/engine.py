@@ -45,11 +45,13 @@ from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "sampling", "interpret", "mesh"),
+    static_argnames=("cfg", "chunk", "sampling", "interpret", "mesh",
+                     "eos_token_id"),
     donate_argnames=("state",),
 )
 def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
-                  seeds=None, positions=None, mesh=None):
+                  seeds=None, positions=None, mesh=None, bias=None,
+                  min_tokens=None, eos_token_id=None):
     """Decode `chunk` tokens for every slot in one compiled scan.
 
     Returns (tokens [chunk, slots], state). Inactive slots (length 0)
@@ -60,6 +62,10 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
     absolute token `positions`, so a preempted-and-recomputed request
     replays the SAME samples (recompute semantics stay exact even with
     temperature > 0).
+
+    Guided decoding: `bias` [slots, V] adds to every step's logits
+    (+/-inf bans/forces tokens); `min_tokens` [slots] suppresses
+    `eos_token_id` while the absolute position is below it.
     """
     from flash_attention_cute_tpu.runtime.sampling import sample_token
 
@@ -69,6 +75,13 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
             params, cfg, tok[:, None], state, mode="decode",
             interpret=interpret, mesh=mesh,
         )
+        if bias is not None:
+            logits = logits + bias[:, None, :]
+        if min_tokens is not None and eos_token_id is not None:
+            early = (positions + i + 1) < min_tokens  # [slots]
+            logits = logits.at[:, :, eos_token_id].add(
+                jnp.where(early, -jnp.inf, 0.0)[:, None]
+            )
         if sampling is None or sampling.temperature <= 0.0:
             nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         else:
@@ -94,6 +107,12 @@ class _Request:
     prompt: list[int]
     max_new_tokens: int
     generated: list[int] = dataclasses.field(default_factory=list)
+    # Guided decoding (all optional): additive per-token logit bias
+    # (+/-inf bans/forces), EOS suppression below a minimum emitted
+    # count, and host-checked stop token sequences.
+    logit_bias: dict | None = None
+    min_new_tokens: int = 0
+    stop_sequences: list | None = None
     # Latency observability (BASELINE.json names p50 TTFT as a headline
     # metric): submit -> first token host-visible -> finished. Preemption
     # replay keeps the ORIGINAL first-token time (the user saw it once).
@@ -278,12 +297,30 @@ class ServingEngine:
 
     # ---- public API ----
 
-    def submit(self, req_id: int, prompt: list[int], max_new_tokens: int):
+    def submit(
+        self,
+        req_id: int,
+        prompt: list[int],
+        max_new_tokens: int,
+        *,
+        logit_bias: dict | None = None,  # token id -> additive bias
+        min_new_tokens: int = 0,  # EOS banned before this many tokens
+        # (the EOS itself counts: min_new_tokens=3 allows EOS at output
+        # position 2)
+        stop_sequences: list | None = None,  # list of token-id lists; the
+        # request finishes when its generated stream ends with one
+        # (host-checked per engine round, like EOS-inside-chunk)
+    ):
         assert req_id >= 0 and req_id not in self._requests
         assert len(prompt) >= 1
         self._requests[req_id] = _Request(
             req_id, list(prompt), max_new_tokens,
             submit_t=time.monotonic(),
+            logit_bias=dict(logit_bias) if logit_bias else None,
+            min_new_tokens=min_new_tokens,
+            stop_sequences=(
+                [list(s) for s in stop_sequences] if stop_sequences else None
+            ),
         )
         self.sched.submit(req_id, len(prompt), max_new_tokens)
 
@@ -415,11 +452,13 @@ class ServingEngine:
             last[s] = hist[-1]
             seeds[s] = self._req_seed(rid)
             positions[s] = len(req.generated)
+        bias, mins = self._guided_arrays(range(self.slots), by_slot=True)
         tokens, self.state = _decode_chunk(
             self.params, self.cfg, jnp.asarray(last), self.state,
             chunk, self.sampling, self.interpret,
             seeds=jnp.asarray(seeds), positions=jnp.asarray(positions),
-            mesh=self.mesh,
+            mesh=self.mesh, bias=bias, min_tokens=mins,
+            eos_token_id=self.eos_token_id if mins is not None else None,
         )
         self.stats["device_calls"] += 1
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
@@ -444,6 +483,7 @@ class ServingEngine:
             if rid == -1:
                 continue
             req = self._requests[rid]
+            self._check_stops(req)
             done = len(req.generated) >= req.max_new_tokens
             if self.eos_token_id is not None and req.generated:
                 done = done or req.generated[-1] == self.eos_token_id
@@ -652,6 +692,15 @@ class ServingEngine:
         # Select + sample on DEVICE; fetch only [g] token ids (full-vocab
         # logits are half a megabyte per row over a tunneled link).
         last_logits = logits[jnp.arange(g), plens - 1 - shareds]  # [g, V]
+        if any(r.logit_bias or r.min_new_tokens > 0 for r in reqs):
+            rows = []
+            for i, r in enumerate(reqs):
+                rows.append(
+                    self._shape_logits(
+                        last_logits[i : i + 1], r, 0, self.eos_token_id
+                    )[0]
+                )
+            last_logits = jnp.stack(rows)
         if self.sampling is not None and self.sampling.temperature > 0.0:
             from flash_attention_cute_tpu.runtime.sampling import sample_token
 
@@ -768,6 +817,10 @@ class ServingEngine:
             del self._prefilling[s]
             self._set_length(s, plen)
             last_logits = logits[j : j + 1, plen - 1 - (p - c)]
+            if req.logit_bias or req.min_new_tokens > 0:
+                last_logits = self._shape_logits(
+                    last_logits, req, 0, self.eos_token_id
+                )
             if self.sampling is not None and self.sampling.temperature > 0.0:
                 from flash_attention_cute_tpu.runtime.sampling import (
                     sample_token,
@@ -792,6 +845,71 @@ class ServingEngine:
                 self.prefix_cache.insert(
                     req.prompt, self.sched.table_row(rid)
                 )
+
+    def _guided_arrays(self, slots_or_rids, by_slot: bool):
+        """Per-row (bias [n, V] | None, min_tokens [n] | None) device
+        inputs for guided decoding; None when no listed request uses the
+        feature (keeps the unguided compile signature)."""
+        rids = [
+            (self._slot_req[s] if by_slot else s) for s in slots_or_rids
+        ]
+        reqs = [self._requests.get(r) for r in rids]
+        any_bias = any(r is not None and r.logit_bias for r in reqs)
+        any_min = any(r is not None and r.min_new_tokens > 0 for r in reqs)
+        bias = None
+        if any_bias:
+            v = self.cfg.vocab_size
+            b = np.zeros((len(reqs), v), np.float32)
+            for i, r in enumerate(reqs):
+                if r is not None and r.logit_bias:
+                    for tok, val in r.logit_bias.items():
+                        b[i, int(tok)] = val
+            bias = jnp.asarray(b)
+        mins = None
+        if any_min and self.eos_token_id is not None:
+            mins = jnp.asarray(
+                [0 if r is None else r.min_new_tokens for r in reqs],
+                jnp.int32,
+            )
+        return bias, mins
+
+    @staticmethod
+    def _shape_logits(last_logits, req, position: int, eos_token_id):
+        """Apply a single request's guided-decoding shaping to a [1, V]
+        logits row (admission-time token sampling)."""
+        if req.logit_bias:
+            idx = jnp.asarray(
+                [int(t) for t in req.logit_bias], jnp.int32
+            )
+            vals = jnp.asarray(
+                [float(v) for v in req.logit_bias.values()], jnp.float32
+            )
+            last_logits = last_logits.at[0, idx].add(vals)
+        if (
+            eos_token_id is not None
+            and position + 1 < req.min_new_tokens
+        ):
+            last_logits = last_logits.at[0, eos_token_id].set(-jnp.inf)
+        return last_logits
+
+    def _check_stops(self, req) -> None:
+        """Truncate `generated` at the first completed stop sequence and
+        pin the budget there (idempotent; mirrors EOS-inside-chunk)."""
+        if not req.stop_sequences:
+            return
+        g = req.generated
+        best = None
+        for stop in req.stop_sequences:
+            ln = len(stop)
+            if ln == 0:
+                continue
+            for end in range(ln, len(g) + 1):
+                if g[end - ln : end] == stop:
+                    best = end if best is None else min(best, end)
+                    break
+        if best is not None:
+            del g[best:]
+            req.max_new_tokens = len(g)
 
     def _req_seed(self, rid: int) -> int:
         """Per-request sampling seed: stable across preemption-recompute so

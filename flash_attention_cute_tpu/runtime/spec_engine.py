@@ -82,6 +82,8 @@ def _spec_rounds(
     sampling: SamplingParams | None = None,  # temp > 0: rejection sampling
     seeds: jax.Array | None = None,  # [slots] per-request sampling seeds
     positions0: jax.Array | None = None,  # [slots] generated-count at entry
+    bias: jax.Array | None = None,  # [slots, V] guided-decoding logit bias
+    min_tokens: jax.Array | None = None,  # [slots] EOS banned below this
 ):
     """Run `rounds` draft/verify rounds for every active slot.
 
@@ -179,6 +181,16 @@ def _spec_rounds(
             params, cfg, vchunk, t_state, mode="extend",
             interpret=interpret, mesh=mesh,
         )
+        if bias is not None:
+            vlog = vlog + bias[:, None, :]
+        if min_tokens is not None and eos_token_id is not None:
+            # Emitted position of verify index i is positions0+out_pos+i.
+            early = (
+                (positions0 + out_pos)[:, None] + iota + 1
+            ) < min_tokens[:, None]
+            vlog = vlog.at[:, :, eos_token_id].add(
+                jnp.where(early, -jnp.inf, 0.0)
+            )
         padded = jnp.concatenate(
             [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
         )
@@ -283,6 +295,8 @@ def _spec_rounds_lookup(
     sampling=None,
     seeds: jax.Array | None = None,
     positions0: jax.Array | None = None,
+    bias: jax.Array | None = None,
+    min_tokens: jax.Array | None = None,
 ):
     """Draft-free (prompt-lookup) variant of _spec_rounds: proposals come
     from the history buffer's most recent n-gram continuation; no draft
@@ -319,6 +333,15 @@ def _spec_rounds_lookup(
             params, cfg, vchunk, t_state, mode="extend",
             interpret=interpret, mesh=mesh,
         )
+        if bias is not None:
+            vlog = vlog + bias[:, None, :]
+        if min_tokens is not None and eos_token_id is not None:
+            early = (
+                (positions0 + out_pos)[:, None] + iota + 1
+            ) < min_tokens[:, None]
+            vlog = vlog.at[:, :, eos_token_id].add(
+                jnp.where(early, -jnp.inf, 0.0)
+            )
         padded = jnp.concatenate(
             [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
         )
@@ -780,6 +803,9 @@ class SpeculativeServingEngine(ServingEngine):
                 h = req.prompt + req.generated
                 hist[s, : len(h)] = h
                 hlen[s] = len(h)
+            gbias, gmins = self._guided_arrays(
+                range(self.slots), by_slot=True
+            )
             out, out_pos, self.state, accepted = _spec_rounds_lookup(
                 self.params, self.cfg, self.state,
                 jnp.asarray(hist), jnp.asarray(hlen),
@@ -787,9 +813,12 @@ class SpeculativeServingEngine(ServingEngine):
                 self.gamma, rounds, self.ngram,
                 self.eos_token_id, self.interpret, self.mesh,
                 sampling=sampling, seeds=jnp.asarray(seeds),
-                positions0=jnp.asarray(pos0),
+                positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
             )
         else:
+            gbias, gmins = self._guided_arrays(
+                range(self.slots), by_slot=True
+            )
             out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
                 self.params, self.draft_params, self.cfg, self.draft_cfg,
                 self.state, self.d_state,
@@ -797,7 +826,7 @@ class SpeculativeServingEngine(ServingEngine):
                 jnp.asarray(budget), self.gamma, rounds,
                 self.eos_token_id, self.interpret, self.mesh,
                 sampling=sampling, seeds=jnp.asarray(seeds),
-                positions0=jnp.asarray(pos0),
+                positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
             )
         self.stats["device_calls"] += 1
         self.stats["spec_calls"] += 1

@@ -1,0 +1,115 @@
+"""Guided decoding: per-request logit bias, min-token EOS suppression,
+and stop sequences — across the plain, speculative, and prompt-lookup
+engines (the reference has no serving layer at all; HF exposes these as
+LogitsProcessors + StoppingCriteria in `generate`).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from flash_attention_cute_tpu.models import init_params
+from flash_attention_cute_tpu.models.config import tiny_test_config
+from flash_attention_cute_tpu.runtime.engine import ServingEngine
+from flash_attention_cute_tpu.runtime.spec_engine import (
+    SpeculativeServingEngine,
+)
+
+POOL = dict(slots=2, num_pages=65, page_size=8, pages_per_seq=16)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(num_layers=2)
+    return cfg, init_params(cfg, jax.random.key(0))
+
+
+def _prompt(cfg, n=9, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, cfg.vocab_size, n
+    ).tolist()
+
+
+def _run_one(model, prompt, n_new, engine="plain", **submit_kw):
+    cfg, params = model
+    if engine == "plain":
+        eng = ServingEngine(params, cfg, interpret=True, **POOL,
+                            eos_token_id=submit_kw.pop("_eos", None))
+    elif engine == "spec":
+        dcfg = tiny_test_config(num_layers=1, hidden_size=32,
+                                intermediate_size=64)
+        eng = SpeculativeServingEngine(
+            params, cfg, draft_params=init_params(dcfg, jax.random.key(7)),
+            draft_cfg=dcfg, gamma=3, interpret=True, **POOL,
+            eos_token_id=submit_kw.pop("_eos", None),
+        )
+    else:  # lookup
+        eng = SpeculativeServingEngine(
+            params, cfg, ngram=2, gamma=3, interpret=True, **POOL,
+            eos_token_id=submit_kw.pop("_eos", None),
+        )
+    eng.submit(0, prompt, n_new, **submit_kw)
+    return eng.run()[0], eng
+
+
+@pytest.mark.parametrize("engine", ["plain", "spec", "lookup"])
+def test_logit_bias_bans_tokens_consistently(model, engine):
+    """Banning every token the unguided run emitted forces a different
+    stream; the banned ids never appear; all engines agree exactly with
+    the plain engine under the SAME bias."""
+    cfg, _ = model
+    prompt = _prompt(cfg)
+    free, _ = _run_one(model, prompt, 8)
+    ban = {int(t): float("-inf") for t in set(free[:4])}
+    want, _ = _run_one(model, prompt, 8, logit_bias=ban)
+    assert not set(want) & set(ban), (want, ban)
+    got, _ = _run_one(model, prompt, 8, engine=engine, logit_bias=ban)
+    assert got == want
+
+
+def test_logit_bias_can_force_a_token(model):
+    cfg, _ = model
+    prompt = _prompt(cfg, seed=3)
+    got, _ = _run_one(model, prompt, 5, logit_bias={17: float("inf")})
+    assert got == [17] * 5
+
+
+def test_min_new_tokens_defers_eos(model):
+    """Pick the unguided stream's own 2nd token as EOS: without min the
+    request stops at 2 tokens; with min_new_tokens=6 the EOS is banned
+    until position 5 and the stream keeps the non-EOS prefix."""
+    cfg, _ = model
+    prompt = _prompt(cfg, seed=5)
+    free, _ = _run_one(model, prompt, 10)
+    eos = free[1]
+    short, _ = _run_one(model, prompt, 10, _eos=eos)
+    assert short[-1] == eos and len(short) == 2
+    long_, eng = _run_one(model, prompt, 10, _eos=eos, min_new_tokens=6)
+    assert len(long_) >= 6
+    assert eos not in long_[:5]
+
+
+@pytest.mark.parametrize("engine", ["plain", "spec"])
+def test_stop_sequences_truncate(model, engine):
+    """A stop sequence taken from the unguided stream finishes the
+    request exactly at its end."""
+    cfg, _ = model
+    prompt = _prompt(cfg, seed=7)
+    free, _ = _run_one(model, prompt, 10)
+    stop = free[2:4]
+    got, eng = _run_one(model, prompt, 10, engine=engine,
+                        stop_sequences=[stop])
+    assert got == free[:4], (got, free)
+    assert not eng.failed
+
+
+def test_guided_sampled_engine_runs(model):
+    from flash_attention_cute_tpu.runtime.sampling import SamplingParams
+
+    cfg, params = model
+    prompt = _prompt(cfg, seed=9)
+    eng = ServingEngine(params, cfg, interpret=True,
+                        sampling=SamplingParams(temperature=0.8), **POOL)
+    eng.submit(0, prompt, 6, logit_bias={5: float("-inf")})
+    out = eng.run()[0]
+    assert len(out) == 6 and 5 not in out
