@@ -26,6 +26,7 @@ run serving_g4   1800 python scripts/benchmark_serving.py --decode-chunk 64 --pr
 run serving_g4c32 1800 python scripts/benchmark_serving.py --decode-chunk 32 --prefill-group 4
 run qwen2_llm    1800 python scripts/benchmark_llm.py --model qwen2-7b --num-layers 4
 run qwen2_serve  1800 python scripts/benchmark_serving.py --model qwen2-7b --decode-chunk 64 --prefill-group 4
+run gemma2_llm   1800 python scripts/benchmark_llm.py --model gemma2-9b --num-layers 4
 run bwd_timing   1800 python benchmarks/bwd_timing.py
 run spec_bench   1800 python benchmarks/spec_decode_bench.py
 # Engine-level speculative serving: 'self' = acceptance-1.0 mechanism
