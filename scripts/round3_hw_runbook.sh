@@ -8,6 +8,10 @@ OUT=${1:-/tmp/r3hw}
 mkdir -p "$OUT"
 export PYTHONPATH=/root/repo:/root/.axon_site
 export PYTHONUNBUFFERED=1
+# Persist compiled programs across runbook steps (first compile of a
+# config is 20-40 s over the tunnel; the cache makes reruns near-free).
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+mkdir -p /tmp/jaxcache
 cd /root/repo
 
 run() {  # run <name> <timeout_s> <cmd...>
