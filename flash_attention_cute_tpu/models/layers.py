@@ -88,44 +88,65 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
-def mlp(x: jax.Array, p: dict, activation: str = "silu") -> jax.Array:
+def _maybe_lora(x, out, proj, lora_l, ids, scaling):
+    if lora_l is None or proj not in lora_l:
+        return out
+    from flash_attention_cute_tpu.models.lora import lora_delta
+
+    return out + lora_delta(x, lora_l[proj], ids, scaling)
+
+
+def mlp(x: jax.Array, p: dict, activation: str = "silu",
+        lora_l=None, lora_ids=None, lora_scaling=None) -> jax.Array:
     """Gated MLP: down(act(gate(x)) * up(x)) — SwiGLU for Llama/Qwen2,
-    GeGLU (tanh-approximated gelu) for Gemma2."""
-    gate = jnp.dot(x, p["gate_proj"])
-    up = jnp.dot(x, p["up_proj"])
+    GeGLU (tanh-approximated gelu) for Gemma2. Optional per-row LoRA
+    deltas on any of the three projections."""
+    gate = _maybe_lora(x, jnp.dot(x, p["gate_proj"]), "gate_proj",
+                       lora_l, lora_ids, lora_scaling)
+    up = _maybe_lora(x, jnp.dot(x, p["up_proj"]), "up_proj",
+                     lora_l, lora_ids, lora_scaling)
     if activation == "silu":
         act = jax.nn.silu(gate)
     elif activation == "gelu_tanh":
         act = jax.nn.gelu(gate, approximate=True)
     else:
         raise ValueError(f"unknown activation {activation!r}")
-    return jnp.dot(act * up, p["down_proj"])
+    h = act * up
+    return _maybe_lora(h, jnp.dot(h, p["down_proj"]), "down_proj",
+                       lora_l, lora_ids, lora_scaling)
 
 
-def layer_tail(x: jax.Array, attn: jax.Array, lp: dict, cfg) -> jax.Array:
+def layer_tail(x: jax.Array, attn: jax.Array, lp: dict, cfg,
+               lora_l=None, lora_ids=None, lora_scaling=None) -> jax.Array:
     """Residual tail shared by every layer body: attention output
     projection + MLP, with either the Llama structure or Gemma2's
     sandwich norms (post-attention and pre/post-feedforward RMSNorms;
     `post_ln` holds HF's post_attention_layernorm in both cases)."""
-    a = attention_output(attn, lp, cfg)
+    a = attention_output(attn, lp, cfg, lora_l, lora_ids, lora_scaling)
     if cfg.sandwich_norms:
         x = x + rms_norm(a, lp["post_ln"], cfg.rms_norm_eps)
         h = rms_norm(x, lp["pre_ffw_ln"], cfg.rms_norm_eps)
-        m = mlp(h, lp, cfg.hidden_activation)
+        m = mlp(h, lp, cfg.hidden_activation, lora_l, lora_ids,
+                lora_scaling)
         return x + rms_norm(m, lp["post_ffw_ln"], cfg.rms_norm_eps)
     x = x + a
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    return x + mlp(h, lp, cfg.hidden_activation)
+    return x + mlp(h, lp, cfg.hidden_activation, lora_l, lora_ids,
+                   lora_scaling)
 
 
 def qkv_project(
-    x: jax.Array, p: dict, cfg: ModelConfig
+    x: jax.Array, p: dict, cfg: ModelConfig,
+    lora_l=None, lora_ids=None, lora_scaling=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """x [B, S, E] -> q [B, Hq, S, D], k/v [B, Hkv, S, D]."""
     b, s, _ = x.shape
-    q = jnp.dot(x, p["q_proj"])
-    k = jnp.dot(x, p["k_proj"])
-    v = jnp.dot(x, p["v_proj"])
+    q = _maybe_lora(x, jnp.dot(x, p["q_proj"]), "q_proj",
+                    lora_l, lora_ids, lora_scaling)
+    k = _maybe_lora(x, jnp.dot(x, p["k_proj"]), "k_proj",
+                    lora_l, lora_ids, lora_scaling)
+    v = _maybe_lora(x, jnp.dot(x, p["v_proj"]), "v_proj",
+                    lora_l, lora_ids, lora_scaling)
     if cfg.attention_bias:
         q = q + p["q_bias"]
         k = k + p["k_bias"]
@@ -137,9 +158,11 @@ def qkv_project(
 
 
 def attention_output(
-    attn: jax.Array, p: dict, cfg: ModelConfig
+    attn: jax.Array, p: dict, cfg: ModelConfig,
+    lora_l=None, lora_ids=None, lora_scaling=None,
 ) -> jax.Array:
     """attn [B, Hq, S, D] -> o_proj output [B, S, E]."""
     b, _, s, _ = attn.shape
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_q_heads * cfg.head_dim)
-    return jnp.dot(attn, p["o_proj"])
+    return _maybe_lora(attn, jnp.dot(attn, p["o_proj"]), "o_proj",
+                       lora_l, lora_ids, lora_scaling)

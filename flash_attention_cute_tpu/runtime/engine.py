@@ -51,7 +51,8 @@ from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 )
 def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
                   seeds=None, positions=None, mesh=None, bias=None,
-                  min_tokens=None, eos_token_id=None):
+                  min_tokens=None, eos_token_id=None, lora=None,
+                  adapter_ids=None):
     """Decode `chunk` tokens for every slot in one compiled scan.
 
     Returns (tokens [chunk, slots], state). Inactive slots (length 0)
@@ -73,7 +74,8 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
         state, tok = carry
         logits, state = forward_paged(
             params, cfg, tok[:, None], state, mode="decode",
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, lora=lora,
+            adapter_ids=adapter_ids,
         )
         if bias is not None:
             logits = logits + bias[:, None, :]
@@ -113,6 +115,7 @@ class _Request:
     logit_bias: dict | None = None
     min_new_tokens: int = 0
     stop_sequences: list | None = None
+    adapter: int = 0  # LoRA adapter id (0 = base model)
     # Latency observability (BASELINE.json names p50 TTFT as a headline
     # metric): submit -> first token host-visible -> finished. Preemption
     # replay keeps the ORIGINAL first-token time (the user saw it once).
@@ -150,6 +153,9 @@ class ServingEngine:
         # rounds of the other slots (bounds head-of-line blocking by long
         # prompts; dense pages only). 0 = whole-prompt admission.
         eos_token_id: int | None = None,  # finish a request early at EOS
+        lora_params: dict | None = None,  # stacked multi-LoRA adapters
+        # (models/lora.py): every request picks its own adapter id at
+        # submit(); id 0 is the no-op adapter by convention
         enable_prefix_cache: bool = False,  # reuse page-aligned shared
         # prompt prefixes across requests: admission prefills only the
         # unseen suffix through the paged-extend forward; page lifetime is
@@ -181,6 +187,12 @@ class ServingEngine:
         self.eos_token_id = eos_token_id
         self.interpret = interpret
         self.enable_prefix_cache = enable_prefix_cache
+        self.lora = lora_params
+        if lora_params is not None and enable_prefix_cache:
+            raise NotImplementedError(
+                "prefix caching across different LoRA adapters would "
+                "share adapter-dependent KV; the composition is not built"
+            )
         self._prefilling: dict[int, int] = {}  # slot -> tokens scattered
         # Prefix caching: tokens of each waiting/admitting request served
         # from the cache (granted to the scheduler this round), and the
@@ -310,9 +322,13 @@ class ServingEngine:
         stop_sequences: list | None = None,  # list of token-id lists; the
         # request finishes when its generated stream ends with one
         # (host-checked per engine round, like EOS-inside-chunk)
+        adapter: int = 0,  # LoRA adapter id (requires lora_params)
     ):
         assert req_id >= 0 and req_id not in self._requests
         assert len(prompt) >= 1
+        if adapter != 0:
+            assert self.lora is not None, "engine built without lora_params"
+            assert 0 <= adapter < self.lora["scaling"].shape[0], adapter
         self._requests[req_id] = _Request(
             req_id, list(prompt), max_new_tokens,
             submit_t=time.monotonic(),
@@ -321,6 +337,7 @@ class ServingEngine:
             stop_sequences=(
                 [list(s) for s in stop_sequences] if stop_sequences else None
             ),
+            adapter=adapter,
         )
         self.sched.submit(req_id, len(prompt), max_new_tokens)
 
@@ -459,6 +476,7 @@ class ServingEngine:
             seeds=jnp.asarray(seeds), positions=jnp.asarray(positions),
             mesh=self.mesh, bias=bias, min_tokens=mins,
             eos_token_id=self.eos_token_id if mins is not None else None,
+            lora=self.lora, adapter_ids=self._adapter_ids(),
         )
         self.stats["device_calls"] += 1
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
@@ -648,6 +666,17 @@ class ServingEngine:
             table = jnp.concatenate(
                 [table, jnp.zeros((g_pad - g, table.shape[1]), jnp.int32)]
             )
+        if self.lora is None:
+            sub_ids = None
+        else:
+            sub_ids = jnp.asarray(
+                [
+                    self._requests[self._slot_req[s]].adapter
+                    for s in slots
+                ]
+                + [0] * (g_pad - g),
+                jnp.int32,
+            )
         if self.prefix_cache is not None:
             # Suffix-only admission: the chunk sits at global positions
             # shared..shared+bucket-1 and attends the cached prefix pages
@@ -664,6 +693,7 @@ class ServingEngine:
             logits, sub = forward_paged(
                 self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
                 interpret=self.interpret, mesh=self.mesh,
+                lora=self.lora, adapter_ids=sub_ids,
             )
         else:
             sub = dataclasses.replace(
@@ -675,6 +705,7 @@ class ServingEngine:
                 self.params, self.cfg, jnp.asarray(ids), sub, mode="prefill",
                 valid_len=jnp.asarray(plens_in),
                 interpret=self.interpret, mesh=self.mesh,
+                lora=self.lora, adapter_ids=sub_ids,
             )
         self.stats["device_calls"] += 1
         # Merge back every pool field (k/v pages or quantized values+scales);
@@ -787,6 +818,18 @@ class ServingEngine:
             self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
             interpret=self.interpret, mesh=self.mesh,
             return_clamps=self.collect_clamp_stats,
+            lora=self.lora,
+            adapter_ids=(
+                None if self.lora is None
+                else jnp.asarray(
+                    [
+                        self._requests[self._slot_req[s]].adapter
+                        for s in slots
+                    ]
+                    + [0] * (g_pad - g),
+                    jnp.int32,
+                )
+            ),
         )
         if self.collect_clamp_stats:
             logits, sub, clamps = out
@@ -845,6 +888,22 @@ class ServingEngine:
                 self.prefix_cache.insert(
                     req.prompt, self.sched.table_row(rid)
                 )
+
+    def _adapter_ids(self, slots=None):
+        """Per-row adapter ids for a forward ([all slots] by default);
+        None when the engine has no LoRA adapters loaded."""
+        if self.lora is None:
+            return None
+        rows = range(self.slots) if slots is None else slots
+        ids = [
+            (
+                self._requests[self._slot_req[s]].adapter
+                if 0 <= s < self.slots and self._slot_req[s] != -1
+                else 0
+            )
+            for s in rows
+        ]
+        return jnp.asarray(ids, jnp.int32)
 
     def _guided_arrays(self, slots_or_rids, by_slot: bool):
         """Per-row (bias [n, V] | None, min_tokens [n] | None) device

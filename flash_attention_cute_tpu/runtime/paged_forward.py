@@ -54,6 +54,8 @@ def forward_paged(
     return_clamps: bool = False,  # extend mode: also return the summed
     # lazy-softmax saturation count across layers (envelope observability;
     # see ops/flash_fwd.py return_clamps)
+    lora: dict | None = None,  # stacked multi-LoRA adapters (models/lora.py)
+    adapter_ids: jax.Array | None = None,  # [B] int32 adapter per row
 ) -> tuple[jax.Array, PagedKVState]:
     """Returns (logits [B, S, V] fp32, updated state); with return_clamps
     in extend mode, (logits, state, clamps).
@@ -103,12 +105,20 @@ def forward_paged(
     active = valid_len > 0
     collect_clamps = return_clamps and mode == "extend"
 
+    lora_scaling = None if lora is None else lora["scaling"]
+
     def make_layer(window):
       def layer(carry, xs_l):
         x, clamp_tot = carry
-        lp, k_slab, v_slab = xs_l
+        if lora is None:
+            lp, k_slab, v_slab = xs_l
+            lora_l = None
+        else:
+            lp, lora_l, k_slab, v_slab = xs_l
         h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q, k, v = L.qkv_project(h, lp, cfg)
+        q, k, v = L.qkv_project(
+            h, lp, cfg, lora_l, adapter_ids, lora_scaling
+        )
         q = L.apply_rope(q, cos, sin)
         k = L.apply_rope(k, cos, sin)
 
@@ -236,19 +246,24 @@ def forward_paged(
                     q, k_slab, v_slab, lengths + valid_len, state.page_table
                 )
 
-        x = L.layer_tail(x, attn, lp, cfg)
+        x = L.layer_tail(
+            x, attn, lp, cfg, lora_l, adapter_ids, lora_scaling
+        )
         return (x, clamp_tot + clamps), (k_slab, v_slab)
 
       return layer
 
     if quant:
-        xs = (
-            params["layers"],
+        kx, vx = (
             (state.k_values, state.k_scales),
             (state.v_values, state.v_scales),
         )
     else:
-        xs = (params["layers"], state.k_pages, state.v_pages)
+        kx, vx = state.k_pages, state.v_pages
+    if lora is None:
+        xs = (params["layers"], kx, vx)
+    else:
+        xs = (params["layers"], lora["layers"], kx, vx)
 
     # Sliding-window models: Qwen2 suffix semantics become two scan
     # segments; Gemma2's PERIODIC pattern (alternating sliding/full)

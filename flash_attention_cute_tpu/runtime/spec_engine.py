@@ -458,6 +458,11 @@ class SpeculativeServingEngine(ServingEngine):
             assert cfg.vocab_size == draft_cfg.vocab_size, (
                 "draft and target must share a vocabulary"
             )
+        if self.lora is not None:
+            raise NotImplementedError(
+                "LoRA x speculative serving is not composed yet; use the "
+                "plain ServingEngine with lora_params"
+            )
         self.ngram = ngram
         self.draft_cfg = draft_cfg
         self.gamma = gamma
