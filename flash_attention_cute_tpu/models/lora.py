@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flash_attention_cute_tpu.models.config import ModelConfig
 
@@ -104,3 +105,71 @@ def merge_lora(params: dict, lora: dict, adapter: int) -> dict:
             layers[proj].astype(jnp.float32) + delta
         ).astype(params["layers"][proj].dtype)
     return dict(params, layers=layers)
+
+
+def lora_params_from_peft(
+    state_dicts: list,
+    cfg: ModelConfig,
+    scalings: list | None = None,
+    dtype=None,
+) -> dict:
+    """Stack HF PEFT adapter checkpoints into the serving layout.
+
+    `state_dicts[i]` is adapter i's PEFT state dict (keys like
+    `base_model.model.model.layers.N.self_attn.q_proj.lora_A.weight`,
+    A stored [r, in] and B [out, r] in torch convention). Adapter 0 is
+    normally a zero dict (pass `{}`) so id 0 stays the no-op; missing
+    projections in any adapter contribute zero delta for that adapter.
+    `scalings[i]` defaults to 1.0 (pass alpha/r per adapter).
+    """
+    import re as _re
+
+    from flash_attention_cute_tpu.models.convert import _to_np
+
+    dtype = dtype or cfg.dtype
+    pat = _re.compile(
+        r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\."
+        r"lora_(A|B)\.(?:default\.)?weight$"
+    )
+    # Discover ranks/targets across all adapters.
+    per_adapter: list[dict] = []
+    targets: dict[str, int] = {}
+    for sd in state_dicts:
+        found: dict[tuple, any] = {}
+        for k, v in sd.items():
+            m = pat.search(k)
+            if not m:
+                continue
+            layer, proj, ab = int(m.group(1)), m.group(2), m.group(3)
+            w = _to_np(v)
+            found[(layer, proj, ab)] = w
+            if ab == "A":
+                r = w.shape[0]
+                targets[proj] = max(targets.get(proj, 0), r)
+        per_adapter.append(found)
+    if not targets:
+        raise ValueError("no LoRA weights found in any state dict")
+
+    n = len(state_dicts)
+    layers = {}
+    for proj, rank in targets.items():
+        din, dout = _proj_dims(cfg, proj)
+        a = np.zeros((cfg.num_layers, n, din, rank), np.float32)
+        b = np.zeros((cfg.num_layers, n, rank, dout), np.float32)
+        for i, found in enumerate(per_adapter):
+            for layer in range(cfg.num_layers):
+                wa = found.get((layer, proj, "A"))
+                wb = found.get((layer, proj, "B"))
+                if wa is not None:
+                    a[layer, i, :, : wa.shape[0]] = wa.T  # [r,in]->[in,r]
+                if wb is not None:
+                    b[layer, i, : wb.shape[1], :] = wb.T  # [out,r]->[r,out]
+        layers[proj] = {
+            "a": jnp.asarray(a, dtype), "b": jnp.asarray(b, dtype)
+        }
+    if scalings is None:
+        scalings = [1.0] * n
+    return {
+        "layers": layers,
+        "scaling": jnp.asarray(scalings, jnp.float32),
+    }

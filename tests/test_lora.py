@@ -123,3 +123,42 @@ def test_lora_rejects_unbuilt_compositions(setup):
     eng = ServingEngine(params, cfg, interpret=True, **POOL)
     with pytest.raises(AssertionError):
         eng.submit(0, [1, 2, 3], 4, adapter=1)  # no lora loaded
+
+
+def test_peft_conversion_roundtrip(setup):
+    """A synthetic PEFT-style state dict converts into the stacked layout
+    and serves identically to the same adapter built directly."""
+    from flash_attention_cute_tpu.models.lora import lora_params_from_peft
+
+    cfg, params, lora = setup
+    rng = np.random.default_rng(7)
+    r = 4
+    sd = {}
+    for proj in ("q_proj", "v_proj"):
+        din = cfg.hidden_size
+        dout = (cfg.num_q_heads if proj == "q_proj"
+                else cfg.num_kv_heads) * cfg.head_dim
+        for layer in range(cfg.num_layers):
+            sd[f"base_model.model.model.layers.{layer}.self_attn."
+               f"{proj}.lora_A.weight"] = rng.normal(
+                   0, 0.1, (r, din)).astype(np.float32)
+            sd[f"base_model.model.model.layers.{layer}.self_attn."
+               f"{proj}.lora_B.weight"] = rng.normal(
+                   0, 0.1, (dout, r)).astype(np.float32)
+    conv = lora_params_from_peft([{}, sd], cfg, scalings=[1.0, 2.0],
+                                 dtype=jnp.float32)
+    assert set(conv["layers"]) == {"q_proj", "v_proj"}
+    assert conv["layers"]["q_proj"]["a"].shape[:2] == (cfg.num_layers, 2)
+    # Adapter 0 (empty dict) is the no-op.
+    assert float(jnp.abs(conv["layers"]["q_proj"]["b"][:, 0]).max()) == 0.0
+
+    prompt = rng.integers(0, cfg.vocab_size, 8).tolist()
+    eng = ServingEngine(params, cfg, interpret=True, lora_params=conv,
+                        **POOL)
+    eng.submit(0, prompt, 5, adapter=1)
+    eng.submit(1, prompt, 5)  # no-op adapter: base-model output
+    got = eng.run()
+    want1 = _oracle(cfg, merge_lora(params, conv, 1), prompt, 5)
+    want0 = _oracle(cfg, params, prompt, 5)
+    assert got[0] == want1
+    assert got[1] == want0
