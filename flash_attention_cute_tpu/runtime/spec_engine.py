@@ -84,6 +84,10 @@ def _spec_rounds(
     positions0: jax.Array | None = None,  # [slots] generated-count at entry
     bias: jax.Array | None = None,  # [slots, V] guided-decoding logit bias
     min_tokens: jax.Array | None = None,  # [slots] EOS banned below this
+    lora: dict | None = None,  # multi-LoRA adapters — applied to the
+    # TARGET verify forward only (drafts stay base-model; proposals never
+    # affect outputs, only acceptance)
+    adapter_ids: jax.Array | None = None,
 ):
     """Run `rounds` draft/verify rounds for every active slot.
 
@@ -179,7 +183,8 @@ def _spec_rounds(
         vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
         vlog, t_state = forward_paged(
             params, cfg, vchunk, t_state, mode="extend",
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, lora=lora,
+            adapter_ids=adapter_ids,
         )
         if bias is not None:
             vlog = vlog + bias[:, None, :]
@@ -297,6 +302,8 @@ def _spec_rounds_lookup(
     positions0: jax.Array | None = None,
     bias: jax.Array | None = None,
     min_tokens: jax.Array | None = None,
+    lora: dict | None = None,
+    adapter_ids: jax.Array | None = None,
 ):
     """Draft-free (prompt-lookup) variant of _spec_rounds: proposals come
     from the history buffer's most recent n-gram continuation; no draft
@@ -331,7 +338,8 @@ def _spec_rounds_lookup(
         vchunk = jnp.concatenate([cur[:, None], drafts], axis=1)
         vlog, t_state = forward_paged(
             params, cfg, vchunk, t_state, mode="extend",
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, lora=lora,
+            adapter_ids=adapter_ids,
         )
         if bias is not None:
             vlog = vlog + bias[:, None, :]
@@ -457,11 +465,6 @@ class SpeculativeServingEngine(ServingEngine):
             )
             assert cfg.vocab_size == draft_cfg.vocab_size, (
                 "draft and target must share a vocabulary"
-            )
-        if self.lora is not None:
-            raise NotImplementedError(
-                "LoRA x speculative serving is not composed yet; use the "
-                "plain ServingEngine with lora_params"
             )
         self.ngram = ngram
         self.draft_cfg = draft_cfg
@@ -819,6 +822,7 @@ class SpeculativeServingEngine(ServingEngine):
                 self.eos_token_id, self.interpret, self.mesh,
                 sampling=sampling, seeds=jnp.asarray(seeds),
                 positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
+                lora=self.lora, adapter_ids=self._adapter_ids(),
             )
         else:
             gbias, gmins = self._guided_arrays(
@@ -832,6 +836,7 @@ class SpeculativeServingEngine(ServingEngine):
                 self.eos_token_id, self.interpret, self.mesh,
                 sampling=sampling, seeds=jnp.asarray(seeds),
                 positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
+                lora=self.lora, adapter_ids=self._adapter_ids(),
             )
         self.stats["device_calls"] += 1
         self.stats["spec_calls"] += 1

@@ -113,16 +113,39 @@ def test_lora_rejects_unbuilt_compositions(setup):
     with pytest.raises(NotImplementedError):
         ServingEngine(params, cfg, interpret=True, lora_params=lora,
                       enable_prefix_cache=True, **POOL)
-    from flash_attention_cute_tpu.runtime.spec_engine import (
-        SpeculativeServingEngine,
-    )
-    with pytest.raises(NotImplementedError):
-        SpeculativeServingEngine(
-            params, cfg, ngram=2, interpret=True, lora_params=lora, **POOL
-        )
     eng = ServingEngine(params, cfg, interpret=True, **POOL)
     with pytest.raises(AssertionError):
         eng.submit(0, [1, 2, 3], 4, adapter=1)  # no lora loaded
+
+
+def test_lora_speculative_serving(setup):
+    """LoRA x speculative: adapters ride the verify forward (drafts stay
+    base-model — proposals only affect speed), so outputs must match the
+    plain LoRA engine exactly, per concurrent adapter."""
+    from flash_attention_cute_tpu.runtime.spec_engine import (
+        SpeculativeServingEngine,
+    )
+
+    cfg, params, lora = setup
+    rng = np.random.default_rng(9)
+    prompts = {a: rng.integers(0, cfg.vocab_size, 6 + a).tolist()
+               for a in range(3)}
+
+    plain = ServingEngine(params, cfg, interpret=True, lora_params=lora,
+                          **POOL)
+    for a, p in prompts.items():
+        plain.submit(a, p, 6, adapter=a)
+    want = plain.run()
+
+    eng = SpeculativeServingEngine(
+        params, cfg, ngram=2, gamma=3, interpret=True, lora_params=lora,
+        **POOL,
+    )
+    for a, p in prompts.items():
+        eng.submit(a, p, 6, adapter=a)
+    got = eng.run()
+    assert got == want
+    assert not eng.failed
 
 
 def test_peft_conversion_roundtrip(setup):
