@@ -188,11 +188,6 @@ class ServingEngine:
         self.interpret = interpret
         self.enable_prefix_cache = enable_prefix_cache
         self.lora = lora_params
-        if lora_params is not None and enable_prefix_cache:
-            raise NotImplementedError(
-                "prefix caching across different LoRA adapters would "
-                "share adapter-dependent KV; the composition is not built"
-            )
         self._prefilling: dict[int, int] = {}  # slot -> tokens scattered
         # Prefix caching: tokens of each waiting/admitting request served
         # from the cache (granted to the scheduler this round), and the
@@ -535,7 +530,9 @@ class ServingEngine:
         for rid, req in self._requests.items():
             if rid in in_slots:
                 continue
-            pages = self.prefix_cache.lookup(req.prompt)
+            pages = self.prefix_cache.lookup(
+                req.prompt, namespace=req.adapter
+            )
             self.sched.grant_prefix(rid, pages)
             self._granted[rid] = len(pages) * self.page_size
 
@@ -766,7 +763,8 @@ class ServingEngine:
         if self.prefix_cache is not None:
             for req in reqs:
                 self.prefix_cache.insert(
-                    req.prompt, self.sched.table_row(req.req_id)
+                    req.prompt, self.sched.table_row(req.req_id),
+                    namespace=req.adapter,
                 )
 
     def _advance_prefills(self):
@@ -886,7 +884,8 @@ class ServingEngine:
             self._sync_table(s)
             if self.prefix_cache is not None:
                 self.prefix_cache.insert(
-                    req.prompt, self.sched.table_row(rid)
+                    req.prompt, self.sched.table_row(rid),
+                    namespace=req.adapter,
                 )
 
     def _adapter_ids(self, slots=None):

@@ -53,21 +53,23 @@ class PrefixCache:
     def __len__(self) -> int:
         return len(self.entries)
 
-    def _chain(self, prompt: list[int]):
+    def _chain(self, prompt: list[int], namespace: int = 0):
         """Yield (key, block_index) for each shareable full block: block k
         is shareable iff (k+1)*ps <= len(prompt) - 1 (always leave at
         least one suffix token for the admission forward to produce the
-        first-token logits from)."""
-        key = ()
+        first-token logits from). `namespace` partitions the cache — KV
+        depends on the adapter under multi-LoRA serving, so each adapter
+        id keys its own chains (no cross-adapter sharing, ever)."""
+        key = (namespace,)
         ps = self.page_size
         for k in range((len(prompt) - 1) // ps):
             key = (key, tuple(prompt[k * ps : (k + 1) * ps]))
             yield key, k
 
-    def lookup(self, prompt: list[int]) -> list[int]:
+    def lookup(self, prompt: list[int], namespace: int = 0) -> list[int]:
         """Longest cached page chain for this prompt (LRU-refreshed)."""
         pages: list[int] = []
-        for key, _ in self._chain(prompt):
+        for key, _ in self._chain(prompt, namespace):
             page = self.entries.get(key)
             if page is None:
                 break
@@ -78,12 +80,13 @@ class PrefixCache:
         self.hit_tokens += len(pages) * self.page_size
         return pages
 
-    def insert(self, prompt: list[int], table_row) -> int:
+    def insert(self, prompt: list[int], table_row, namespace: int = 0
+               ) -> int:
         """Register a freshly admitted prompt's blocks. `table_row` is the
         request's page table (block k's KV lives in table_row[k]).
         Returns the number of new entries pinned."""
         added = 0
-        for key, k in self._chain(prompt):
+        for key, k in self._chain(prompt, namespace):
             if key in self.entries:
                 self.entries.move_to_end(key)
                 continue

@@ -109,13 +109,36 @@ def test_lora_chunked_admission(setup):
 
 
 def test_lora_rejects_unbuilt_compositions(setup):
-    cfg, params, lora = setup
-    with pytest.raises(NotImplementedError):
-        ServingEngine(params, cfg, interpret=True, lora_params=lora,
-                      enable_prefix_cache=True, **POOL)
+    cfg, params, _ = setup
     eng = ServingEngine(params, cfg, interpret=True, **POOL)
     with pytest.raises(AssertionError):
         eng.submit(0, [1, 2, 3], 4, adapter=1)  # no lora loaded
+
+
+def test_lora_prefix_cache_namespaced(setup):
+    """LoRA x prefix cache: adapter id namespaces the cache — the SAME
+    prompt on two adapters never shares KV pages, and each request still
+    matches its merged-dense oracle; a same-adapter repeat DOES hit."""
+    cfg, params, lora = setup
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, cfg.vocab_size, 19).tolist()
+
+    eng = ServingEngine(params, cfg, interpret=True, lora_params=lora,
+                        enable_prefix_cache=True, **POOL)
+    eng.submit(0, prompt, 5, adapter=1)
+    eng.run()
+    hits_before = eng.stats["prefix_hit_tokens"]
+    eng.submit(1, prompt, 5, adapter=2)  # other adapter: MUST miss
+    eng.run()
+    assert eng.stats["prefix_hit_tokens"] == hits_before
+    eng.submit(2, prompt, 5, adapter=1)  # same adapter: hits
+    eng.submit(3, prompt, 5, adapter=2)
+    got = eng.run()
+    assert eng.stats["prefix_hit_tokens"] >= hits_before + 32
+
+    for rid, a in ((2, 1), (3, 2)):
+        want = _oracle(cfg, merge_lora(params, lora, a), prompt, 5)
+        assert got[rid] == want, (rid, got[rid], want)
 
 
 def test_lora_speculative_serving(setup):
