@@ -41,6 +41,9 @@ def _layer_forward(
     interpret: bool | None,
     mesh=None,
     window: int | None = None,
+    lora_l=None,  # layer slice of stacked multi-LoRA adapters
+    lora_ids=None,  # [B] int32 adapter per row
+    lora_scaling=None,
 ):
     """One PREFILL decoder layer (reference: modeling_llama.py:385-449).
 
@@ -54,7 +57,7 @@ def _layer_forward(
     else:
         attn_fn = flash_attention_forward
     h = L.rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-    q, k, v = L.qkv_project(h, lp, cfg)
+    q, k, v = L.qkv_project(h, lp, cfg, lora_l, lora_ids, lora_scaling)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
@@ -84,7 +87,7 @@ def _layer_forward(
                 v_cache_l, v.astype(v_cache_l.dtype), (0, 0, 0, 0)
             )
 
-    x = L.layer_tail(x, attn, lp, cfg)
+    x = L.layer_tail(x, attn, lp, cfg, lora_l, lora_ids, lora_scaling)
     return x, k_cache_l, v_cache_l
 
 
@@ -241,6 +244,11 @@ def forward(
     interpret: bool | None = None,
     return_hidden: bool = False,
     mesh=None,
+    lora: dict | None = None,  # stacked multi-LoRA adapters
+    # (models/lora.py) — PREFILL mode only on this dense path (training /
+    # evaluation with per-row adapters; serving adapters live in the
+    # paged engine)
+    adapter_ids: jax.Array | None = None,  # [B] int32 adapter per row
 ) -> tuple[jax.Array, KVCache | None]:
     """Full causal-LM forward.
 
@@ -257,6 +265,11 @@ def forward(
     assert mode in ("prefill", "decode", "extend"), mode
     if mode != "prefill":
         assert cache is not None, f"mode={mode} requires a cache"
+    if lora is not None:
+        assert mode == "prefill", (
+            "dense-path LoRA supports prefill only (fine-tuning/eval); "
+            "serve adapters through the paged engine"
+        )
 
     b, s = input_ids.shape
     if mode == "decode":
@@ -277,11 +290,18 @@ def forward(
 
     lp_stacked = params["layers"]
 
+    lora_scaling = None if lora is None else lora["scaling"]
+
     def make_scan_body(window):
         def scan_body(x, xs_l):
-            lp, k_l, v_l = xs_l
+            if lora is None:
+                lp, k_l, v_l = xs_l
+                lora_l = None
+            else:
+                lp, lora_l, k_l, v_l = xs_l
             x, new_k, new_v = _layer_forward(
                 x, lp, cfg, cos, sin, k_l, v_l, interpret, mesh, window,
+                lora_l, adapter_ids, lora_scaling,
             )
             if new_k is None:
                 return x, None
@@ -385,13 +405,18 @@ def forward(
             )
 
         def pbody(x, xs_l):
-            lp_slab, k_slab, v_slab = xs_l
+            if lora is None:
+                lp_slab, k_slab, v_slab = xs_l
+                lora_slab = None
+            else:
+                lp_slab, lora_slab, k_slab, v_slab = xs_l
             nks, nvs = [], []
             for j in range(pn):
                 x, nk, nv = _layer_forward(
                     x, pick(lp_slab, j), cfg, cos, sin,
                     pick(k_slab, j), pick(v_slab, j),
                     interpret, mesh, pattern[j],
+                    pick(lora_slab, j), adapter_ids, lora_scaling,
                 )
                 nks.append(nk)
                 nvs.append(nv)
@@ -400,20 +425,38 @@ def forward(
             stack = lambda lst: jax.tree.map(lambda *a: jnp.stack(a), *lst)
             return x, (stack(nks), stack(nvs))
 
+        lx = None if lora is None else resh(lora["layers"])
         if cache is not None:
-            xs = (resh(lp_stacked), resh(cache_k), resh(cache_v))
+            xs = (
+                (resh(lp_stacked), resh(cache_k), resh(cache_v))
+                if lora is None else
+                (resh(lp_stacked), lx, resh(cache_k), resh(cache_v))
+            )
             x, (nk, nv) = jax.lax.scan(pbody, x, xs)
             new_cache = rebuild_cache(unresh(nk), unresh(nv))
         else:
-            x, _ = jax.lax.scan(pbody, x, (resh(lp_stacked), None, None))
+            xs = (
+                (resh(lp_stacked), None, None) if lora is None
+                else (resh(lp_stacked), lx, None, None)
+            )
+            x, _ = jax.lax.scan(pbody, x, xs)
             new_cache = None
     else:
         new_ks, new_vs = [], []
         for (a, z, window) in segments:
             lp_seg = seg_slice(lp_stacked, a, z)
+            lora_seg = (
+                None if lora is None
+                else seg_slice(lora["layers"], a, z)
+            )
             if cache is not None:
                 xs = (
                     lp_seg,
+                    seg_slice(cache_k, a, z),
+                    seg_slice(cache_v, a, z),
+                ) if lora is None else (
+                    lp_seg,
+                    lora_seg,
                     seg_slice(cache_k, a, z),
                     seg_slice(cache_v, a, z),
                 )
@@ -421,9 +464,11 @@ def forward(
                 new_ks.append(nk)
                 new_vs.append(nv)
             else:
-                x, _ = jax.lax.scan(
-                    make_scan_body(window), x, (lp_seg, None, None)
+                xs = (
+                    (lp_seg, None, None) if lora is None
+                    else (lp_seg, lora_seg, None, None)
                 )
+                x, _ = jax.lax.scan(make_scan_body(window), x, xs)
 
         if cache is not None:
             cat = lambda trees: (

@@ -208,3 +208,64 @@ def test_peft_conversion_roundtrip(setup):
     want0 = _oracle(cfg, params, prompt, 5)
     assert got[0] == want1
     assert got[1] == want0
+
+
+def test_lora_dense_forward_matches_merged(setup):
+    """Dense-path LoRA (prefill) equals the merged-weights forward."""
+    from flash_attention_cute_tpu.models import forward
+
+    cfg, params, lora = setup
+    ids = jnp.asarray(
+        np.random.default_rng(15).integers(0, cfg.vocab_size, (2, 10)),
+        jnp.int32,
+    )
+    aid = jnp.asarray([1, 2], jnp.int32)
+    got, _ = forward(params, cfg, ids, mode="prefill", interpret=True,
+                     lora=lora, adapter_ids=aid)
+    for row, a in enumerate((1, 2)):
+        want, _ = forward(merge_lora(params, lora, a), cfg,
+                          ids[row : row + 1], mode="prefill",
+                          interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got[row]), np.asarray(want[0]),
+            atol=2e-4, rtol=2e-3,
+        )
+
+
+def test_lora_finetuning_step_trains_adapter_only(setup):
+    """LoRA fine-tuning through the kernels: jax.grad w.r.t. the adapter
+    params only; a few adamw steps reduce the LM loss and the base
+    weights never change."""
+    import optax
+
+    from flash_attention_cute_tpu.models import forward
+
+    cfg, params, lora = setup
+    rng = np.random.default_rng(17)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 12)), jnp.int32)
+    aid = jnp.ones((4,), jnp.int32)  # all rows train adapter 1
+
+    def loss_fn(lora_p):
+        # interpret=None -> the differentiable XLA-reference attention
+        # off-TPU (the Pallas interpret path has no JVP; on TPU the
+        # differentiable route is ops.autodiff.flash_attention).
+        logits, _ = forward(params, cfg, ids, mode="prefill",
+                            lora=lora_p, adapter_ids=aid)
+        lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(lp, ids[:, 1:, None], axis=-1)
+        return jnp.mean(nll)
+
+    tx = optax.adamw(3e-2)
+    opt = tx.init(lora)
+    losses = []
+    lp_cur = lora
+    for _ in range(5):
+        loss, grads = jax.value_and_grad(loss_fn)(lp_cur)
+        losses.append(float(loss))
+        # Gradients flow into A and B of the trained adapter.
+        gq = grads["layers"]["q_proj"]
+        assert float(jnp.abs(gq["a"][:, 1]).max()) > 0
+        assert float(jnp.abs(gq["b"][:, 1]).max()) > 0
+        updates, opt = tx.update(grads, opt, lp_cur)
+        lp_cur = optax.apply_updates(lp_cur, updates)
+    assert losses[-1] < losses[0], losses
