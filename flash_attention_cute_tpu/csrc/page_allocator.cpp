@@ -127,10 +127,13 @@ struct Scheduler {
     int prompt_len;
     int max_new_tokens;
     int generated = 0;
+    int priority = 0;   // higher admits sooner, preempts later
+    int64_t seq = 0;    // arrival order (FIFO within a priority)
   };
 
   Allocator alloc;
   int max_slots;
+  int64_t next_seq = 0;
   std::deque<Request> waiting;
   // Prefix-cache grants: rid -> cached prefix pages to share at
   // admission. Advisory and consumed per admission attempt — the engine
@@ -152,8 +155,24 @@ struct Scheduler {
     for (auto& r : running) r.id = -1;
   }
 
-  void submit(int64_t id, int prompt_len, int max_new_tokens) {
-    waiting.push_back(Request{id, prompt_len, max_new_tokens, 0});
+  void submit(int64_t id, int prompt_len, int max_new_tokens,
+              int priority = 0) {
+    waiting.push_back(
+        Request{id, prompt_len, max_new_tokens, 0, priority, next_seq++});
+  }
+
+  // Index of the next waiting request: highest priority, then FIFO.
+  int next_waiting() const {
+    int best = -1;
+    for (int i = 0; i < static_cast<int>(waiting.size()); ++i) {
+      if (best == -1 ||
+          waiting[i].priority > waiting[best].priority ||
+          (waiting[i].priority == waiting[best].priority &&
+           waiting[i].seq < waiting[best].seq)) {
+        best = i;
+      }
+    }
+    return best;
   }
 
   // Admit as many waiting requests as fit. Returns number admitted;
@@ -163,7 +182,8 @@ struct Scheduler {
     int n = 0;
     for (int s = 0; s < max_slots && !waiting.empty(); ++s) {
       if (slot_ids[s] != -1) continue;
-      Request r = waiting.front();
+      int widx = next_waiting();
+      Request r = waiting[widx];
       std::vector<int32_t> pages;
       auto git = grants.find(r.id);
       if (git != grants.end()) {
@@ -175,13 +195,13 @@ struct Scheduler {
           !alloc.share(r.id, pages.data(),
                        static_cast<int>(pages.size()))) {
         alloc.release(r.id);
-        break;  // FCFS: no skip
+        break;  // in-order: no skip past a starved request
       }
       if (!alloc.allocate(r.id, granted, r.prompt_len - granted)) {
         alloc.release(r.id);  // undo the shared prefix
         break;
       }
-      waiting.pop_front();
+      waiting.erase(waiting.begin() + widx);
       slot_ids[s] = r.id;
       running[s] = r;
       ++n;
@@ -233,19 +253,26 @@ struct Scheduler {
     running[s].id = -1;
   }
 
-  // Preempt the youngest running request (highest slot with a request).
-  // Refuses (-1) when <= 1 request is running: preempting the only —
-  // necessarily the starving — request frees nothing useful; the caller
-  // must treat the request as unservable at this pool size.
+  // Preempt the LOWEST-priority running request (youngest arrival
+  // within a priority; falls back to the classic youngest-slot rule for
+  // all-equal priorities). Refuses (-1) when <= 1 request is running:
+  // preempting the only — necessarily the starving — request frees
+  // nothing useful; the caller must treat the request as unservable at
+  // this pool size.
   int preempt_youngest() {
     if (num_running() <= 1) return -1;
+    int victim = -1;
     for (int s = max_slots - 1; s >= 0; --s) {
-      if (slot_ids[s] != -1) {
-        release_slot(s, /*requeue=*/true);
-        return s;
+      if (slot_ids[s] == -1) continue;
+      if (victim == -1 ||
+          running[s].priority < running[victim].priority ||
+          (running[s].priority == running[victim].priority &&
+           running[s].seq > running[victim].seq)) {
+        victim = s;
       }
     }
-    return -1;
+    if (victim != -1) release_slot(victim, /*requeue=*/true);
+    return victim;
   }
 };
 
@@ -292,6 +319,10 @@ void* sched_create(int num_pages, int page_size, int pages_per_seq,
 void sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
 void sched_submit(void* h, int64_t id, int prompt_len, int max_new) {
   static_cast<Scheduler*>(h)->submit(id, prompt_len, max_new);
+}
+void sched_submit_priority(void* h, int64_t id, int prompt_len, int max_new,
+                           int priority) {
+  static_cast<Scheduler*>(h)->submit(id, prompt_len, max_new, priority);
 }
 int sched_admit(void* h) { return static_cast<Scheduler*>(h)->admit(); }
 int sched_step_slot(void* h, int s) {

@@ -318,6 +318,8 @@ class ServingEngine:
         # request finishes when its generated stream ends with one
         # (host-checked per engine round, like EOS-inside-chunk)
         adapter: int = 0,  # LoRA adapter id (requires lora_params)
+        priority: int = 0,  # higher admits sooner and preempts later
+        # (FIFO within a priority class; 0 = default)
     ):
         assert req_id >= 0 and req_id not in self._requests
         assert len(prompt) >= 1
@@ -334,7 +336,7 @@ class ServingEngine:
             ),
             adapter=adapter,
         )
-        self.sched.submit(req_id, len(prompt), max_new_tokens)
+        self.sched.submit(req_id, len(prompt), max_new_tokens, priority)
 
     def run(self, max_steps: int = 100000) -> dict[int, list[int]]:
         """Drive until all submitted requests finish. Returns generations."""
@@ -1035,8 +1037,11 @@ class _PyScheduler:
 
         self.alloc = PageAllocator(num_pages, page_size, pages_per_seq)
         self.slots = slots
-        self.waiting: list[tuple[int, int, int]] = []  # (id, plen, max_new)
-        self.running: dict[int, list] = {}  # slot -> [id, plen, max_new, gen]
+        # (id, plen, max_new, priority, seq); admission picks highest
+        # priority then FIFO — mirrors csrc/page_allocator.cpp.
+        self.waiting: list[tuple] = []
+        self.running: dict[int, list] = {}  # slot -> [id,plen,max,gen,pri,seq]
+        self.next_seq = 0
         self.stalled = False
         self.pages_per_seq = pages_per_seq
         self.page_size = self.alloc.page_size
@@ -1045,11 +1050,21 @@ class _PyScheduler:
         # engine re-grants from the live cache before every admit().
         self.grants: dict[int, list[int]] = {}
 
-    def submit(self, rid, plen, max_new):
-        self.waiting.append((rid, plen, max_new))
+    def submit(self, rid, plen, max_new, priority=0):
+        self.waiting.append((rid, plen, max_new, priority, self.next_seq))
+        self.next_seq += 1
 
     def grant_prefix(self, rid, pages):
         self.grants[rid] = list(pages)
+
+    def _next_waiting(self):
+        best = -1
+        for i, (_, _, _, pri, seq) in enumerate(self.waiting):
+            if best == -1 or (pri, -seq) > (
+                self.waiting[best][3], -self.waiting[best][4]
+            ):
+                best = i
+        return best
 
     def admit(self):
         if self.stalled:
@@ -1058,7 +1073,8 @@ class _PyScheduler:
         for s in range(self.slots):
             if not self.waiting or s in self.running:
                 continue
-            rid, plen, max_new = self.waiting[0]
+            widx = self._next_waiting()
+            rid, plen, max_new, pri, seq = self.waiting[widx]
             pages = self.grants.pop(rid, [])
             granted = len(pages) * self.page_size
             assert granted <= max(plen - 1, 0), (granted, plen)
@@ -1068,8 +1084,8 @@ class _PyScheduler:
             if not self.alloc.allocate(rid, granted, plen - granted):
                 self.alloc.release(rid)  # undo the shared prefix
                 break
-            self.waiting.pop(0)
-            self.running[s] = [rid, plen, max_new, 0]
+            self.waiting.pop(widx)
+            self.running[s] = [rid, plen, max_new, 0, pri, seq]
             n += 1
         return n
 
@@ -1085,7 +1101,7 @@ class _PyScheduler:
     def step_slot(self, s):
         if s not in self.running:
             return -1
-        rid, plen, max_new, gen = self.running[s]
+        rid, plen, max_new, gen = self.running[s][:4]
         if not self.alloc.allocate(rid, plen + gen, 1):
             self.stalled = True
             return 0
@@ -1099,18 +1115,25 @@ class _PyScheduler:
     def release_slot(self, s, requeue=False):
         if s not in self.running:
             return
-        rid, plen, max_new, _ = self.running.pop(s)
+        rid, plen, max_new, _, pri, seq = self.running.pop(s)
         self.alloc.release(rid)
         if requeue:
-            self.waiting.insert(0, (rid, plen, max_new))
+            # Original seq preserved: the victim keeps its FIFO standing
+            # within its priority class on re-admission.
+            self.waiting.insert(0, (rid, plen, max_new, pri, seq))
         else:
             self.stalled = False
 
     def preempt_youngest(self):
-        live = sorted(self.running)
-        if len(live) <= 1:
+        """Lowest priority first, youngest arrival within it."""
+        if len(self.running) <= 1:
             return -1
-        victim = live[-1]
+        victim = -1
+        for s in sorted(self.running, reverse=True):
+            if victim == -1 or (
+                self.running[s][4], -self.running[s][5]
+            ) < (self.running[victim][4], -self.running[victim][5]):
+                victim = s
         self.release_slot(victim, requeue=True)
         return victim
 

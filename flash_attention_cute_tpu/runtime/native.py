@@ -90,6 +90,8 @@ def load() -> ctypes.CDLL | None:
         "sched_create": ([c_int, c_int, c_int, c_int], c_void),
         "sched_destroy": ([c_void], None),
         "sched_submit": ([c_void, c_i64, c_int, c_int], None),
+        "sched_submit_priority": ([c_void, c_i64, c_int, c_int, c_int],
+                                  None),
         "sched_admit": ([c_void], c_int),
         "sched_step_slot": ([c_void, c_int], c_int),
         "sched_finished": ([c_void, c_int], c_int),
@@ -197,8 +199,11 @@ class NativeScheduler:
         if lib is not None and h:
             lib.sched_destroy(h)
 
-    def submit(self, req_id: int, prompt_len: int, max_new_tokens: int):
-        self._lib.sched_submit(self._h, req_id, prompt_len, max_new_tokens)
+    def submit(self, req_id: int, prompt_len: int, max_new_tokens: int,
+               priority: int = 0):
+        self._lib.sched_submit_priority(
+            self._h, req_id, prompt_len, max_new_tokens, priority
+        )
 
     def admit(self) -> int:
         return self._lib.sched_admit(self._h)

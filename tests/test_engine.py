@@ -692,3 +692,33 @@ def test_engine_cross_bucket_grouped_prefill_exact(model):
     for rid, p in prompts.items():
         want = greedy_oracle(params, cfg, p, 4)
         assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_engine_priority_requests_jump_the_queue(model):
+    """A high-priority request submitted behind a full batch + queue is
+    admitted before earlier normal-priority requests, and its output is
+    oracle-exact."""
+    cfg, params = model
+    rng = np.random.default_rng(31)
+    prompts = {i: rng.integers(0, cfg.vocab_size, 6).tolist()
+               for i in range(5)}
+
+    eng = ServingEngine(
+        params, cfg, slots=1, num_pages=33, page_size=8, pages_per_seq=8,
+        interpret=True,
+    )
+    for i in range(4):
+        eng.submit(i, prompts[i], 4)
+    eng.submit(4, prompts[4], 4, priority=10)
+    order = []
+    for _ in range(200):
+        before = set(eng._done)
+        if not eng.step():
+            break
+        order.extend(rid for rid in eng._done if rid not in before)
+    # Request 0 occupies the single slot first (it admitted before the
+    # priority request arrived... same _admit call here, so priority wins
+    # the very first slot).
+    assert order[0] == 4, order
+    want = greedy_oracle(params, cfg, prompts[4], 4)
+    assert eng._done[4] == want

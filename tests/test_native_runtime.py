@@ -245,3 +245,57 @@ def test_scheduler_lockstep_with_prefix_grants():
                 )
         for p0 in pinned:
             assert cc.page_refcount(p0) == py.page_refcount(p0), step
+
+
+def test_priority_scheduling_lockstep_and_semantics():
+    """Priority classes: admission picks highest-priority-then-FIFO,
+    preemption evicts lowest-priority-then-youngest — identically in
+    both backends."""
+    from flash_attention_cute_tpu.runtime.engine import _PyScheduler
+
+    for mk in (lambda: native.NativeScheduler(32, 4, 8, slots=2),
+               lambda: _PyScheduler(32, 4, 8, slots=2)):
+        s = mk()
+        s.submit(1, 4, 2)                 # priority 0
+        s.submit(2, 4, 2)                 # priority 0
+        s.submit(3, 4, 2, 5)              # priority 5, arrives last
+        assert s.admit() == 2
+        # Highest priority admitted first despite arriving last.
+        ids = {s.slot_id(0), s.slot_id(1)}
+        assert 3 in ids and 1 in ids, ids
+        # Preemption victims: lowest priority goes first.
+        v = s.preempt_youngest()
+        assert s.slot_id(v) == -1
+        live = {s.slot_id(t) for t in range(2)} - {-1}
+        assert live == {3}
+
+    # Random-driven parity with priorities in the stream.
+    cc = native.NativeScheduler(14, 4, 8, slots=3)
+    py = _PyScheduler(14, 4, 8, slots=3)
+    rng = np.random.default_rng(23)
+    nid = 0
+    for step in range(300):
+        op = rng.random()
+        if op < 0.3:
+            plen = int(rng.integers(2, 16))
+            mnew = int(rng.integers(1, 6))
+            pri = int(rng.integers(0, 3))
+            cc.submit(nid, plen, mnew, pri)
+            py.submit(nid, plen, mnew, pri)
+            nid += 1
+        elif op < 0.55:
+            assert cc.admit() == py.admit(), step
+        elif op < 0.75:
+            t = int(rng.integers(0, 3))
+            assert cc.step_slot(t) == py.step_slot(t), step
+        elif op < 0.85:
+            t = int(rng.integers(0, 3))
+            rq = bool(rng.random() < 0.5)
+            assert cc.slot_id(t) == py.slot_id(t)
+            cc.release_slot(t, requeue=rq)
+            py.release_slot(t, requeue=rq)
+        else:
+            assert cc.preempt_youngest() == py.preempt_youngest(), step
+        assert cc.num_free_pages == py.num_free_pages, step
+        for t in range(3):
+            assert cc.slot_id(t) == py.slot_id(t), step
