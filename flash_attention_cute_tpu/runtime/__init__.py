@@ -19,11 +19,15 @@ from flash_attention_cute_tpu.runtime.dp_engine import (
 from flash_attention_cute_tpu.runtime.spec_engine import (
     SpeculativeServingEngine,
 )
+from flash_attention_cute_tpu.runtime.beam_search import beam_generate
 from flash_attention_cute_tpu.runtime.prefix_cache import PrefixCache
+from flash_attention_cute_tpu.runtime.prompt_lookup import (
+    prompt_lookup_generate,
+)
 
 __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
-    "speculative_generate",
+    "speculative_generate", "prompt_lookup_generate", "beam_generate",
     "ServingEngine", "DataParallelServingEngine",
     "SpeculativeServingEngine", "PrefixCache",
 ]
