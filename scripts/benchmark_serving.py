@@ -49,13 +49,14 @@ def parse_args(argv=None):
     p.add_argument("--prefill-group", type=int, default=1,
                    help=">1: batch same-bucket admissions into one "
                         "prefill forward (fewer dispatches)")
-    p.add_argument("--speculative", choices=["off", "self", "trim"],
+    p.add_argument("--speculative", choices=["off", "self", "trim", "ngram"],
                    default="off",
                    help="engine-level speculative decoding: 'self' drafts "
                         "with the target itself (100%% acceptance — the "
                         "mechanism's upper bound), 'trim' with a "
                         "--draft-layers-deep copy (realistic draft cost; "
-                        "acceptance is meaningless with random weights)")
+                        "acceptance is meaningless with random weights), "
+                        "'ngram' draft-free prompt lookup")
     p.add_argument("--spec-gamma", type=int, default=4)
     p.add_argument("--spec-rounds", type=int, default=4,
                    help="draft/verify rounds folded into one device "
@@ -116,24 +117,32 @@ def main(argv=None):
             SpeculativeServingEngine,
         )
 
-        if a.speculative == "self":
-            draft_cfg, draft_params = cfg, params
-        else:
-            draft_cfg = dataclasses.replace(cfg, num_layers=a.draft_layers)
-            draft_params = dict(
-                params,
-                layers=jax.tree.map(
-                    lambda x: x[: a.draft_layers], params["layers"]
-                ),
-            )
-        eng = SpeculativeServingEngine(
-            params, cfg, draft_params=draft_params, draft_cfg=draft_cfg,
+        spec_kw = dict(
             gamma=a.spec_gamma, rounds_per_call=a.spec_rounds,
             slots=a.slots, num_pages=num_pages,
             page_size=a.page_size, pages_per_seq=pages_per_seq,
             prefill_group=a.prefill_group, interpret=interp,
             enable_prefix_cache=a.prefix_cache,
         )
+        if a.speculative == "ngram":
+            eng = SpeculativeServingEngine(params, cfg, ngram=2, **spec_kw)
+        else:
+            if a.speculative == "self":
+                draft_cfg, draft_params = cfg, params
+            else:
+                draft_cfg = dataclasses.replace(
+                    cfg, num_layers=a.draft_layers
+                )
+                draft_params = dict(
+                    params,
+                    layers=jax.tree.map(
+                        lambda x: x[: a.draft_layers], params["layers"]
+                    ),
+                )
+            eng = SpeculativeServingEngine(
+                params, cfg, draft_params=draft_params,
+                draft_cfg=draft_cfg, **spec_kw,
+            )
     else:
         eng = ServingEngine(
             params, cfg, slots=a.slots, num_pages=num_pages,

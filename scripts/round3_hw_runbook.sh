@@ -40,4 +40,5 @@ run spec_serve_self 1800 python scripts/benchmark_serving.py --speculative self 
 run prefix_serve 1800 python scripts/benchmark_serving.py --prefix-cache --shared-prefix 256 --decode-chunk 64 --prefill-group 4
 run prefix_serve_base 1800 python scripts/benchmark_serving.py --shared-prefix 256 --decode-chunk 64 --prefill-group 4
 run spec_serve_trim 1800 python scripts/benchmark_serving.py --speculative trim --draft-layers 1 --spec-gamma 4 --spec-rounds 4 --prefill-group 4
+run spec_serve_ngram 1800 python scripts/benchmark_serving.py --speculative ngram --spec-gamma 4 --spec-rounds 4 --prefill-group 4
 echo "ALL DONE -> $OUT"
