@@ -117,6 +117,22 @@ def flash_attention_forward(
             block_q=cfg.block_q, block_kv=cfg.block_kv, interpret=interp,
         )
 
+    if (
+        logit_softcap is None and score_dtype is None and stable is True
+        and block_config is None
+    ):
+        # Dense prefill at default knobs: route through the custom-VJP op
+        # so jax.grad works through model forwards ON TPU (the Pallas
+        # recompute backward). Free when not differentiating — custom_vjp
+        # runs this exact primal. Non-default knobs (softcap, int8 scores,
+        # explicit configs) keep the direct call below and stay
+        # forward-only.
+        from flash_attention_cute_tpu.ops.autodiff import flash_attention
+
+        return flash_attention(
+            q, k, v, softmax_scale, causal, window, interpret
+        )
+
     return flash_attention_fwd(
         q, k, v,
         sm_scale=softmax_scale,

@@ -22,13 +22,24 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from flash_attention_cute_tpu.api import flash_attention_forward
-
-
 def _use_pallas(interpret) -> bool:
     from flash_attention_cute_tpu import dispatch
 
     return dispatch.on_tpu() or bool(interpret)
+
+
+def _blocks(q, k, causal):
+    """The same tuned block config api.flash_attention_forward would
+    pick, so the differentiable route is numerically identical to the
+    plain one (api routes its dense-prefill calls HERE — this module
+    must not call back into api)."""
+    from flash_attention_cute_tpu import dispatch
+
+    cfg = dispatch.select_block_config(
+        dtype=q.dtype, head_dim=q.shape[-1], q_len=q.shape[2],
+        kv_len=k.shape[2], causal=causal,
+    )
+    return cfg.block_q, cfg.block_kv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -46,9 +57,18 @@ def flash_attention(
     Layout [B, H, S, D] like `flash_attn_func`; GQA/MQA supported (KV
     gradients sum over the query-head group).
     """
-    return flash_attention_forward(
-        q, k, v, softmax_scale=sm_scale, causal=causal, window=window,
-        interpret=interpret,
+    if _use_pallas(interpret):
+        from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
+
+        bq, bkv = _blocks(q, k, causal)
+        return flash_attention_fwd(
+            q, k, v, sm_scale=sm_scale, causal=causal, window=window,
+            block_q=bq, block_kv=bkv, interpret=bool(interpret),
+        )
+    from flash_attention_cute_tpu.ops.reference import attention_reference
+
+    return attention_reference(
+        q, k, v, softmax_scale=sm_scale, causal=causal, window=window
     )
 
 
@@ -56,8 +76,10 @@ def _fwd(q, k, v, sm_scale, causal, window, interpret):
     if _use_pallas(interpret):
         from flash_attention_cute_tpu.ops.flash_fwd import flash_attention_fwd
 
+        bq, bkv = _blocks(q, k, causal)
         out, lse = flash_attention_fwd(
             q, k, v, sm_scale=sm_scale, causal=causal, window=window,
+            block_q=bq, block_kv=bkv,
             return_lse=True, interpret=bool(interpret),
         )
         return out, (q, k, v, out, lse)

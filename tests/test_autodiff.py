@@ -185,3 +185,34 @@ def test_forward_value_is_kernel_path():
     o1 = flash_attention(q, k, v, None, True, None)
     o2 = flash_attention_forward(q, k, v, causal=True)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+def test_model_forward_differentiable_on_pallas_path():
+    """jax.grad through the FULL model forward with the Pallas kernels
+    (interpret mode): the api's dense-prefill route now carries the
+    custom VJP, so model-level fine-tuning works on the kernel path —
+    gradients must match the analytic XLA route."""
+    import numpy as np
+
+    from flash_attention_cute_tpu.models import forward, init_params
+    from flash_attention_cute_tpu.models.config import tiny_test_config
+
+    cfg = tiny_test_config(num_layers=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.key(3))
+    ids = jax.random.randint(jax.random.key(4), (2, 24), 0, cfg.vocab_size)
+
+    def loss(p, interpret):
+        logits, _ = forward(p, cfg, ids, mode="prefill",
+                            interpret=interpret)
+        lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(lp, ids[:, 1:, None], axis=-1)
+        )
+
+    g_pallas = jax.grad(lambda p: loss(p, True))(params)
+    g_ref = jax.grad(lambda p: loss(p, None))(params)  # XLA oracle off-TPU
+    flat_p, _ = jax.tree_util.tree_flatten(g_pallas)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    for a, b in zip(flat_p, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
+        )
