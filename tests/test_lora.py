@@ -246,9 +246,10 @@ def test_lora_finetuning_step_trains_adapter_only(setup):
     aid = jnp.ones((4,), jnp.int32)  # all rows train adapter 1
 
     def loss_fn(lora_p):
-        # interpret=None -> the differentiable XLA-reference attention
-        # off-TPU (the Pallas interpret path has no JVP; on TPU the
-        # differentiable route is ops.autodiff.flash_attention).
+        # interpret=None -> the XLA-reference attention off-TPU (fast for
+        # this CPU test); the kernel path differentiates too — the api
+        # routes dense prefill through the custom-VJP op (see
+        # tests/test_autodiff.py::test_model_forward_differentiable...).
         logits, _ = forward(params, cfg, ids, mode="prefill",
                             lora=lora_p, adapter_ids=aid)
         lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
