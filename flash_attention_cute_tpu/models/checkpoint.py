@@ -34,6 +34,10 @@ def _cfg_from_json(s: str) -> ModelConfig:
     d["dtype"] = jnp.dtype(d["dtype"])
     if d.get("rope_scaling"):
         d["rope_scaling"] = RopeScaling(**d["rope_scaling"])
+    if d.get("layer_window_pattern") is not None:
+        # JSON round-trips tuples as lists; the config must stay hashable
+        # (it rides jit static args).
+        d["layer_window_pattern"] = tuple(d["layer_window_pattern"])
     return ModelConfig(**d)
 
 

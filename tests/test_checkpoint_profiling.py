@@ -79,3 +79,54 @@ def test_trace_context(tmp_path):
         with annotate("phase"):
             jnp.ones((8, 8)).sum().block_until_ready()
     assert any((tmp_path / "tr").rglob("*"))
+
+
+def test_checkpoint_gemma2_config_round_trip(tmp_path):
+    """Configs with tuple fields (Gemma2's layer_window_pattern) must
+    restore HASHABLE (they ride jit static args) and equal."""
+    import jax
+
+    from flash_attention_cute_tpu.models import init_params
+    from flash_attention_cute_tpu.models.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from flash_attention_cute_tpu.models.config import tiny_test_config
+
+    cfg = tiny_test_config(
+        num_layers=2, layer_window_pattern=(8, None),
+        sandwich_norms=True, hidden_activation="gelu_tanh",
+        final_logit_softcap=30.0, scale_embeddings=True,
+    )
+    params = init_params(cfg, jax.random.key(0))
+    save_checkpoint(tmp_path / "ck", params, cfg)
+    cfg2, params2 = load_checkpoint(tmp_path / "ck")
+    assert cfg2 == cfg
+    hash(cfg2)  # must not raise (static-arg requirement)
+    import numpy as np
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["q_proj"]),
+        np.asarray(params2["layers"]["q_proj"]),
+    )
+
+
+def test_checkpoint_lora_bank_round_trip(tmp_path):
+    """A multi-LoRA adapter bank checkpoints like any pytree."""
+    import jax
+    import numpy as np
+
+    from flash_attention_cute_tpu.models.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from flash_attention_cute_tpu.models.config import tiny_test_config
+    from flash_attention_cute_tpu.models.lora import init_lora_params
+
+    cfg = tiny_test_config(num_layers=2)
+    lora = init_lora_params(cfg, num_adapters=3, rank=4,
+                            key=jax.random.key(1))
+    save_checkpoint(tmp_path / "lora", lora, cfg)
+    _, lora2 = load_checkpoint(tmp_path / "lora")
+    a, b = jax.tree_util.tree_leaves(lora), jax.tree_util.tree_leaves(lora2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
