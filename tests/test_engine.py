@@ -722,3 +722,48 @@ def test_engine_priority_requests_jump_the_queue(model):
     assert order[0] == 4, order
     want = greedy_oracle(params, cfg, prompts[4], 4)
     assert eng._done[4] == want
+
+
+def test_engine_tensor_parallel_prefix_cache_and_lora(model):
+    """TP mesh x prefix caching x multi-LoRA: the page table replicates
+    (sharing is table-level), adapter deltas compute on the replicated
+    activations — outputs must match the single-device engine with the
+    same features."""
+    import jax
+    from jax.sharding import Mesh
+
+    from flash_attention_cute_tpu.models.lora import init_lora_params
+
+    cfg, params = model
+    lora = init_lora_params(cfg, num_adapters=2, rank=4,
+                            key=jax.random.key(21), scaling=0.5)
+    # Give adapter 1 a real B so it changes behavior.
+    qb = lora["layers"]["q_proj"]["b"]
+    nb = jax.random.normal(jax.random.key(22), qb[:, 1].shape) * 0.05
+    lora["layers"]["q_proj"]["b"] = qb.at[:, 1].set(nb.astype(qb.dtype))
+
+    rng = np.random.default_rng(33)
+    system = rng.integers(0, cfg.vocab_size, 9).tolist()
+    prompts = {0: system + rng.integers(0, cfg.vocab_size, 4).tolist(),
+               1: system + rng.integers(0, cfg.vocab_size, 6).tolist(),
+               2: system + rng.integers(0, cfg.vocab_size, 5).tolist()}
+
+    def run(mesh):
+        eng = ServingEngine(
+            params, cfg, slots=2, num_pages=33, page_size=8,
+            pages_per_seq=8, mesh=mesh, interpret=True,
+            enable_prefix_cache=True, lora_params=lora,
+        )
+        # Request 2 arrives in a SECOND admission wave (2 slots), so it
+        # hits the blocks requests 0/1 inserted.
+        for rid in prompts:
+            eng.submit(rid, prompts[rid], 5, adapter=1)
+        out = eng.run()
+        return out, eng.stats["prefix_hit_tokens"]
+
+    single, hits_s = run(None)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2),
+                ("data", "model"))
+    sharded, hits_m = run(mesh)
+    assert single == sharded, (single, sharded)
+    assert hits_m == hits_s and hits_m >= 8
