@@ -23,6 +23,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run smoke        300 python scripts_tpu_smoke.py
 run verify_r3    900 python scripts/verify_r3_hw.py
+run verify_r3b   900 python scripts/verify_r3b_hw.py
 run bench        900 python bench.py
 run int8_head    900 python benchmarks/int8_headline.py
 run qmajor       900 python benchmarks/experiment_qmajor.py
