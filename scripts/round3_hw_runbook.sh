@@ -27,6 +27,7 @@ run verify_r3b   900 python scripts/verify_r3b_hw.py
 run bench        900 python bench.py
 run int8_head    900 python benchmarks/int8_headline.py
 run qmajor       900 python benchmarks/experiment_qmajor.py
+run flatgrid     900 python benchmarks/experiment_flatgrid.py
 run headline_sweep 1800 python benchmarks/headline_sweep.py
 run serving_g4   1800 python scripts/benchmark_serving.py --decode-chunk 64 --prefill-group 4
 run serving_g4c32 1800 python scripts/benchmark_serving.py --decode-chunk 32 --prefill-group 4
