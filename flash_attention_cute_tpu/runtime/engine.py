@@ -52,7 +52,8 @@ from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
                   seeds=None, positions=None, mesh=None, bias=None,
                   min_tokens=None, eos_token_id=None, lora=None,
-                  adapter_ids=None):
+                  adapter_ids=None, dfa=None, dfa_state=None,
+                  constrain=None):
     """Decode `chunk` tokens for every slot in one compiled scan.
 
     Returns (tokens [chunk, slots], state). Inactive slots (length 0)
@@ -66,12 +67,15 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
 
     Guided decoding: `bias` [slots, V] adds to every step's logits
     (+/-inf bans/forces tokens); `min_tokens` [slots] suppresses
-    `eos_token_id` while the absolute position is below it.
+    `eos_token_id` while the absolute position is below it; `dfa`
+    ({"bias": [n_states, V] f32 (0 / -inf), "transitions": [n_states, V]
+    int32}) constrains `constrain`-flagged rows to the automaton,
+    advancing `dfa_state` per emitted token (structured output).
     """
     from flash_attention_cute_tpu.runtime.sampling import sample_token
 
     def body(carry, i):
-        state, tok = carry
+        state, tok, dstate = carry
         logits, state = forward_paged(
             params, cfg, tok[:, None], state, mode="decode",
             interpret=interpret, mesh=mesh, lora=lora,
@@ -79,6 +83,11 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
         )
         if bias is not None:
             logits = logits + bias[:, None, :]
+        if dfa is not None:
+            step_bias = dfa["bias"][dstate]  # [slots, V]
+            logits = logits + jnp.where(
+                constrain[:, None], step_bias, 0.0
+            )[:, None, :]
         if min_tokens is not None and eos_token_id is not None:
             early = (positions + i + 1) < min_tokens  # [slots]
             logits = logits.at[:, :, eos_token_id].add(
@@ -95,10 +104,20 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
             nxt = jax.vmap(
                 lambda lg, k_: sample_token(lg[None], k_, sampling)[0]
             )(logits[:, 0], per_slot)
-        return (state, nxt), nxt
+        if dfa is not None:
+            dstate = jnp.where(
+                constrain,
+                dfa["transitions"][dstate, nxt],
+                dstate,
+            )
+        return (state, nxt, dstate), nxt
 
-    (state, _), toks = jax.lax.scan(
-        body, (state, last), jnp.arange(chunk)
+    dstate0 = (
+        dfa_state if dfa_state is not None
+        else jnp.zeros_like(last)
+    )
+    (state, _, _), toks = jax.lax.scan(
+        body, (state, last, dstate0), jnp.arange(chunk)
     )
     return toks, state
 
@@ -116,6 +135,7 @@ class _Request:
     min_new_tokens: int = 0
     stop_sequences: list | None = None
     adapter: int = 0  # LoRA adapter id (0 = base model)
+    constrain: bool = False  # decode through the engine's shared DFA
     # Latency observability (BASELINE.json names p50 TTFT as a headline
     # metric): submit -> first token host-visible -> finished. Preemption
     # replay keeps the ORIGINAL first-token time (the user saw it once).
@@ -153,6 +173,11 @@ class ServingEngine:
         # rounds of the other slots (bounds head-of-line blocking by long
         # prompts; dense pages only). 0 = whole-prompt admission.
         eos_token_id: int | None = None,  # finish a request early at EOS
+        dfa: dict | None = None,  # shared decoding automaton for
+        # structured output: {"bias": [n_states, V] f32 (0 allowed /
+        # -inf banned), "transitions": [n_states, V] int32, "start": int}.
+        # Requests opt in with submit(constrain=True); states advance per
+        # emitted token and are tracked HOST-side (recompute-stable).
         lora_params: dict | None = None,  # stacked multi-LoRA adapters
         # (models/lora.py): every request picks its own adapter id at
         # submit(); id 0 is the no-op adapter by convention
@@ -188,6 +213,15 @@ class ServingEngine:
         self.interpret = interpret
         self.enable_prefix_cache = enable_prefix_cache
         self.lora = lora_params
+        if dfa is not None:
+            self.dfa = {
+                "bias": jnp.asarray(dfa["bias"], jnp.float32),
+                "transitions": jnp.asarray(dfa["transitions"], jnp.int32),
+            }
+            self.dfa_start = int(dfa.get("start", 0))
+        else:
+            self.dfa = None
+            self.dfa_start = 0
         self._prefilling: dict[int, int] = {}  # slot -> tokens scattered
         # Prefix caching: tokens of each waiting/admitting request served
         # from the cache (granted to the scheduler this round), and the
@@ -320,9 +354,12 @@ class ServingEngine:
         adapter: int = 0,  # LoRA adapter id (requires lora_params)
         priority: int = 0,  # higher admits sooner and preempts later
         # (FIFO within a priority class; 0 = default)
+        constrain: bool = False,  # decode through the engine DFA
     ):
         assert req_id >= 0 and req_id not in self._requests
         assert len(prompt) >= 1
+        if constrain:
+            assert self.dfa is not None, "engine built without a dfa"
         if adapter != 0:
             assert self.lora is not None, "engine built without lora_params"
             assert 0 <= adapter < self.lora["scaling"].shape[0], adapter
@@ -335,6 +372,7 @@ class ServingEngine:
                 [list(s) for s in stop_sequences] if stop_sequences else None
             ),
             adapter=adapter,
+            constrain=constrain,
         )
         self.sched.submit(req_id, len(prompt), max_new_tokens, priority)
 
@@ -467,6 +505,22 @@ class ServingEngine:
             seeds[s] = self._req_seed(rid)
             positions[s] = len(req.generated)
         bias, mins = self._guided_arrays(range(self.slots), by_slot=True)
+        dfa_state = constrain = None
+        if self.dfa is not None:
+            ds = np.zeros((self.slots,), np.int32)
+            cm = np.zeros((self.slots,), bool)
+            trans = np.asarray(self.dfa["transitions"])
+            for s in range(self.slots):
+                rid = self._slot_req[s]
+                if rid == -1 or not self._requests[rid].constrain:
+                    continue
+                cm[s] = True
+                st = self.dfa_start
+                for tok in self._requests[rid].generated:
+                    st = int(trans[st, tok])
+                ds[s] = st
+            dfa_state = jnp.asarray(ds)
+            constrain = jnp.asarray(cm)
         tokens, self.state = _decode_chunk(
             self.params, self.cfg, jnp.asarray(last), self.state,
             chunk, self.sampling, self.interpret,
@@ -474,6 +528,7 @@ class ServingEngine:
             mesh=self.mesh, bias=bias, min_tokens=mins,
             eos_token_id=self.eos_token_id if mins is not None else None,
             lora=self.lora, adapter_ids=self._adapter_ids(),
+            dfa=self.dfa, dfa_state=dfa_state, constrain=constrain,
         )
         self.stats["device_calls"] += 1
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
@@ -722,7 +777,10 @@ class ServingEngine:
         # Select + sample on DEVICE; fetch only [g] token ids (full-vocab
         # logits are half a megabyte per row over a tunneled link).
         last_logits = logits[jnp.arange(g), plens - 1 - shareds]  # [g, V]
-        if any(r.logit_bias or r.min_new_tokens > 0 for r in reqs):
+        if any(
+            r.logit_bias or r.min_new_tokens > 0 or r.constrain
+            for r in reqs
+        ):
             rows = []
             for i, r in enumerate(reqs):
                 rows.append(
@@ -860,7 +918,7 @@ class ServingEngine:
             del self._prefilling[s]
             self._set_length(s, plen)
             last_logits = logits[j : j + 1, plen - 1 - (p - c)]
-            if req.logit_bias or req.min_new_tokens > 0:
+            if req.logit_bias or req.min_new_tokens > 0 or req.constrain:
                 last_logits = self._shape_logits(
                     last_logits, req, 0, self.eos_token_id
                 )
@@ -933,8 +991,7 @@ class ServingEngine:
             )
         return bias, mins
 
-    @staticmethod
-    def _shape_logits(last_logits, req, position: int, eos_token_id):
+    def _shape_logits(self, last_logits, req, position: int, eos_token_id):
         """Apply a single request's guided-decoding shaping to a [1, V]
         logits row (admission-time token sampling)."""
         if req.logit_bias:
@@ -950,6 +1007,10 @@ class ServingEngine:
             and position + 1 < req.min_new_tokens
         ):
             last_logits = last_logits.at[0, eos_token_id].set(-jnp.inf)
+        if req.constrain and self.dfa is not None:
+            # Token 0 is emitted from the DFA start state (the prompt
+            # does not advance the automaton).
+            last_logits = last_logits + self.dfa["bias"][self.dfa_start]
         return last_logits
 
     def _check_stops(self, req) -> None:

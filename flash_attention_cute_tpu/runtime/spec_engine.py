@@ -466,6 +466,12 @@ class SpeculativeServingEngine(ServingEngine):
             assert cfg.vocab_size == draft_cfg.vocab_size, (
                 "draft and target must share a vocabulary"
             )
+        if self.dfa is not None:
+            raise NotImplementedError(
+                "DFA-constrained decoding x speculative serving is not "
+                "composed (the verify chunk needs an in-scan state walk); "
+                "use the plain ServingEngine"
+            )
         self.ngram = ngram
         self.draft_cfg = draft_cfg
         self.gamma = gamma

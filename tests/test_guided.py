@@ -113,3 +113,63 @@ def test_guided_sampled_engine_runs(model):
     eng.submit(0, prompt, 6, logit_bias={5: float("-inf")})
     out = eng.run()[0]
     assert len(out) == 6 and 5 not in out
+
+
+def _parity_dfa(vocab):
+    """Two-state automaton: even states emit even token ids, odd states
+    odd ids; every emission flips the state."""
+    ids = np.arange(vocab)
+    bias = np.full((2, vocab), -np.inf, np.float32)
+    bias[0, ids % 2 == 0] = 0.0
+    bias[1, ids % 2 == 1] = 0.0
+    trans = np.zeros((2, vocab), np.int32)
+    trans[0] = 1
+    trans[1] = 0
+    return {"bias": bias, "transitions": trans, "start": 0}
+
+
+def test_dfa_constrained_decoding_matches_slow_reference(model):
+    """DFA-constrained decode: the emitted stream follows the automaton
+    and equals a dense-forward greedy walk applying the same per-state
+    masks; chunk boundaries recompute the state correctly."""
+    import jax.numpy as jnp
+
+    from flash_attention_cute_tpu.models import forward
+
+    cfg, params = model
+    dfa = _parity_dfa(cfg.vocab_size)
+    prompt = _prompt(cfg, seed=21)
+
+    def run(chunk):
+        eng = ServingEngine(params, cfg, interpret=True,
+                            dfa=dfa, decode_chunk=chunk, **POOL)
+        eng.submit(0, prompt, 8, constrain=True)
+        return eng.run()[0]
+
+    got = run(8)
+    assert got == run(2)  # state recomputation across chunk boundaries
+
+    # Slow reference: dense prefill each step, start-state masked.
+    ids = list(prompt)
+    state = 0
+    want = []
+    for _ in range(8):
+        lg, _ = forward(params, cfg, jnp.asarray([ids], jnp.int32),
+                        mode="prefill", interpret=True)
+        masked = np.asarray(lg[0, -1]) + dfa["bias"][state]
+        tok = int(np.argmax(masked))
+        want.append(tok)
+        state = int(dfa["transitions"][state, tok])
+        ids.append(tok)
+    assert got == want, (got, want)
+    assert all(t % 2 == i % 2 for i, t in enumerate(got))
+
+
+def test_dfa_unconstrained_rows_unaffected(model):
+    cfg, params = model
+    dfa = _parity_dfa(cfg.vocab_size)
+    prompt = _prompt(cfg, seed=23)
+    plain, _ = _run_one(model, prompt, 6)
+    eng = ServingEngine(params, cfg, interpret=True, dfa=dfa, **POOL)
+    eng.submit(0, prompt, 6)  # constrain NOT set
+    assert eng.run()[0] == plain
