@@ -173,3 +173,12 @@ def test_dfa_unconstrained_rows_unaffected(model):
     eng = ServingEngine(params, cfg, interpret=True, dfa=dfa, **POOL)
     eng.submit(0, prompt, 6)  # constrain NOT set
     assert eng.run()[0] == plain
+
+
+def test_dfa_speculative_rejected(model):
+    cfg, params = model
+    with pytest.raises(NotImplementedError):
+        SpeculativeServingEngine(
+            params, cfg, ngram=2, dfa=_parity_dfa(cfg.vocab_size),
+            interpret=True, **POOL,
+        )
