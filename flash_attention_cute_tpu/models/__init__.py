@@ -14,6 +14,7 @@ from flash_attention_cute_tpu.models.transformer import (
 )
 from flash_attention_cute_tpu.models.llama import llama_config_from_hf
 from flash_attention_cute_tpu.models.gemma2 import gemma2_config_from_hf
+from flash_attention_cute_tpu.models.mistral import mistral_config_from_hf
 from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
 from flash_attention_cute_tpu.models.heads import (
     embedding_pooling_forward,
@@ -30,6 +31,7 @@ __all__ = [
     "llama_config_from_hf",
     "qwen2_config_from_hf",
     "gemma2_config_from_hf",
+    "mistral_config_from_hf",
     "question_answering_forward",
     "sequence_classification_forward",
     "token_classification_forward",

@@ -153,6 +153,11 @@ def load_hf_model(model_name_or_path: str, dtype=jnp.bfloat16):
     if model_type == "qwen2":
         from flash_attention_cute_tpu.models.qwen2 import qwen2_config_from_hf
         cfg = qwen2_config_from_hf(hf_cfg, dtype=dtype)
+    elif model_type == "mistral":
+        from flash_attention_cute_tpu.models.mistral import (
+            mistral_config_from_hf,
+        )
+        cfg = mistral_config_from_hf(hf_cfg, dtype=dtype)
     elif model_type == "gemma2":
         from flash_attention_cute_tpu.models.gemma2 import (
             gemma2_config_from_hf,

@@ -14,6 +14,7 @@ from flash_attention_cute_tpu.models.llama import (
     llama3_8b_config,
 )
 from flash_attention_cute_tpu.models.gemma2 import gemma2_9b_config
+from flash_attention_cute_tpu.models.mistral import mistral_7b_config
 from flash_attention_cute_tpu.models.qwen2 import qwen2_7b_config
 
 def _tiny_config(dtype=jnp.bfloat16):
@@ -27,6 +28,7 @@ PRESETS = {
     "llama3-8b": llama3_8b_config,
     "qwen2-7b": qwen2_7b_config,
     "gemma2-9b": gemma2_9b_config,
+    "mistral-7b": mistral_7b_config,
     # CPU-runnable shape for smoke-testing the bench CLIs end to end.
     "tiny": _tiny_config,
 }

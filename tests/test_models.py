@@ -470,3 +470,45 @@ def test_gemma2_serving_engine_exact():
             want.append(nxt)
             ids.append(nxt)
         assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_mistral_logits_parity_with_hf():
+    """Mistral (fourth family): Llama + uniform sliding window — logits
+    parity vs transformers, window long AND short relative to the
+    sequence."""
+    from flash_attention_cute_tpu.models import forward
+    from flash_attention_cute_tpu.models.mistral import (
+        mistral_config_from_hf,
+    )
+
+    for window in (64, 8):  # inert window, then truncating window
+        hf_cfg = transformers.MistralConfig(
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=112,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=128,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            sliding_window=window,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(8)
+        with torch.device("cpu"):
+            model = transformers.MistralForCausalLM(hf_cfg).eval()
+        cfg = mistral_config_from_hf(hf_cfg, dtype=jnp.float32)
+        assert cfg.use_sliding_window and cfg.max_window_layers == 0
+        params = params_from_state_dict(model.state_dict(), cfg)
+        rng = np.random.default_rng(24)
+        ids = rng.integers(0, 128, (2, 24)).astype(np.int64)
+        want = hf_logits(model, ids)
+        got, _ = forward(
+            params, cfg, jnp.asarray(ids, jnp.int32), mode="prefill",
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=3e-4, rtol=3e-3,
+            err_msg=f"window={window}",
+        )
