@@ -505,22 +505,7 @@ class ServingEngine:
             seeds[s] = self._req_seed(rid)
             positions[s] = len(req.generated)
         bias, mins = self._guided_arrays(range(self.slots), by_slot=True)
-        dfa_state = constrain = None
-        if self.dfa is not None:
-            ds = np.zeros((self.slots,), np.int32)
-            cm = np.zeros((self.slots,), bool)
-            trans = np.asarray(self.dfa["transitions"])
-            for s in range(self.slots):
-                rid = self._slot_req[s]
-                if rid == -1 or not self._requests[rid].constrain:
-                    continue
-                cm[s] = True
-                st = self.dfa_start
-                for tok in self._requests[rid].generated:
-                    st = int(trans[st, tok])
-                ds[s] = st
-            dfa_state = jnp.asarray(ds)
-            constrain = jnp.asarray(cm)
+        dfa_state, constrain = self._dfa_arrays()
         tokens, self.state = _decode_chunk(
             self.params, self.cfg, jnp.asarray(last), self.state,
             chunk, self.sampling, self.interpret,
@@ -963,6 +948,26 @@ class ServingEngine:
             for s in rows
         ]
         return jnp.asarray(ids, jnp.int32)
+
+    def _dfa_arrays(self):
+        """Per-slot (automaton state, constrained?) device inputs derived
+        from each request's generated stream — host-side derivation makes
+        chunk boundaries and preemption recompute exact."""
+        if self.dfa is None:
+            return None, None
+        ds = np.zeros((self.slots,), np.int32)
+        cm = np.zeros((self.slots,), bool)
+        trans = np.asarray(self.dfa["transitions"])
+        for s in range(self.slots):
+            rid = self._slot_req[s]
+            if rid == -1 or not self._requests[rid].constrain:
+                continue
+            cm[s] = True
+            st = self.dfa_start
+            for tok in self._requests[rid].generated:
+                st = int(trans[st, tok])
+            ds[s] = st
+        return jnp.asarray(ds), jnp.asarray(cm)
 
     def _guided_arrays(self, slots_or_rids, by_slot: bool):
         """Per-row (bias [n, V] | None, min_tokens [n] | None) device

@@ -88,6 +88,12 @@ def _spec_rounds(
     # TARGET verify forward only (drafts stay base-model; proposals never
     # affect outputs, only acceptance)
     adapter_ids: jax.Array | None = None,
+
+    dfa: dict | None = None,  # shared decoding automaton (structured
+    # output): per-position masks walk the DRAFT prefix in-scan, so
+    # acceptance is exact vs the constrained plain engine
+    dfa_state0: jax.Array | None = None,  # [slots] entry states
+    constrain: jax.Array | None = None,  # [slots] bool opt-in
 ):
     """Run `rounds` draft/verify rounds for every active slot.
 
@@ -121,7 +127,7 @@ def _spec_rounds(
 
     def body(carry, _):
         (t_state, d_state, cur, prev, done, out, out_pos,
-         accepted_total) = carry
+         accepted_total, dstate) = carry
         alive = ~done & (out_pos < budget)
         t_len = t_state.lengths
         d_len = d_state.lengths
@@ -196,6 +202,23 @@ def _spec_rounds(
             vlog = vlog.at[:, :, eos_token_id].add(
                 jnp.where(early, -jnp.inf, 0.0)
             )
+        if dfa is not None:
+            # Walk the automaton along the DRAFT prefix: the state before
+            # verify position i is the entry state advanced by d_1..d_i —
+            # identical to what the plain constrained engine would see
+            # while the drafts keep matching.
+            def walk(st, d_col):
+                nxt = jnp.where(
+                    constrain, dfa["transitions"][st, d_col], st
+                )
+                return nxt, st
+            st_last, st_seq = jax.lax.scan(walk, dstate, drafts.T)
+            st_all = jnp.concatenate(
+                [jnp.moveaxis(st_seq, 0, 1), st_last[:, None]], axis=1
+            )  # [slots, gamma+1]
+            vlog = vlog + jnp.where(
+                constrain[:, None, None], dfa["bias"][st_all], 0.0
+            )
         padded = jnp.concatenate(
             [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
         )
@@ -263,11 +286,24 @@ def _spec_rounds(
         accepted_total = accepted_total + jnp.sum(
             jnp.where(alive, n_eff, 0)
         )
+        if dfa is not None:
+            def adv(st, i):
+                tok = e[:, i]
+                take = (iota[i] <= n_eff) & alive & constrain
+                nxt = jnp.where(take, dfa["transitions"][st, tok], st)
+                return nxt, None
+            dstate, _ = jax.lax.scan(
+                adv, dstate, jnp.arange(gamma + 1)
+            )
         return (t_state, d_state, cur, prev, done_new, out, out_pos,
-                accepted_total), None
+                accepted_total, dstate), None
 
-    init = (t_state, d_state, cur, prev, done0, out, out_pos, jnp.int32(0))
-    (t_state, d_state, _, _, _, out, out_pos, accepted), _ = jax.lax.scan(
+    dstate0 = (
+        dfa_state0 if dfa_state0 is not None else jnp.zeros_like(out_pos)
+    )
+    init = (t_state, d_state, cur, prev, done0, out, out_pos, jnp.int32(0),
+            dstate0)
+    (t_state, d_state, _, _, _, out, out_pos, accepted, _), _ = jax.lax.scan(
         body, init, None, length=rounds
     )
     t_state = dataclasses.replace(t_state, page_table=t_tbl)
@@ -304,6 +340,12 @@ def _spec_rounds_lookup(
     min_tokens: jax.Array | None = None,
     lora: dict | None = None,
     adapter_ids: jax.Array | None = None,
+
+    dfa: dict | None = None,  # shared decoding automaton (structured
+    # output): per-position masks walk the DRAFT prefix in-scan, so
+    # acceptance is exact vs the constrained plain engine
+    dfa_state0: jax.Array | None = None,  # [slots] entry states
+    constrain: jax.Array | None = None,  # [slots] bool opt-in
 ):
     """Draft-free (prompt-lookup) variant of _spec_rounds: proposals come
     from the history buffer's most recent n-gram continuation; no draft
@@ -326,7 +368,8 @@ def _spec_rounds_lookup(
     )
 
     def body(carry, _):
-        (t_state, hist, hlen, done, out, out_pos, accepted_total) = carry
+        (t_state, hist, hlen, done, out, out_pos, accepted_total,
+         dstate) = carry
         alive = ~done & (out_pos < budget)
         t_len = t_state.lengths
         cur = jnp.take_along_axis(
@@ -349,6 +392,23 @@ def _spec_rounds_lookup(
             ) < min_tokens[:, None]
             vlog = vlog.at[:, :, eos_token_id].add(
                 jnp.where(early, -jnp.inf, 0.0)
+            )
+        if dfa is not None:
+            # Walk the automaton along the DRAFT prefix: the state before
+            # verify position i is the entry state advanced by d_1..d_i —
+            # identical to what the plain constrained engine would see
+            # while the drafts keep matching.
+            def walk(st, d_col):
+                nxt = jnp.where(
+                    constrain, dfa["transitions"][st, d_col], st
+                )
+                return nxt, st
+            st_last, st_seq = jax.lax.scan(walk, dstate, drafts.T)
+            st_all = jnp.concatenate(
+                [jnp.moveaxis(st_seq, 0, 1), st_last[:, None]], axis=1
+            )  # [slots, gamma+1]
+            vlog = vlog + jnp.where(
+                constrain[:, None, None], dfa["bias"][st_all], 0.0
             )
         padded = jnp.concatenate(
             [drafts, jnp.zeros((slots, 1), jnp.int32)], axis=1
@@ -405,11 +465,23 @@ def _spec_rounds_lookup(
         accepted_total = accepted_total + jnp.sum(
             jnp.where(alive, n_eff, 0)
         )
+        if dfa is not None:
+            def adv(st, i):
+                tok = e[:, i]
+                take = (iota[i] <= n_eff) & alive & constrain
+                nxt = jnp.where(take, dfa["transitions"][st, tok], st)
+                return nxt, None
+            dstate, _ = jax.lax.scan(
+                adv, dstate, jnp.arange(gamma + 1)
+            )
         return (t_state, hist, hlen, done_new, out, out_pos,
-                accepted_total), None
+                accepted_total, dstate), None
 
-    init = (t_state, hist, hlen, done0, out, out_pos, jnp.int32(0))
-    (t_state, _, _, _, out, out_pos, accepted), _ = jax.lax.scan(
+    dstate0 = (
+        dfa_state0 if dfa_state0 is not None else jnp.zeros_like(out_pos)
+    )
+    init = (t_state, hist, hlen, done0, out, out_pos, jnp.int32(0), dstate0)
+    (t_state, _, _, _, out, out_pos, accepted, _), _ = jax.lax.scan(
         body, init, None, length=rounds
     )
     t_state = dataclasses.replace(t_state, page_table=t_tbl)
@@ -465,12 +537,6 @@ class SpeculativeServingEngine(ServingEngine):
             )
             assert cfg.vocab_size == draft_cfg.vocab_size, (
                 "draft and target must share a vocabulary"
-            )
-        if self.dfa is not None:
-            raise NotImplementedError(
-                "DFA-constrained decoding x speculative serving is not "
-                "composed (the verify chunk needs an in-scan state walk); "
-                "use the plain ServingEngine"
             )
         self.ngram = ngram
         self.draft_cfg = draft_cfg
@@ -820,6 +886,7 @@ class SpeculativeServingEngine(ServingEngine):
             gbias, gmins = self._guided_arrays(
                 range(self.slots), by_slot=True
             )
+            gds, gcm = self._dfa_arrays()
             out, out_pos, self.state, accepted = _spec_rounds_lookup(
                 self.params, self.cfg, self.state,
                 jnp.asarray(hist), jnp.asarray(hlen),
@@ -829,11 +896,13 @@ class SpeculativeServingEngine(ServingEngine):
                 sampling=sampling, seeds=jnp.asarray(seeds),
                 positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
                 lora=self.lora, adapter_ids=self._adapter_ids(),
+                dfa=self.dfa, dfa_state0=gds, constrain=gcm,
             )
         else:
             gbias, gmins = self._guided_arrays(
                 range(self.slots), by_slot=True
             )
+            gds, gcm = self._dfa_arrays()
             out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
                 self.params, self.draft_params, self.cfg, self.draft_cfg,
                 self.state, self.d_state,
@@ -843,6 +912,7 @@ class SpeculativeServingEngine(ServingEngine):
                 sampling=sampling, seeds=jnp.asarray(seeds),
                 positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
                 lora=self.lora, adapter_ids=self._adapter_ids(),
+                dfa=self.dfa, dfa_state0=gds, constrain=gcm,
             )
         self.stats["device_calls"] += 1
         self.stats["spec_calls"] += 1

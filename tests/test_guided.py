@@ -175,10 +175,35 @@ def test_dfa_unconstrained_rows_unaffected(model):
     assert eng.run()[0] == plain
 
 
-def test_dfa_speculative_rejected(model):
+@pytest.mark.parametrize("engine", ["spec", "lookup"])
+def test_dfa_speculative_matches_plain(model, engine):
+    """DFA x speculative: the in-scan automaton walk over the verify
+    chunk makes constrained speculative serving exact vs the plain
+    constrained engine, for both draft modes, across multiple rounds."""
     cfg, params = model
-    with pytest.raises(NotImplementedError):
-        SpeculativeServingEngine(
-            params, cfg, ngram=2, dfa=_parity_dfa(cfg.vocab_size),
+    dfa = _parity_dfa(cfg.vocab_size)
+    prompt = _prompt(cfg, seed=29)
+
+    plain = ServingEngine(params, cfg, interpret=True, dfa=dfa, **POOL)
+    plain.submit(0, prompt, 8, constrain=True)
+    plain.submit(1, _prompt(cfg, seed=30), 8)  # unconstrained neighbor
+    want = plain.run()
+
+    if engine == "spec":
+        dcfg = tiny_test_config(num_layers=1, hidden_size=32,
+                                intermediate_size=64)
+        eng = SpeculativeServingEngine(
+            params, cfg, draft_params=init_params(dcfg, jax.random.key(7)),
+            draft_cfg=dcfg, gamma=3, rounds_per_call=2, dfa=dfa,
             interpret=True, **POOL,
         )
+    else:
+        eng = SpeculativeServingEngine(
+            params, cfg, ngram=2, gamma=3, rounds_per_call=2, dfa=dfa,
+            interpret=True, **POOL,
+        )
+    eng.submit(0, prompt, 8, constrain=True)
+    eng.submit(1, _prompt(cfg, seed=30), 8)
+    got = eng.run()
+    assert got == want, (got, want)
+    assert all(t % 2 == i % 2 for i, t in enumerate(got[0]))
