@@ -21,13 +21,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- $name exit=$? tail:"; tail -5 "$OUT/$name.log"
 }
 
+# Ordered by importance-per-minute in case the tunnel window is short:
+# headline + correctness first, then perf experiments, then serving.
 run smoke        300 python scripts_tpu_smoke.py
+run bench        900 python bench.py
 run verify_r3    900 python scripts/verify_r3_hw.py
 run verify_r3b   900 python scripts/verify_r3b_hw.py
-run bench        900 python bench.py
-run int8_head    900 python benchmarks/int8_headline.py
-run qmajor       900 python benchmarks/experiment_qmajor.py
 run flatgrid     900 python benchmarks/experiment_flatgrid.py
+run qmajor       900 python benchmarks/experiment_qmajor.py
+run int8_head    900 python benchmarks/int8_headline.py
 run headline_sweep 1800 python benchmarks/headline_sweep.py
 run serving_g4   1800 python scripts/benchmark_serving.py --decode-chunk 64 --prefill-group 4
 run serving_g4c32 1800 python scripts/benchmark_serving.py --decode-chunk 32 --prefill-group 4
