@@ -14,6 +14,10 @@ print('TPU OK', float((x@x).sum()))
     echo "tunnel up — launching runbook"
     bash scripts/round3_hw_runbook.sh /tmp/r3hw
     touch /tmp/r3hw/RUNBOOK_DONE
+    # Persist the measurement logs into the repo so they survive the
+    # session even if nobody is around to read /tmp.
+    mkdir -p /root/repo/benchmarks/r3hw_logs
+    cp /tmp/r3hw/*.log /root/repo/benchmarks/r3hw_logs/ 2>/dev/null
     exit 0
   fi
   echo "tunnel still down; sleeping 180s"
