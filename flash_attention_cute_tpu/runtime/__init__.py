@@ -20,6 +20,7 @@ from flash_attention_cute_tpu.runtime.spec_engine import (
     SpeculativeServingEngine,
 )
 from flash_attention_cute_tpu.runtime.beam_search import beam_generate
+from flash_attention_cute_tpu.runtime.dfa_compile import compile_regex_dfa
 from flash_attention_cute_tpu.runtime.prefix_cache import PrefixCache
 from flash_attention_cute_tpu.runtime.prompt_lookup import (
     prompt_lookup_generate,
@@ -28,6 +29,6 @@ from flash_attention_cute_tpu.runtime.prompt_lookup import (
 __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
     "speculative_generate", "prompt_lookup_generate", "beam_generate",
-    "ServingEngine", "DataParallelServingEngine",
+    "ServingEngine", "DataParallelServingEngine", "compile_regex_dfa",
     "SpeculativeServingEngine", "PrefixCache",
 ]
