@@ -275,7 +275,7 @@ def _flash_fwd_kernel_fused(
     l_scratch,  # [NUM_SUBLANES, g * block_q] f32 (row 0 live)
     acc_scratch,  # [d, g * block_q] f32 — O^T accumulator
     qi8_scratch=None,  # [g * block_q, d] int8 — quantized q (score_dtype)
-    qa_scratch=None,  # [1, 1] f32 — q dequant scale (score_dtype)
+    qa_scratch=None,  # [1, 1] f32 SMEM — q dequant scale (score_dtype)
     *,
     causal: bool,
     window: int | None,
@@ -292,7 +292,7 @@ def _flash_fwd_kernel_fused(
     mask_inline: bool = False,
     score_dtype=None,  # jnp.int8: run QK^T on the int8 MXU path (2x rate)
     lse_ref=None,  # [1, 1, g, block_q] f32 — log2-sum-exp residual (bwd)
-    clamp_ref=None,  # [1, 1] f32 — lazy-envelope saturation event count
+    clamp_ref=None,  # [1, 1, 1, 1] f32 — lazy-envelope saturation count
 ):
     """Fused-group variant: the whole G-head group rides in ONE pair of MXU
     ops per KV block — S^T = K (Qg)^T is [block_kv, G*block_q] — instead of
@@ -329,7 +329,8 @@ def _flash_fwd_kernel_fused(
     if clamp_ref is not None:
         @pl.when(jnp.logical_and(q_blk == 0, kv_blk == 0))
         def _init_clamp():
-            clamp_ref[0, 0] = 0.0
+            # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM.
+            clamp_ref[0, 0] = jnp.zeros((1, 1), jnp.float32)
 
     if score_dtype is not None:
         # Opt-in int8 QK^T: quantize the (pre-scaled) q tile ONCE per grid
@@ -519,7 +520,7 @@ def _flash_fwd_kernel_fused(
                     # QK->exp2->PV critical path — it does not gate p.
                     clamp_ref[0, 0] += jnp.sum(
                         (delta > 110.0).astype(jnp.float32)
-                    )
+                    ).reshape(1, 1)
                 l_tmp = l_scratch[:1] + jnp.sum(p_t, axis=0, keepdims=True)
                 row_max = jnp.max(s_t, axis=0, keepdims=True)
                 # Keep fully-masked-so-far columns unanchored (sentinel);
@@ -592,6 +593,8 @@ def _flash_fwd_kernel_fused(
 
 
 def _flash_fwd_kernel_diag(
+    qmap_ref,  # [nsteps] int32 scalar-prefetch: q block of each flat step
+    kvmap_ref,  # [nsteps] int32 scalar-prefetch: kv block of each flat step
     q_ref,  # [1, 1, g, block, d]  head-major (production layout)
     k_ref,  # [1, 1, block, d]
     v_ref,  # [1, 1, block, d]
@@ -600,7 +603,7 @@ def _flash_fwd_kernel_diag(
     l_scratch,  # [NUM_SUBLANES, g * block] f32
     acc_scratch,  # [d, g * block] f32 — O^T accumulator
     qi8_scratch=None,  # [g * block, d] int8 — quantized q (score_dtype)
-    qa_scratch=None,  # [1, 1] f32 — q dequant scale (score_dtype)
+    qa_scratch=None,  # [1, 1] f32 SMEM — q dequant scale (score_dtype)
     *,
     group: int,
     block: int,
@@ -615,9 +618,15 @@ def _flash_fwd_kernel_diag(
 ):
     """DIAG-FIRST causal kernel (round 3, the headline-perf redesign).
 
-    Each q tile walks its live KV blocks in DESCENDING order via the index
-    map `max(i + off_blocks - j, 0)`, which pins the diagonal (straddle)
-    block at grid step j == 0 — a STATIC program-id position. Then:
+    FLAT-grid (round 3b): the grid's last axis enumerates ONLY the live
+    (q_block, kv_block) pairs, q-major with each row's diagonal first —
+    per-step block indices arrive via scalar prefetch (qmap/kvmap). The
+    round-3a rectangular grid spent ~0.5 us per DEAD step (DMA-clamped,
+    `pl.when`-skipped) — 1/4 of all steps at the S=1024/512-tile headline;
+    flat enumeration removes them entirely (measured +9-10%: 81-83 ->
+    88-91 TF/s, benchmarks/experiment_flatgrid.py). Per q row the walk
+    is diagonal (straddle) block first, then interiors DESCENDING to kv
+    block 0. Then:
 
       * interior steps (1 <= j <= i + off_blocks) are completely mask-free
         straight-line fused wide matmuls — no bias build, no lax.cond;
@@ -640,14 +649,18 @@ def _flash_fwd_kernel_diag(
     visible to every query (offset >= 0), every column anchors at its true
     max in the very first strict sub-block.
     """
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    num_kv_blocks = pl.num_programs(3)
+    t = pl.program_id(2)
+    i = qmap_ref[t]  # q block of this flat step
+    kvj = kvmap_ref[t]  # kv block of this flat step
+    # Row boundaries fall out of the walk order: each row starts at its
+    # diagonal block and descends to kv block 0.
+    first = kvj == i + off_blocks
+    last = kvj == 0
     sub = block // inner
     offset = kv_len - q_len
     kv_padded = kv_len_padded != kv_len
 
-    @pl.when(j == 0)
+    @pl.when(first)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -658,7 +671,7 @@ def _flash_fwd_kernel_diag(
         # tile-wide scale (same scheme as the fused kernel — see the
         # rationale there); the diagonal's per-head suffix slices read
         # rows of this scratch directly.
-        @pl.when(j == 0)
+        @pl.when(first)
         def _quantize_q():
             q_full = q_ref[0, 0].reshape(group * block, q_ref.shape[-1])
             q_f32 = q_full.astype(jnp.float32)
@@ -738,7 +751,7 @@ def _flash_fwd_kernel_diag(
             )
             acc_scratch[:, lo:hi] *= alpha
 
-    @pl.when(j == 0)
+    @pl.when(first)
     def _diag_step():
         for si in range(inner):
             fused_this = si < fused_subs
@@ -779,7 +792,7 @@ def _flash_fwd_kernel_diag(
                         s_t, g * block + start, v_sub, strict=(si == 0)
                     )
 
-    @pl.when(jnp.logical_and(j > 0, j <= i + off_blocks))
+    @pl.when(jnp.logical_not(first))
     def _interior_step():
         q_all = q_ref[0, 0].reshape(block * group, q_ref.shape[-1])
         for si in range(inner):
@@ -791,7 +804,7 @@ def _flash_fwd_kernel_diag(
             s_t = scores(kq, 0, group * block, k_sub, q_all)
             softmax_update(s_t, 0, v_sub, strict=(si == 0))
 
-    @pl.when(j == num_kv_blocks - 1)
+    @pl.when(last)
     def _store():
         l = l_scratch[:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -974,13 +987,19 @@ def flash_attention_fwd(
         )
         if diag_bytes <= 12 * 1024 * 1024:
             nq = sq_pad // block
-            nkv = skv_pad // block
             off_blocks = offset0 // block
 
-            def kv_index_desc(b_, h, i, j):
-                # Descending walk; dead steps (j > i + off_blocks) re-address
-                # the last-fetched block so Pallas elides their copies.
-                return (b_, h, jnp.maximum(i + off_blocks - j, 0), 0)
+            # Flat live-step enumeration (see the kernel docstring): per q
+            # row, diagonal first then interiors descending to kv block 0.
+            # Static Python lists -> device arrays read via scalar prefetch.
+            q_of, kv_of = [], []
+            for qi_ in range(nq):
+                for kj_ in range(qi_ + off_blocks, -1, -1):
+                    q_of.append(qi_)
+                    kv_of.append(kj_)
+            nsteps = len(q_of)
+            qmap = jnp.asarray(q_of, jnp.int32)
+            kvmap = jnp.asarray(kv_of, jnp.int32)
 
             kernel = functools.partial(
                 _flash_fwd_kernel_diag,
@@ -1007,30 +1026,39 @@ def flash_attention_fwd(
             if score_dtype == "int8":
                 diag_scratch += [
                     pltpu.VMEM((group * block, d_pad), jnp.int8),
-                    pltpu.VMEM((1, 1), jnp.float32),
+                    pltpu.SMEM((1, 1), jnp.float32),
                 ]
             out = pl.pallas_call(
                 kernel,
-                grid=(b, hkv, nq, nkv),
-                in_specs=[
-                    pl.BlockSpec(
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(b, hkv, nsteps),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (1, 1, group, block, d_pad),
+                            lambda b_, h, t, qm, km: (b_, h, 0, qm[t], 0),
+                        ),
+                        pl.BlockSpec(
+                            (1, 1, block, d_pad),
+                            lambda b_, h, t, qm, km: (b_, h, km[t], 0),
+                        ),
+                        pl.BlockSpec(
+                            (1, 1, block, d_pad),
+                            lambda b_, h, t, qm, km: (b_, h, km[t], 0),
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
                         (1, 1, group, block, d_pad),
-                        lambda b_, h, i, j: (b_, h, 0, i, 0),
+                        lambda b_, h, t, qm, km: (b_, h, 0, qm[t], 0),
                     ),
-                    pl.BlockSpec((1, 1, block, d_pad), kv_index_desc),
-                    pl.BlockSpec((1, 1, block, d_pad), kv_index_desc),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, 1, group, block, d_pad),
-                    lambda b_, h, i, j: (b_, h, 0, i, 0),
+                    scratch_shapes=diag_scratch,
                 ),
                 out_shape=jax.ShapeDtypeStruct(
                     (b, hkv, group, sq_pad, d_pad), q.dtype
                 ),
-                scratch_shapes=diag_scratch,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=(
-                        "parallel", "parallel", "parallel", "arbitrary",
+                        "parallel", "parallel", "arbitrary",
                     ),
                 ),
                 cost_estimate=pl.CostEstimate(
@@ -1043,7 +1071,7 @@ def flash_attention_fwd(
                 ),
                 interpret=interpret,
                 name="flash_attention_fwd_diag",
-            )(qg, k, v)
+            )(qmap, kvmap, qg, k, v)
             out = out.reshape(b, hq, sq_pad, d_pad)
             if sq_pad != sq or d_pad != d:
                 out = out[:, :, :sq, :d]
@@ -1209,11 +1237,16 @@ def flash_attention_fwd(
                 jax.ShapeDtypeStruct((b, hkv, group, sq_pad), jnp.float32)
             )
         if return_clamps:
+            # Trailing (1, 1) dims so the block's last two dims equal the
+            # array's (the Mosaic block-shape rule rejects a (1, 1) block
+            # over a (b, hkv) array on hardware).
             out_specs.append(
-                pl.BlockSpec((1, 1), lambda b_, h, i, j: (b_, h))
+                pl.BlockSpec(
+                    (1, 1, 1, 1), lambda b_, h, i, j: (b_, h, 0, 0)
+                )
             )
             out_shape.append(
-                jax.ShapeDtypeStruct((b, hkv), jnp.float32)
+                jax.ShapeDtypeStruct((b, hkv, 1, 1), jnp.float32)
             )
 
     out = pl.pallas_call(
@@ -1238,7 +1271,7 @@ def flash_attention_fwd(
             + (
                 [
                     pltpu.VMEM((group * block_q, d_pad), jnp.int8),
-                    pltpu.VMEM((1, 1), jnp.float32),
+                    pltpu.SMEM((1, 1), jnp.float32),
                 ]
                 if score_dtype is not None
                 else []
@@ -1266,7 +1299,7 @@ def flash_attention_fwd(
             lse = extras.pop(0)
             lse = lse.reshape(b, hq, sq_pad)[:, :, :sq]
         if return_clamps:
-            clamps = extras.pop(0)
+            clamps = extras.pop(0)[:, :, 0, 0]
     out = out.reshape(b, hq, sq_pad, d_pad)
     if sq_pad != sq or d_pad != d:
         out = out[:, :, :sq, :d]

@@ -404,7 +404,8 @@ def _paged_extend_kernel(
     def _global_init():
         state_ref[0] = 0
         state_ref[1] = 1
-        clamp_ref[0, 0] = 0.0
+        # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM.
+        clamp_ref[:, :] = jnp.zeros((1, 1), jnp.float32)
 
     @pl.when(i == 0)
     def _seq_init():
@@ -551,9 +552,9 @@ def _paged_extend_kernel(
                 m_ref = jnp.where(m_prev <= UNANCHORED, 0.0, m_prev)
                 delta = s - m_ref
                 p = jnp.exp(jnp.minimum(delta, 75.0))
-                clamp_ref[0, 0] += jnp.sum(
+                clamp_ref[:, :] += jnp.sum(
                     (delta > 75.0).astype(jnp.float32)
-                )
+                ).reshape(1, 1)
                 l_tmp = l_scr[...][:, :1] + jnp.sum(
                     p, axis=-1, keepdims=True
                 )
