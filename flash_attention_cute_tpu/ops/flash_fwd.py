@@ -628,8 +628,9 @@ def _flash_fwd_kernel_diag(
     is diagonal (straddle) block first, then interiors DESCENDING to kv
     block 0. Then:
 
-      * interior steps (1 <= j <= i + off_blocks) are completely mask-free
-        straight-line fused wide matmuls — no bias build, no lax.cond;
+      * interior steps (every non-diagonal step of a row's walk) are
+        completely mask-free straight-line fused wide matmuls — no bias
+        build, no lax.cond;
       * the diagonal step is a hybrid: sub-blocks si < fused_subs run the
         fused full-width matmul with a straight-line bias (their live-q
         fraction is high), later sub-blocks run a PER-HEAD loop whose
@@ -1284,7 +1285,16 @@ def flash_attention_fwd(
             ]
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # The clamp counter accumulates one scalar across the q-block
+            # dim, so that dim must stay sequential when return_clamps is
+            # set (a megacore-partitioned "parallel" dim would race the
+            # read-modify-write at flash_fwd.py:_init_clamp).
+            dimension_semantics=(
+                "parallel",
+                "parallel",
+                "arbitrary" if return_clamps else "parallel",
+                "arbitrary",
+            ),
         ),
         cost_estimate=cost,
         interpret=interpret,
