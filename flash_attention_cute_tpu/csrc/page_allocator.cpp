@@ -85,6 +85,17 @@ struct Allocator {
     return true;
   }
 
+  // Pop a free page and hand it out PINNED (refcount 1, in no sequence
+  // table): the prefix cache's host-swap restore path uploads KV into it
+  // and owns it via the cache pin until eviction. -1 when empty.
+  int32_t take_free_page() {
+    if (free_pages.empty()) return -1;
+    int32_t p = free_pages.back();
+    free_pages.pop_back();
+    refs[p] = 1;
+    return p;
+  }
+
   bool pin(int32_t page) {
     auto it = refs.find(page);
     if (it == refs.end() || it->second <= 0) return false;
@@ -366,6 +377,9 @@ void sched_unpin_page(void* h, int32_t page) {
 int sched_page_refcount(void* h, int32_t page) {
   return static_cast<Scheduler*>(h)->alloc.refcount(page);
 }
+int sched_take_free_page(void* h) {
+  return static_cast<Scheduler*>(h)->alloc.take_free_page();
+}
 int pa_share(void* h, int64_t seq_id, const int32_t* pages, int n) {
   return static_cast<Allocator*>(h)->share(seq_id, pages, n) ? 1 : 0;
 }
@@ -377,6 +391,9 @@ void pa_unpin(void* h, int32_t page) {
 }
 int pa_refcount(void* h, int32_t page) {
   return static_cast<Allocator*>(h)->refcount(page);
+}
+int pa_take_free_page(void* h) {
+  return static_cast<Allocator*>(h)->take_free_page();
 }
 
 }  // extern "C"

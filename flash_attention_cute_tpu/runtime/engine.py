@@ -144,6 +144,24 @@ class _Request:
     finish_t: float | None = None
 
 
+def _read_pool_page(pools, page):
+    """Slice page `page` out of every pool array (page axis = dim 2)."""
+    return tuple(
+        jax.lax.dynamic_index_in_dim(a, page, axis=2, keepdims=False)
+        for a in pools
+    )
+
+
+def _write_pool_page(pools, blobs, page):
+    """Write one page's KV back into every pool array (donated in-place)."""
+    return tuple(
+        jax.lax.dynamic_update_index_in_dim(
+            a, b.astype(a.dtype), page, axis=2
+        )
+        for a, b in zip(pools, blobs)
+    )
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     return max(lo, 1 << math.ceil(math.log2(max(n, 1))))
 
@@ -186,6 +204,12 @@ class ServingEngine:
         # unseen suffix through the paged-extend forward; page lifetime is
         # refcounted in the (native or Python) allocator and the content
         # map is an exact-key LRU (runtime/prefix_cache.py)
+        host_swap_tokens: int = 0,  # >0 (with enable_prefix_cache): host-
+        # RAM second tier of that many tokens — prefix blocks evicted
+        # under pool pressure spill their KV to host numpy instead of
+        # being dropped, and a later prompt sharing them restores each
+        # block with ONE host->device page upload instead of recomputing
+        # its prefill (runtime/prefix_cache.py::HostSwapTier)
         collect_clamp_stats: bool = False,  # observability mode: fetch the
         # lazy-softmax saturation counter from every chunked-admission
         # extend forward into stats["softmax_clamps"] (one extra small
@@ -298,10 +322,33 @@ class ServingEngine:
 
         if enable_prefix_cache:
             from flash_attention_cute_tpu.runtime.prefix_cache import (
+                HostSwapTier,
                 PrefixCache,
             )
 
-            self.prefix_cache = PrefixCache(self.sched, page_size)
+            swap = None
+            if host_swap_tokens > 0:
+                swap = HostSwapTier(host_swap_tokens, page_size)
+                # Pool arrays carry the page axis at dim 2 in every state
+                # flavor (k/v values and, quantized, their scale planes).
+                self._pool_fields = tuple(
+                    f.name
+                    for f in dataclasses.fields(self.state)
+                    if f.name not in ("page_table", "lengths")
+                )
+                self._page_read_fn = jax.jit(_read_pool_page)
+                # Donation keeps the upload in place — without it every
+                # restored block would copy the whole multi-GB pool.
+                self._page_write_fn = jax.jit(
+                    _write_pool_page, donate_argnums=0
+                )
+            self.prefix_cache = PrefixCache(
+                self.sched,
+                page_size,
+                swap=swap,
+                read_page=self._read_page if swap is not None else None,
+                write_page=self._write_page if swap is not None else None,
+            )
         else:
             self.prefix_cache = None
 
@@ -332,6 +379,10 @@ class ServingEngine:
             # pressure.
             "prefix_hit_tokens": 0,
             "prefix_evictions": 0,
+            # Host-swap tier traffic (pages snapshotted out / restored in;
+            # each is one device round trip).
+            "swap_out_pages": 0,
+            "swap_in_pages": 0,
         }
         # Completed per-request latency records (see request_metrics).
         self.metrics: list[dict] = []
@@ -564,10 +615,35 @@ class ServingEngine:
 
     # ---- internals ----
 
-    def _grant_prefixes(self):
+    def _read_page(self, page: int):
+        """Snapshot one pool page to host numpy (swap-out)."""
+        pools = tuple(getattr(self.state, f) for f in self._pool_fields)
+        self.stats["device_calls"] += 1
+        return jax.device_get(self._page_read_fn(pools, jnp.int32(page)))
+
+    def _write_page(self, page: int, blob):
+        """Upload a swapped-out page's KV into pool page `page`."""
+        pools = tuple(getattr(self.state, f) for f in self._pool_fields)
+        new = self._page_write_fn(
+            pools, tuple(jnp.asarray(b) for b in blob), jnp.int32(page)
+        )
+        self.state = dataclasses.replace(
+            self.state, **dict(zip(self._pool_fields, new))
+        )
+        self.stats["device_calls"] += 1
+
+    def _grant_prefixes(self, restore: bool = True):
         """Re-derive cache grants for every waiting request immediately
         before an admission attempt (grants are advisory; deriving them
-        here means eviction can never leave a stale grant dangling)."""
+        here means eviction can never leave a stale grant dangling).
+
+        With a host-swap tier, a chain that runs past the device entries
+        continues from host RAM: each consecutive swapped block is
+        restored into a fresh pinned page, bounded so the request's own
+        prompt suffix still fits in the remaining free pages (restoring
+        must never starve the admission it serves). `restore=False` is
+        used inside the page-starved eviction retry loop, where restoring
+        would immediately re-take the page eviction just freed."""
         in_slots = set(self._slot_req)
         for rid, req in self._requests.items():
             if rid in in_slots:
@@ -575,6 +651,17 @@ class ServingEngine:
             pages = self.prefix_cache.lookup(
                 req.prompt, namespace=req.adapter
             )
+            swap = self.prefix_cache.swap
+            if restore and swap is not None and len(swap):
+                ps = self.page_size
+                suffix = len(req.prompt) - len(pages) * ps
+                budget = (
+                    self.sched.num_free_pages - -(-suffix // ps) - 1
+                )
+                pages += self.prefix_cache.restore(
+                    req.prompt, req.adapter, len(pages), budget
+                )
+                self.stats["swap_in_pages"] = self.prefix_cache.swap_in_pages
             self.sched.grant_prefix(rid, pages)
             self._granted[rid] = len(pages) * self.page_size
 
@@ -593,7 +680,8 @@ class ServingEngine:
         ):
             self.prefix_cache.evict(1)
             self.stats["prefix_evictions"] += 1
-            self._grant_prefixes()
+            self.stats["swap_out_pages"] = self.prefix_cache.swap_out_pages
+            self._grant_prefixes(restore=False)
             n = self.sched.admit()
         return n
 
@@ -606,6 +694,7 @@ class ServingEngine:
         while len(self.prefix_cache):
             self.prefix_cache.evict(1)
             self.stats["prefix_evictions"] += 1
+            self.stats["swap_out_pages"] = self.prefix_cache.swap_out_pages
             r = self.sched.step_slot(s)
             if r == 1:
                 return r
@@ -1163,6 +1252,9 @@ class _PyScheduler:
 
     def page_refcount(self, page):
         return self.alloc.refcount(page)
+
+    def take_free_page(self):
+        return self.alloc.take_free_page()
 
     def step_slot(self, s):
         if s not in self.running:

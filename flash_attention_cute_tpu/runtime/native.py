@@ -106,6 +106,8 @@ def load() -> ctypes.CDLL | None:
         "sched_pin_page": ([c_void, ctypes.c_int32], c_int),
         "sched_unpin_page": ([c_void, ctypes.c_int32], None),
         "sched_page_refcount": ([c_void, ctypes.c_int32], c_int),
+        "sched_take_free_page": ([c_void], c_int),
+        "pa_take_free_page": ([c_void], c_int),
         "pa_share": ([c_void, c_i64, c_i32p, c_int], c_int),
         "pa_pin": ([c_void, ctypes.c_int32], c_int),
         "pa_unpin": ([c_void, ctypes.c_int32], None),
@@ -157,6 +159,9 @@ class NativePageAllocator:
             self._h, seq_id,
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(arr),
         ))
+
+    def take_free_page(self) -> int:
+        return self._lib.pa_take_free_page(self._h)
 
     def pin(self, page: int) -> bool:
         return bool(self._lib.pa_pin(self._h, page))
@@ -247,6 +252,9 @@ class NativeScheduler:
 
     def page_refcount(self, page: int) -> int:
         return self._lib.sched_page_refcount(self._h, page)
+
+    def take_free_page(self) -> int:
+        return self._lib.sched_take_free_page(self._h)
 
     @property
     def num_free_pages(self) -> int:

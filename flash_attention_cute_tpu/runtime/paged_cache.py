@@ -236,6 +236,17 @@ class PageAllocator:
             tbl.append(p)
         return True
 
+    def take_free_page(self) -> int:
+        """Pop a free page and hand it out PINNED (refcount 1, in no
+        sequence table): the prefix cache's host-swap restore path uploads
+        KV into it and owns it via the cache pin until eviction. Returns
+        -1 when the pool is empty."""
+        if not self.free:
+            return -1
+        p = self.free.pop()
+        self.refs[p] = 1
+        return p
+
     def pin(self, page: int) -> bool:
         """Take a cache reference on a live page (prefix-cache insert)."""
         if self.refs.get(page, 0) <= 0:

@@ -33,6 +33,44 @@ from __future__ import annotations
 from collections import OrderedDict
 
 
+class HostSwapTier:
+    """Host-RAM second tier for evicted prefix blocks (vLLM-style CPU
+    swap, sized in tokens). Eviction from the device-page LRU spills the
+    page's KV (all layers, host numpy) here instead of dropping it; a
+    later lookup that runs past the device chain restores blocks into
+    fresh pages — one host->device upload per block instead of
+    recomputing the prefill.
+
+    Pure host data structure: an LRU of chain-key -> opaque KV blob (the
+    engine owns the page<->blob serialization). Capacity is in tokens so
+    sizing is dtype-agnostic at this layer."""
+
+    def __init__(self, capacity_tokens: int, page_size: int):
+        self.page_size = page_size
+        self.max_entries = max(1, capacity_tokens // page_size)
+        self.entries: OrderedDict[tuple, object] = OrderedDict()
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def put(self, key: tuple, blob) -> None:
+        if key in self.entries:
+            self.entries.move_to_end(key)
+            self.entries[key] = blob
+            return
+        while len(self.entries) >= self.max_entries:
+            self.entries.popitem(last=False)
+        self.entries[key] = blob
+
+    def take(self, key: tuple):
+        """Pop and return the blob for key (None on miss). Popping (not
+        peeking) keeps exactly one owner per blob: once restored to a
+        device page the device LRU owns it again, and a later eviction
+        re-spills the CURRENT bytes (identical — shared pages are
+        immutable — so no coherence hazard either way)."""
+        return self.entries.pop(key, None)
+
+
 class PrefixCache:
     """Exact-key LRU over page-aligned prompt blocks.
 
@@ -42,13 +80,22 @@ class PrefixCache:
     native and Python schedulers do).
     """
 
-    def __init__(self, sched, page_size: int, max_entries: int = 0):
+    def __init__(self, sched, page_size: int, max_entries: int = 0,
+                 swap: HostSwapTier | None = None, read_page=None,
+                 write_page=None):
         self.sched = sched
         self.page_size = page_size
         self.max_entries = max_entries  # 0 = bounded by the pool itself
         self.entries: OrderedDict[tuple, int] = OrderedDict()
         self.hit_tokens = 0
         self.lookup_tokens = 0
+        # Host-swap tier (optional): read_page(page) -> blob snapshots a
+        # device page to host; write_page(page, blob) uploads one back.
+        self.swap = swap
+        self._read_page = read_page
+        self._write_page = write_page
+        self.swap_out_pages = 0
+        self.swap_in_pages = 0
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -100,13 +147,58 @@ class PrefixCache:
                 added += 1
         return added
 
+    def restore(self, prompt: list[int], namespace: int, have: int,
+                max_pages: int) -> list[int]:
+        """Continue a device-chain lookup from the host-swap tier: for up
+        to max_pages consecutive blocks past block index `have`, pop the
+        blob, take a fresh PINNED page from the allocator, upload the KV,
+        and re-insert the block into the device LRU. Returns the restored
+        page ids (chain order) — the caller appends them to lookup()'s
+        grant. Stops at the first swap miss or when the pool/budget runs
+        out (a partial restore is still a valid shorter chain)."""
+        if self.swap is None or max_pages <= 0:
+            return []
+        pages: list[int] = []
+        restored = 0
+        for key, k in self._chain(prompt, namespace):
+            if k < have:
+                continue
+            if key in self.entries:
+                # Back on the device tier already (another request's
+                # insert landed it); treat as a device hit, keep walking.
+                self.entries.move_to_end(key)
+                pages.append(self.entries[key])
+                continue
+            if restored >= max_pages:
+                break
+            blob = self.swap.take(key)
+            if blob is None:
+                break
+            page = self.sched.take_free_page()
+            if page <= 0:
+                self.swap.put(key, blob)  # no room — keep it host-side
+                break
+            self._write_page(page, blob)
+            self.entries[key] = page  # take_free_page already pinned it
+            self.swap_in_pages += 1
+            self.hit_tokens += self.page_size
+            restored += 1
+            pages.append(page)
+        return pages
+
     def evict(self, n: int) -> int:
         """Unpin the n least-recently-used entries. A page still
         referenced by live requests stays allocated (only its cache pin
-        drops); a page nobody uses returns to the free list."""
+        drops); a page nobody uses returns to the free list. With a swap
+        tier, the page's KV is snapshotted to host RAM first (the bytes
+        stay valid during the snapshot: the pin is only dropped after —
+        and shared pages are never written in place anyway)."""
         done = 0
         while self.entries and done < n:
-            _, page = self.entries.popitem(last=False)
+            key, page = self.entries.popitem(last=False)
+            if self.swap is not None:
+                self.swap.put(key, self._read_page(page))
+                self.swap_out_pages += 1
             self.sched.unpin_page(page)
             done += 1
         return done

@@ -177,6 +177,14 @@ def test_refcount_share_pin_semantics():
         assert alloc.num_free == free_before + 2
         assert alloc.refcount(pages[0]) == 0
         assert not alloc.pin(pages[0])  # free pages cannot be pinned
+        # take_free_page (host-swap restore): hands out a pinned table-less
+        # page; unpin returns it.
+        free_now = alloc.num_free
+        p = alloc.take_free_page()
+        assert p > 0 and alloc.refcount(p) == 1
+        assert alloc.num_free == free_now - 1
+        alloc.unpin(p)
+        assert alloc.num_free == free_now
 
 
 def test_scheduler_lockstep_with_prefix_grants():
@@ -228,10 +236,18 @@ def test_scheduler_lockstep_with_prefix_grants():
             assert cc.slot_id(s) == py.slot_id(s)
             cc.release_slot(s, requeue=rq)
             py.release_slot(s, requeue=rq)
-        elif op < 0.82 and pinned:
+        elif op < 0.80 and pinned:
             p0 = pinned.pop(int(rng.integers(0, len(pinned))))
             cc.unpin_page(p0)
             py.unpin_page(p0)
+        elif op < 0.86:
+            # Host-swap restore primitive: both backends must hand out the
+            # same free page, pre-pinned.
+            a, b = cc.take_free_page(), py.take_free_page()
+            assert a == b, step
+            if a > 0:
+                assert cc.page_refcount(a) == py.page_refcount(a) == 1
+                pinned.append(a)
         else:
             assert cc.preempt_youngest() == py.preempt_youngest()
         assert cc.num_free_pages == py.num_free_pages, step

@@ -186,3 +186,86 @@ def test_prefix_cache_helps_preemption_recompute(model):
                     num_pages=11)
     assert got == want
     assert not eng.failed
+
+
+def test_host_swap_tier_lru_unit():
+    from flash_attention_cute_tpu.runtime.prefix_cache import HostSwapTier
+
+    t = HostSwapTier(capacity_tokens=24, page_size=8)  # 3 entries
+    for i in range(5):
+        t.put((i,), i * 10)
+    assert len(t) == 3
+    assert t.take((0,)) is None and t.take((1,)) is None  # LRU-dropped
+    assert t.take((4,)) == 40
+    assert t.take((4,)) is None  # take pops: single owner per blob
+
+
+def test_host_swap_restore_exact_and_counted(model):
+    """Evicted prefix blocks restore from host RAM: after a full cache
+    spill, a same-prefix request is served via swap-in page uploads (no
+    prefill recompute) and outputs stay exact."""
+    cfg, params = model
+    prompts = _shared_prompts(cfg, n=4, sys_len=17, seed=13)
+    rids = list(prompts)
+    want, _ = _run(model, prompts, 5)
+
+    eng = ServingEngine(params, cfg, interpret=True,
+                        enable_prefix_cache=True,
+                        host_swap_tokens=1024, **POOL)
+    got = {}
+    for rid in rids[:2]:  # first wave populates the cache
+        eng.submit(rid, prompts[rid], 5)
+    got.update(eng.run())
+    n = len(eng.prefix_cache)
+    assert n >= 2
+    eng.prefix_cache.evict(n)  # spill EVERYTHING to the host tier
+    assert eng.prefix_cache.swap_out_pages >= 2
+    assert len(eng.prefix_cache) == 0
+    for rid in rids[2:]:  # second wave shares the same 2-block prefix
+        eng.submit(rid, prompts[rid], 5)
+    got.update(eng.run())
+    assert got == want
+    assert eng.stats["swap_in_pages"] >= 2
+    assert eng.stats["prefix_hit_tokens"] >= 16
+
+
+def test_host_swap_quantized_pool(model):
+    """Swap blobs carry the int8 values AND their scale planes."""
+    cfg, params = model
+    prompts = _shared_prompts(cfg, n=4, sys_len=17, seed=17)
+    rids = list(prompts)
+    want, _ = _run(model, prompts, 5, kv_dtype=jnp.int8)
+
+    eng = ServingEngine(params, cfg, interpret=True, kv_dtype=jnp.int8,
+                        enable_prefix_cache=True,
+                        host_swap_tokens=1024, **POOL)
+    got = {}
+    for rid in rids[:2]:
+        eng.submit(rid, prompts[rid], 5)
+    got.update(eng.run())
+    eng.prefix_cache.evict(len(eng.prefix_cache))
+    for rid in rids[2:]:
+        eng.submit(rid, prompts[rid], 5)
+    got.update(eng.run())
+    assert got == want
+    assert eng.stats["swap_in_pages"] >= 2
+
+
+def test_host_swap_under_pool_pressure_terminates(model):
+    """Page-starved admission with a swap tier must not thrash (the
+    eviction retry loop re-derives grants WITHOUT restoring — otherwise a
+    restore would re-take the page eviction just freed): distinct prompts
+    over a tiny pool terminate with exact outputs."""
+    cfg, _ = model
+    rng = np.random.default_rng(19)
+    prompts = {
+        300 + i: rng.integers(0, cfg.vocab_size, 21 + i).tolist()
+        for i in range(6)
+    }
+    want, _ = _run(model, prompts, 6)
+    got, eng = _run(model, prompts, 6, enable_prefix_cache=True,
+                    host_swap_tokens=512, num_pages=13)
+    assert got == want
+    assert eng.stats["prefix_evictions"] > 0
+    assert eng.stats["swap_out_pages"] > 0
+    assert not eng.failed
