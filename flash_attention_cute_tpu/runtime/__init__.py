@@ -21,7 +21,14 @@ from flash_attention_cute_tpu.runtime.spec_engine import (
 )
 from flash_attention_cute_tpu.runtime.beam_search import beam_generate
 from flash_attention_cute_tpu.runtime.dfa_compile import compile_regex_dfa
-from flash_attention_cute_tpu.runtime.prefix_cache import PrefixCache
+from flash_attention_cute_tpu.runtime.prefix_cache import (
+    HostSwapTier,
+    PrefixCache,
+)
+from flash_attention_cute_tpu.runtime.multihost import (
+    EngineWorker,
+    MultiHostRouter,
+)
 from flash_attention_cute_tpu.runtime.prompt_lookup import (
     prompt_lookup_generate,
 )
@@ -30,5 +37,6 @@ __all__ = [
     "generate", "greedy_generate", "prefill", "sample_token",
     "speculative_generate", "prompt_lookup_generate", "beam_generate",
     "ServingEngine", "DataParallelServingEngine", "compile_regex_dfa",
-    "SpeculativeServingEngine", "PrefixCache",
+    "SpeculativeServingEngine", "PrefixCache", "HostSwapTier",
+    "MultiHostRouter", "EngineWorker",
 ]
