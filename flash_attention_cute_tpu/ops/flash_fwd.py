@@ -902,6 +902,13 @@ def flash_attention_fwd(
         sm_scale = d ** -0.5
     if window is not None:
         assert window > 0, window
+        if window >= skv:
+            # The window can never bind: the largest global query position
+            # is skv-1, so p - window < 0 <= n for every key n — the mask
+            # is exactly the (causal) mask without a window. Normalizing
+            # here lets short-prompt windowed models (Gemma2/Mistral
+            # prompts <= window) take the diag-first fast path.
+            window = None
     group = hq // hkv
 
     # Tuned on v5e (benchmarks/experiment_probe.py, round-2 lazy-max

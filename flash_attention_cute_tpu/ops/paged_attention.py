@@ -39,6 +39,30 @@ from flash_attention_cute_tpu.ops.flash_fwd import (
 )
 
 
+# VMEM row budget for the packed G*S q block of one extend-kernel
+# invocation, in row-equivalents at D=128. The f32 accumulator + m/l stat
+# planes + the pipeline-double-buffered q/out blocks cost ~4.6 KB/row at
+# D=128: 4096 packed rows measured 18.9 MB against the 16 MB scoped-VMEM
+# limit on v5e (bucket-1024 chunks x GQA group 4). Wider head dims scale
+# the budget down proportionally.
+MAX_EXTEND_ROWS = 2048
+
+
+def _extend_chunk_split(sq: int, g: int, d_pad: int) -> int | None:
+    """Sub-chunk length for the extend wrappers (None = no split needed),
+    keeping g*sub packed rows inside the VMEM budget. Splitting the chunk
+    axis is exact: causality and the kv walk are both driven by
+    (q_offset + row, kv_length), so a sub-call with shifted q_offset and
+    causally-clamped kv_length reproduces the same per-row math."""
+    max_rows = max(8, MAX_EXTEND_ROWS * NUM_LANES // d_pad)
+    if g * sq <= max_rows or sq <= 1:
+        return None
+    sub = max(1, max_rows // g)
+    if sub >= 8:
+        sub -= sub % 8
+    return sub
+
+
 def _fetch_block(pages_ref, buf, sem, page_tbl_ref, b, i, slot, ppcb, h):
     """One async copy per page of compute block i of sequence b -> buf[slot].
 
@@ -638,9 +662,39 @@ def paged_attention_extend(
         sm_scale = d ** -0.5
 
     g = hq // hkv
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+    sub_sq = _extend_chunk_split(sq, g, d_pad)
+    if sub_sq is not None:
+        # Packed G*S q block would blow the scoped-VMEM limit: split the
+        # chunk axis. Each sub-call shifts q_offset and clamps kv_length
+        # to the sub-chunk's causal horizon — per-row math is identical
+        # to the single call (keys past a row's horizon are fully masked
+        # and contribute exact zeros), and early sub-chunks walk strictly
+        # fewer kv blocks.
+        off = q_offset.astype(jnp.int32)
+        kvl = kv_length.astype(jnp.int32)
+        outs = []
+        clamp_sum = jnp.zeros((), jnp.float32)
+        for lo in range(0, sq, sub_sq):
+            hi = min(lo + sub_sq, sq)
+            len_sub = jnp.where(kvl > 0, jnp.minimum(kvl, off + hi), 0)
+            r = paged_attention_extend(
+                q[:, :, lo:hi], k_pages, v_pages, off + lo, len_sub,
+                page_table, sm_scale=sm_scale, window=window,
+                logit_softcap=logit_softcap,
+                pages_per_compute_block=pages_per_compute_block,
+                return_clamps=return_clamps, interpret=interpret,
+                debug=debug,
+            )
+            if return_clamps:
+                r, c = r
+                clamp_sum = clamp_sum + c
+            outs.append(r)
+        o = jnp.concatenate(outs, axis=2)
+        return (o, clamp_sum) if return_clamps else o
+
     m = g * sq
     m_pad = max(8, _round_up(m, 8))
-    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
 
     pages_per_seq = page_table.shape[1]
     if pages_per_compute_block <= 0:

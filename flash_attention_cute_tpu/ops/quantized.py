@@ -949,9 +949,40 @@ def paged_attention_extend_quantized(
         sm_scale = d ** -0.5
 
     g = hq // hkv
+    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
+    from flash_attention_cute_tpu.ops.paged_attention import (
+        _extend_chunk_split,
+    )
+
+    sub_sq = _extend_chunk_split(sq, g, d_pad)
+    if sub_sq is not None:
+        # Packed G*S q block would blow the scoped-VMEM limit: split the
+        # chunk axis (see ops/paged_attention.py — identical per-row math,
+        # early sub-chunks walk strictly fewer kv blocks).
+        off = q_offset.astype(jnp.int32)
+        kvl = kv_length.astype(jnp.int32)
+        outs = []
+        clamp_sum = jnp.zeros((), jnp.float32)
+        for lo in range(0, sq, sub_sq):
+            hi = min(lo + sub_sq, sq)
+            len_sub = jnp.where(kvl > 0, jnp.minimum(kvl, off + hi), 0)
+            r = paged_attention_extend_quantized(
+                q[:, :, lo:hi], k_pages, v_pages, off + lo, len_sub,
+                page_table, sm_scale=sm_scale, window=window,
+                logit_softcap=logit_softcap,
+                pages_per_compute_block=pages_per_compute_block,
+                return_clamps=return_clamps, interpret=interpret,
+                debug=debug,
+            )
+            if return_clamps:
+                r, c = r
+                clamp_sum = clamp_sum + c
+            outs.append(r)
+        o = jnp.concatenate(outs, axis=2)
+        return (o, clamp_sum) if return_clamps else o
+
     m = g * sq
     m_pad = max(8, _round_up(m, 8))
-    d_pad = _round_up(max(d, NUM_LANES), NUM_LANES)
 
     pages_per_seq = page_table.shape[1]
     if pages_per_compute_block <= 0:

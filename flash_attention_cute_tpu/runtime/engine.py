@@ -162,6 +162,26 @@ def _write_pool_page(pools, blobs, page):
     )
 
 
+def _copy_pool_page_prefix(pools, src, dst, rows):
+    """Copy the first `rows` positions of page `src` into page `dst` in
+    every pool array (partial-page prefix sharing; donated in-place).
+    Position axis = dim 3 ([L, H, P, ps, D] values / [L, H, P, ps]
+    scales)."""
+    out = []
+    for a in pools:
+        ps = a.shape[3]
+        live = jnp.arange(ps) < rows
+        mask = live.reshape((1, 1, ps) + (1,) * (a.ndim - 4))
+        s = jax.lax.dynamic_index_in_dim(a, src, axis=2, keepdims=False)
+        d = jax.lax.dynamic_index_in_dim(a, dst, axis=2, keepdims=False)
+        out.append(
+            jax.lax.dynamic_update_index_in_dim(
+                a, jnp.where(mask, s, d), dst, axis=2
+            )
+        )
+    return tuple(out)
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     return max(lo, 1 << math.ceil(math.log2(max(n, 1))))
 
@@ -252,6 +272,12 @@ class ServingEngine:
         # per-slot shared-token count consumed by the admission forward.
         self._granted: dict[int, int] = {}
         self._admit_shared: dict[int, int] = {}
+        # Partial-page tail grants: rid -> (src_page, rows) matched at the
+        # last grant pass; consumed (copied) at admission. _last_partial
+        # records this round's applied copies per slot so subclasses with
+        # mirrored pools (speculative draft) can replay them.
+        self._granted_partial: dict[int, tuple] = {}
+        self._last_partial: dict[int, tuple] = {}
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
                 create_quantized_paged_state,
@@ -326,16 +352,21 @@ class ServingEngine:
                 PrefixCache,
             )
 
+            # Pool arrays carry the page axis at dim 2 in every state
+            # flavor (k/v values and, quantized, their scale planes).
+            self._pool_fields = tuple(
+                f.name
+                for f in dataclasses.fields(self.state)
+                if f.name not in ("page_table", "lengths")
+            )
+            # Partial-page tail sharing: clone the shared rows into the
+            # new request's first private page (donated in-place).
+            self._partial_copy_fn = jax.jit(
+                _copy_pool_page_prefix, donate_argnums=0
+            )
             swap = None
             if host_swap_tokens > 0:
                 swap = HostSwapTier(host_swap_tokens, page_size)
-                # Pool arrays carry the page axis at dim 2 in every state
-                # flavor (k/v values and, quantized, their scale planes).
-                self._pool_fields = tuple(
-                    f.name
-                    for f in dataclasses.fields(self.state)
-                    if f.name not in ("page_table", "lengths")
-                )
                 self._page_read_fn = jax.jit(_read_pool_page)
                 # Donation keeps the upload in place — without it every
                 # restored block would copy the whole multi-GB pool.
@@ -664,6 +695,13 @@ class ServingEngine:
                 self.stats["swap_in_pages"] = self.prefix_cache.swap_in_pages
             self.sched.grant_prefix(rid, pages)
             self._granted[rid] = len(pages) * self.page_size
+            partial = self.prefix_cache.lookup_partial(
+                req.prompt, req.adapter, len(pages)
+            )
+            if partial is not None:
+                self._granted_partial[rid] = partial
+            else:
+                self._granted_partial.pop(rid, None)
 
     def _sched_admit(self) -> int:
         if self.prefix_cache is None:
@@ -700,8 +738,36 @@ class ServingEngine:
                 return r
         return r
 
+    def _apply_partial(self, s: int, rid: int, shared: int) -> int:
+        """Consume a tail-page grant: clone the shared rows of the cached
+        tail page into this slot's first private page (the page right
+        after the granted full blocks), extending `shared` mid-page. The
+        clone is bit-identical to recomputing those rows (KV at position
+        p is a pure function of tokens 0..p), so the suffix forward that
+        follows sees exactly the state a full prefill would have built."""
+        partial = self._granted_partial.pop(rid, None)
+        if partial is None:
+            return shared
+        src, rows = partial
+        row = self.sched.table_row(rid)
+        full = shared // self.page_size
+        dst = int(row[full])
+        if dst <= 0 or dst == src:
+            return shared
+        pools = tuple(getattr(self.state, f) for f in self._pool_fields)
+        new = self._partial_copy_fn(
+            pools, jnp.int32(src), jnp.int32(dst), jnp.int32(rows)
+        )
+        self.state = dataclasses.replace(
+            self.state, **dict(zip(self._pool_fields, new))
+        )
+        self.stats["device_calls"] += 1
+        self._last_partial[s] = (src, dst, rows)
+        return shared + rows
+
     def _admit(self):
         before = {s: self.sched.slot_id(s) for s in range(self.slots)}
+        self._last_partial = {}
         if self._sched_admit() == 0:
             return
         # Batch same-bucket admissions into one prefill program: a burst of
@@ -715,6 +781,8 @@ class ServingEngine:
                     self._granted.get(rid, 0)
                     if self.prefix_cache is not None else 0
                 )
+                if self.prefix_cache is not None:
+                    shared = self._apply_partial(s, rid, shared)
                 if self.prefill_chunk > 0:
                     # Chunked admission: mark the slot; chunks advance one
                     # per engine round (interleaved with decode). A cached

@@ -82,7 +82,7 @@ class PrefixCache:
 
     def __init__(self, sched, page_size: int, max_entries: int = 0,
                  swap: HostSwapTier | None = None, read_page=None,
-                 write_page=None):
+                 write_page=None, max_partials: int = 64):
         self.sched = sched
         self.page_size = page_size
         self.max_entries = max_entries  # 0 = bounded by the pool itself
@@ -96,9 +96,20 @@ class PrefixCache:
         self._write_page = write_page
         self.swap_out_pages = 0
         self.swap_in_pages = 0
+        # Partial-page tails: chain-key -> (tail tokens, page). A prompt
+        # whose divergence point sits MID-page shares the tail page's
+        # common rows by COPY (the engine clones them into the new
+        # request's first private page — shared pages are never aliased
+        # mid-page, because the owner keeps appending to its tail page).
+        # One tail per chain key (most recent wins), device-only (never
+        # swapped), own small LRU.
+        self.max_partials = max_partials
+        self.partials: OrderedDict[tuple, tuple] = OrderedDict()
 
     def __len__(self) -> int:
-        return len(self.entries)
+        """Evictable entries (full blocks + tail partials) — the engine's
+        page-starved retry loops key on this reaching zero."""
+        return len(self.entries) + len(self.partials)
 
     def _chain(self, prompt: list[int], namespace: int = 0):
         """Yield (key, block_index) for each shareable full block: block k
@@ -112,6 +123,14 @@ class PrefixCache:
         for k in range((len(prompt) - 1) // ps):
             key = (key, tuple(prompt[k * ps : (k + 1) * ps]))
             yield key, k
+
+    def _chain_key(self, prompt: list[int], k: int, namespace: int):
+        """Chain key covering the first k full blocks of prompt."""
+        key = (namespace,)
+        ps = self.page_size
+        for i in range(k):
+            key = (key, tuple(prompt[i * ps : (i + 1) * ps]))
+        return key
 
     def lookup(self, prompt: list[int], namespace: int = 0) -> list[int]:
         """Longest cached page chain for this prompt (LRU-refreshed)."""
@@ -145,7 +164,66 @@ class PrefixCache:
             if self.sched.pin_page(page):
                 self.entries[key] = page
                 added += 1
+        self._insert_partial(prompt, table_row, namespace)
         return added
+
+    def _insert_partial(self, prompt, table_row, namespace) -> None:
+        """Record one trie edge per block boundary: after k full blocks,
+        the (tokens, page) of block k — so a later prompt diverging INSIDE
+        block k (at any boundary, not just the inserting prompt's last
+        one) can share the common leading rows by copy. Tokens cap at the
+        plen-1 sharing rule."""
+        ps = self.page_size
+        cap = len(prompt) - 1
+        for k in range(cap // ps + 1):
+            lo, hi = k * ps, min((k + 1) * ps, cap)
+            if hi <= lo:
+                break
+            page = int(table_row[k])
+            if page <= 0:
+                continue
+            key = self._chain_key(prompt, k, namespace)
+            part = tuple(prompt[lo:hi])
+            old = self.partials.get(key)
+            if old is not None and old == (part, page):
+                self.partials.move_to_end(key)
+                continue
+            if not self.sched.pin_page(page):
+                continue
+            old = self.partials.pop(key, None)
+            if old is not None:
+                self.sched.unpin_page(old[1])
+            self.partials[key] = (part, page)
+            while len(self.partials) > self.max_partials:
+                _, (_, p_old) = self.partials.popitem(last=False)
+                self.sched.unpin_page(p_old)
+
+    def lookup_partial(self, prompt: list[int], namespace: int, have: int
+                       ) -> tuple[int, int] | None:
+        """(page, rows) of the tail-page entry continuing a `have`-block
+        chain match, where rows = the common-prefix length between the
+        stored tail tokens and this prompt's — None when nothing usable.
+        The caller COPIES those rows into the request's own first private
+        page (never aliases: the stored page's owner may keep appending
+        to it past the recorded rows)."""
+        ps = self.page_size
+        entry = self.partials.get(self._chain_key(prompt, have, namespace))
+        if entry is None:
+            return None
+        tokens, page = entry
+        lim = min(len(tokens), (len(prompt) - 1) - have * ps)
+        r = 0
+        for a, b in zip(tokens[:lim], prompt[have * ps : have * ps + lim]):
+            if a != b:
+                break
+            r += 1
+        if r <= 0:
+            return None
+        self.partials.move_to_end(
+            self._chain_key(prompt, have, namespace)
+        )
+        self.hit_tokens += r
+        return page, r
 
     def restore(self, prompt: list[int], namespace: int, have: int,
                 max_pages: int) -> list[int]:
@@ -194,6 +272,12 @@ class PrefixCache:
         stay valid during the snapshot: the pin is only dropped after —
         and shared pages are never written in place anyway)."""
         done = 0
+        # Tail-page entries go first: they save at most page_size-1 tokens
+        # each and are never swapped (device-only by design).
+        while self.partials and done < n:
+            _, (_, page) = self.partials.popitem(last=False)
+            self.sched.unpin_page(page)
+            done += 1
         while self.entries and done < n:
             key, page = self.entries.popitem(last=False)
             if self.swap is not None:

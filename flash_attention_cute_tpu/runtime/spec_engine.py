@@ -605,6 +605,31 @@ class SpeculativeServingEngine(ServingEngine):
 
     # ---- draft-state mirroring (called from the base-class internals) ----
 
+    def _apply_partial(self, s: int, rid: int, shared: int) -> int:
+        """Partial-page prefix sharing x speculative: replay the target's
+        tail-row clone into the draft pool (same page ids — the draft pool
+        rides the target's page table). Safe coverage: a stored partial
+        ends at source position src_plen-2 (the plen-1 sharing cap), and
+        the draft cache always holds KV through its owner's plen-2 (the
+        one-token-behind invariant), so every cloned draft row is real."""
+        out = super()._apply_partial(s, rid, shared)
+        info = self._last_partial.get(s)
+        if info is not None and self.d_state is not None:
+            src, dst, rows = info
+            fields = tuple(
+                f.name for f in dataclasses.fields(self.d_state)
+                if f.name not in ("page_table", "lengths")
+            )
+            pools = tuple(getattr(self.d_state, f) for f in fields)
+            new = self._partial_copy_fn(
+                pools, jnp.int32(src), jnp.int32(dst), jnp.int32(rows)
+            )
+            self.d_state = dataclasses.replace(
+                self.d_state, **dict(zip(fields, new))
+            )
+            self.stats["device_calls"] += 1
+        return out
+
     def _sync_table(self, slot: int):
         super()._sync_table(slot)
         rid = self._slot_req[slot]

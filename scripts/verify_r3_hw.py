@@ -161,12 +161,12 @@ def main():
     kq = quantize_kv(jnp.asarray(kpool, jnp.bfloat16))
     vq = quantize_kv(jnp.asarray(vpool, jnp.bfloat16))
     o_q = paged_attention_extend_quantized(
-        qb, QuantizedKV(*kq), QuantizedKV(*vq), offs, lens,
+        qb, kq, vq, offs, lens,
         jnp.asarray(table), logit_softcap=cap,
     )
     # int8 KV: compare against the DEQUANTIZED oracle.
-    kdq = kq[0].astype(jnp.float32) * kq[1][..., None].astype(jnp.float32)
-    vdq = vq[0].astype(jnp.float32) * vq[1][..., None].astype(jnp.float32)
+    kdq = kq.values.astype(jnp.float32) * kq.scales[..., None].astype(jnp.float32)
+    vdq = vq.values.astype(jnp.float32) * vq.scales[..., None].astype(jnp.float32)
     kfull_dq = jnp.stack([
         jnp.concatenate([kdq[:, table[b, j]] for j in range(ppseq)], axis=1)
         for b in range(B)])

@@ -411,3 +411,39 @@ def test_int8_scores_rejects_unknown_dtype():
     with pytest.raises(ValueError, match="score_dtype"):
         flash_attention_fwd(q, k, v, causal=True, score_dtype="int4",
                             interpret=True)
+
+
+def test_inactive_window_normalized_to_fast_path():
+    """A window >= Skv can never bind (the largest global query position
+    is Skv-1), so the wrapper must normalize it to window=None — which
+    both keeps the mask exact and lets short-prompt windowed models
+    (Gemma2/Mistral prompts <= window) ride the diag-first fast path.
+    Bitwise equality with the explicit window=None call proves the same
+    kernel ran."""
+    q, k, v = make_qkv(jax.random.key(37), 2, 8, 2, 512, 512, 64,
+                       jnp.float32)
+    out_w = flash_attention_fwd(
+        q, k, v, causal=True, window=512, block_q=256, block_kv=256,
+        interpret=True,
+    )
+    out_none = flash_attention_fwd(
+        q, k, v, causal=True, window=None, block_q=256, block_kv=256,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(out_w, np.float32),
+                          np.asarray(out_none, np.float32))
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out_w, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )
+    # window = Skv - 1 DOES bind (row 0 of a square causal geometry loses
+    # key 0 only when window < Skv... the last row sees keys
+    # (Skv-1-window, Skv-1]; at window=Skv-1 key 0 drops for it) — the
+    # normalization must NOT fire there.
+    out_bind = flash_attention_fwd(
+        q, k, v, causal=True, window=511, block_q=256, block_kv=256,
+        interpret=True,
+    )
+    assert not np.array_equal(np.asarray(out_bind, np.float32),
+                              np.asarray(out_none, np.float32))

@@ -192,3 +192,49 @@ def test_paged_extend_clamp_counter():
         pages_per_compute_block=2, return_clamps=True, interpret=True,
     )
     assert float(clamps_adv) > 0, float(clamps_adv)
+
+
+def test_paged_extend_chunk_split_matches_unsplit(monkeypatch):
+    """The VMEM-driven chunk-axis split must be invisible: force a tiny
+    row budget so a small call takes the split path, then compare against
+    the single-call result and the oracle. Regression for the scoped-VMEM
+    OOM at bucket-1024 x GQA-group-4 (G*S=4096 packed rows vs the 16 MB
+    limit on v5e, hit by prefix-cache grouped prefill)."""
+    import flash_attention_cute_tpu.ops.paged_attention as pa
+
+    b, hq, hkv, sq, pps, ps, d = 2, 4, 2, 48, 16, 8, 64
+    q, kp, vp, tbl = setup(jax.random.key(21), b, hq, hkv, sq, pps, ps, d)
+    q_off = jnp.array([40, 0], jnp.int32)
+    kv_len = q_off + sq
+
+    kwargs = dict(pages_per_compute_block=2, interpret=True,
+                  return_clamps=True, window=24)
+    base, base_clamps = paged_attention_extend(
+        q, kp, vp, q_off, kv_len, tbl, **kwargs)
+
+    # g*sq = 96 packed rows; an 8-row budget forces 4-row sub-chunks.
+    monkeypatch.setattr(pa, "MAX_EXTEND_ROWS", 8)
+    assert pa._extend_chunk_split(sq, hq // hkv, 128) is not None
+    paged_attention_extend.clear_cache()
+    try:
+        out, clamps = paged_attention_extend(
+            q, kp, vp, q_off, kv_len, tbl, **kwargs)
+    finally:
+        monkeypatch.undo()
+        paged_attention_extend.clear_cache()
+
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(base, np.float32),
+        atol=1e-6, rtol=0,
+    )
+    assert float(clamps) == float(base_clamps) == 0.0
+    kg = gather(kp, tbl, ps)
+    vg = gather(vp, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off,
+        window=24,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-5, rtol=2e-2,
+    )

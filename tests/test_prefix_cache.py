@@ -269,3 +269,98 @@ def test_host_swap_under_pool_pressure_terminates(model):
     assert eng.stats["prefix_evictions"] > 0
     assert eng.stats["swap_out_pages"] > 0
     assert not eng.failed
+
+
+class _FakeSched:
+    def __init__(self):
+        self.refs = {}
+
+    def pin_page(self, p):
+        self.refs[p] = self.refs.get(p, 0) + 1
+        return True
+
+    def unpin_page(self, p):
+        self.refs[p] -= 1
+
+
+def test_partial_lookup_divergence_unit():
+    from flash_attention_cute_tpu.runtime.prefix_cache import PrefixCache
+
+    pc = PrefixCache(_FakeSched(), page_size=8)
+    prompt_a = list(range(21))  # 2 full blocks + tail rows (16..19)
+    row = np.arange(1, 17)
+    pc.insert(prompt_a, row)
+    assert len(pc.partials) == 3  # one trie edge per block boundary
+    # Same 2 full blocks, first 2 tail tokens match, then divergence.
+    prompt_b = list(range(18)) + [99, 98, 97]
+    assert len(pc.lookup(prompt_b)) == 2
+    page, r = pc.lookup_partial(prompt_b, 0, 2)
+    assert page == int(row[2]) and r == 2
+    # Fully divergent tail: no partial.
+    prompt_c = list(range(16)) + [50, 51, 52, 53]
+    assert pc.lookup_partial(prompt_c, 0, 2) is None
+    # Tail rows are capped at the owner's plen-1: identical prompt can
+    # share at most its own r=4 recorded rows.
+    page, r = pc.lookup_partial(prompt_a, 0, 2)
+    assert (page, r) == (int(row[2]), 4)
+
+
+def test_partial_page_sharing_exact_and_counted(model):
+    """21-token shared prefix = 2 full 8-token blocks + 5 tail rows; with
+    partial sharing every later request shares all 21 tokens (32 would be
+    the full-blocks-only ceiling for two second-wave requests)."""
+    cfg, _ = model
+    prompts = _shared_prompts(cfg, n=4, sys_len=21, seed=23)
+    want, _ = _run(model, prompts, 5)
+    got, eng = _run(model, prompts, 5, enable_prefix_cache=True)
+    assert got == want
+    assert len(eng.prefix_cache.partials) >= 1
+    assert eng.stats["prefix_hit_tokens"] >= 2 * 21
+    assert not eng.failed
+
+
+def test_partial_page_sharing_chunked_admission(model):
+    cfg, _ = model
+    prompts = _shared_prompts(cfg, n=3, sys_len=21, seed=29)
+    want, _ = _run(model, prompts, 6, prefill_chunk=8)
+    got, eng = _run(model, prompts, 6, prefill_chunk=8,
+                    enable_prefix_cache=True)
+    assert got == want
+    assert eng.stats["prefix_hit_tokens"] >= 21
+
+
+def test_partial_page_sharing_quantized_pool(model):
+    """The tail-row clone copies int8 values AND scale planes."""
+    cfg, _ = model
+    prompts = _shared_prompts(cfg, n=3, sys_len=21, seed=31)
+    want, _ = _run(model, prompts, 5, kv_dtype=jnp.int8)
+    got, eng = _run(model, prompts, 5, kv_dtype=jnp.int8,
+                    enable_prefix_cache=True)
+    assert got == want
+    assert eng.stats["prefix_hit_tokens"] >= 21
+
+
+def test_partial_page_sharing_speculative_engine(model):
+    """The draft pool receives the same tail-row clone (same page ids),
+    so speculative verify stays exact over mid-page shared prefixes."""
+    from flash_attention_cute_tpu.runtime.spec_engine import (
+        SpeculativeServingEngine,
+    )
+
+    cfg, params = model
+    dcfg = tiny_test_config(num_layers=1, hidden_size=32,
+                            intermediate_size=64)
+    dparams = init_params(dcfg, jax.random.key(7))
+    prompts = _shared_prompts(cfg, n=3, sys_len=21, seed=37)
+    want, _ = _run(model, prompts, 6)
+
+    eng = SpeculativeServingEngine(
+        params, cfg, draft_params=dparams, draft_cfg=dcfg, gamma=3,
+        interpret=True, enable_prefix_cache=True, **POOL,
+    )
+    for rid, p in prompts.items():
+        eng.submit(rid, p, 6)
+    got = eng.run()
+    assert got == want
+    assert eng.stats["prefix_hit_tokens"] >= 21
+    assert not eng.failed

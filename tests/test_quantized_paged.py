@@ -209,3 +209,44 @@ def test_quant_paged_decode_softcap():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-3, rtol=2e-2,
     )
+
+
+def test_quant_paged_extend_chunk_split_matches_unsplit(monkeypatch):
+    """VMEM-driven chunk-axis split on the quantized extend path (same
+    budget logic as the dense twin — regression for the scoped-VMEM OOM
+    at large bucket x group packings)."""
+    import flash_attention_cute_tpu.ops.paged_attention as pa
+
+    b, hq, hkv, sq, pps, ps, d = 2, 4, 2, 48, 16, 8, 64
+    q, kqz, vqz, tbl = setup_extend(
+        jax.random.key(23), b, hq, hkv, sq, pps, ps, d
+    )
+    q_off = jnp.array([40, 0], jnp.int32)
+    kv_len = q_off + sq
+    kwargs = dict(pages_per_compute_block=2, interpret=True)
+
+    base = paged_attention_extend_quantized(
+        q, kqz, vqz, q_off, kv_len, tbl, **kwargs)
+
+    monkeypatch.setattr(pa, "MAX_EXTEND_ROWS", 8)
+    paged_attention_extend_quantized.clear_cache()
+    try:
+        out = paged_attention_extend_quantized(
+            q, kqz, vqz, q_off, kv_len, tbl, **kwargs)
+    finally:
+        monkeypatch.undo()
+        paged_attention_extend_quantized.clear_cache()
+
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(base, np.float32),
+        atol=1e-6, rtol=0,
+    )
+    kg = gather_dense(kqz, tbl, ps)
+    vg = gather_dense(vqz, tbl, ps)
+    ref = attention_reference(
+        q, kg, vg, causal=True, kv_length=kv_len, q_offset=q_off
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-3, rtol=2e-2,
+    )
