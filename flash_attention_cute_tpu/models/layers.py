@@ -88,6 +88,20 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
+def dense(x: jax.Array, w) -> jax.Array:
+    """x @ w for either a plain array or an int8 QuantizedWeight
+    (ops/quantized_matmul.py — weight-only quantization, per-out-channel
+    scales; decode streams half the bytes)."""
+    from flash_attention_cute_tpu.ops.quantized_matmul import (
+        QuantizedWeight,
+        quantized_matmul,
+    )
+
+    if isinstance(w, QuantizedWeight):
+        return quantized_matmul(x, w)
+    return jnp.dot(x, w)
+
+
 def _maybe_lora(x, out, proj, lora_l, ids, scaling):
     if lora_l is None or proj not in lora_l:
         return out
@@ -101,9 +115,9 @@ def mlp(x: jax.Array, p: dict, activation: str = "silu",
     """Gated MLP: down(act(gate(x)) * up(x)) — SwiGLU for Llama/Qwen2,
     GeGLU (tanh-approximated gelu) for Gemma2. Optional per-row LoRA
     deltas on any of the three projections."""
-    gate = _maybe_lora(x, jnp.dot(x, p["gate_proj"]), "gate_proj",
+    gate = _maybe_lora(x, dense(x, p["gate_proj"]), "gate_proj",
                        lora_l, lora_ids, lora_scaling)
-    up = _maybe_lora(x, jnp.dot(x, p["up_proj"]), "up_proj",
+    up = _maybe_lora(x, dense(x, p["up_proj"]), "up_proj",
                      lora_l, lora_ids, lora_scaling)
     if activation == "silu":
         act = jax.nn.silu(gate)
@@ -112,7 +126,7 @@ def mlp(x: jax.Array, p: dict, activation: str = "silu",
     else:
         raise ValueError(f"unknown activation {activation!r}")
     h = act * up
-    return _maybe_lora(h, jnp.dot(h, p["down_proj"]), "down_proj",
+    return _maybe_lora(h, dense(h, p["down_proj"]), "down_proj",
                        lora_l, lora_ids, lora_scaling)
 
 
@@ -141,11 +155,11 @@ def qkv_project(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """x [B, S, E] -> q [B, Hq, S, D], k/v [B, Hkv, S, D]."""
     b, s, _ = x.shape
-    q = _maybe_lora(x, jnp.dot(x, p["q_proj"]), "q_proj",
+    q = _maybe_lora(x, dense(x, p["q_proj"]), "q_proj",
                     lora_l, lora_ids, lora_scaling)
-    k = _maybe_lora(x, jnp.dot(x, p["k_proj"]), "k_proj",
+    k = _maybe_lora(x, dense(x, p["k_proj"]), "k_proj",
                     lora_l, lora_ids, lora_scaling)
-    v = _maybe_lora(x, jnp.dot(x, p["v_proj"]), "v_proj",
+    v = _maybe_lora(x, dense(x, p["v_proj"]), "v_proj",
                     lora_l, lora_ids, lora_scaling)
     if cfg.attention_bias:
         q = q + p["q_bias"]
@@ -164,5 +178,5 @@ def attention_output(
     """attn [B, Hq, S, D] -> o_proj output [B, S, E]."""
     b, _, s, _ = attn.shape
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_q_heads * cfg.head_dim)
-    return _maybe_lora(attn, jnp.dot(attn, p["o_proj"]), "o_proj",
+    return _maybe_lora(attn, dense(attn, p["o_proj"]), "o_proj",
                        lora_l, lora_ids, lora_scaling)

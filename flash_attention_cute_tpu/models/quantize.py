@@ -1,0 +1,67 @@
+"""Weight-only int8 quantization of a model parameter pytree.
+
+`quantize_params` replaces every 2-D projection weight (q/k/v/o, the
+three MLP mats, lm_head) with an `ops.quantized_matmul.QuantizedWeight`
+— per-output-channel symmetric int8, near-lossless at W8 — and leaves
+norms, biases, and the embedding table (a gather, not a matmul) in the
+original dtype. `models.layers.dense` dispatches on the leaf type, so
+the quantized pytree drops into `forward`, `runtime.generate`, and every
+serving engine unchanged.
+
+Why: decode streams the full weight set once per token and already runs
+at 96-99% of the bf16 weights-streaming floor (BASELINE.md), so halving
+weight bytes is the remaining ~2x decode-throughput lever. The reference
+has no weight quantization (reference: README.md:22 lists only
+quantized kernels as a TODO).
+
+Tied embeddings (`lm_head is None`) keep the logits matmul in the
+embedding's dtype — the embedding must stay a gatherable array.
+
+For tensor-parallel meshes pass impl="xla": GSPMD partitions the plain
+dequant+dot form, whereas the Pallas kernel would be replicated (see
+ops/quantized_matmul.py). `parallel.sharding.param_pspecs(..., params=)`
+expands the specs for quantized leaves.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from flash_attention_cute_tpu.ops.quantized_matmul import (
+    QuantizedWeight,
+    dequantize_weight,
+    quantize_weight,
+)
+
+PROJ_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
+)
+
+
+def quantize_params(params: dict, impl: str = "pallas") -> dict:
+    """New params pytree with projection weights int8-quantized."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in PROJ_KEYS:
+        if k in layers:
+            layers[k] = quantize_weight(layers[k], impl=impl)
+    out["layers"] = layers
+    if params.get("lm_head") is not None:
+        out["lm_head"] = quantize_weight(params["lm_head"], impl=impl)
+    return out
+
+
+def dequantize_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Exact dense-weight image of a quantized pytree (the parity oracle:
+    forward(quantized) must match forward(dequantized) to matmul
+    tolerance — this isolates kernel bugs from quantization error)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k, v in layers.items():
+        if isinstance(v, QuantizedWeight):
+            layers[k] = dequantize_weight(v, dtype)
+    out["layers"] = layers
+    if isinstance(params.get("lm_head"), QuantizedWeight):
+        out["lm_head"] = dequantize_weight(params["lm_head"], dtype)
+    return out

@@ -1,0 +1,178 @@
+"""Int8 weight-only quantized matmul (Pallas, dequant fused into the tile
+stream).
+
+Why: decode is weights-bandwidth-bound — the serving engine already runs
+at 96-99% of the bf16 weights-streaming floor (BASELINE.md decode
+attribution), so the one remaining 2x lever on decode throughput is
+halving the bytes each step streams. Weights are stored int8 with one
+fp32 scale per OUTPUT channel (symmetric, absmax); the kernel streams
+int8 tiles HBM->VMEM, casts to the activation dtype on the VPU (which
+overlaps the next tile's DMA under the Pallas pipeline), runs the MXU
+matmul, and applies the per-channel scale once after the fp32
+accumulation — `x @ (v * s) == (x @ v) * s` exactly, because `s` is
+constant along the contraction axis.
+
+The reference has no weight quantization (its README lists only
+quantized *kernels* as a TODO, reference: README.md:22); this is a
+"beyond" feature of the same kind as the int8 KV cache in
+ops/quantized.py.
+
+Two implementations, chosen at quantize time (static aux field, so the
+choice is a jit specialization key, not a traced value):
+
+  * impl="pallas" (default): the fused kernel above. Single-chip only —
+    a Pallas call is opaque to GSPMD, so under a pjit mesh it would be
+    replicated, not partitioned.
+  * impl="xla": `(x @ values.astype(dtype)) * scales` as plain XLA ops.
+    GSPMD partitions this like any dense matmul (values keep the same
+    PartitionSpec as the bf16 weight they replace), so this is the form
+    to use for tensor-parallel meshes. XLA materializes the dequantized
+    shard per call, so it keeps the memory win (params at rest) but not
+    the full streaming win.
+
+Padding contract: `quantize_weight` pads the contraction axis up to the
+kernel's K tile and the output axis up to the N tile (zero values, unit
+scales); `quantized_matmul` pads activations with zeros on the right
+(zero rows of `values` make the padding exact) and slices the logical
+output columns back out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_cute_tpu.dispatch import on_tpu
+
+LANES = 128
+# K/N tile caps. 512x512 int8 = 256 KB per streamed weight tile — two
+# weight buffers + x/acc/out blocks stay ~1.5 MB of VMEM.
+BLOCK_K = 512
+BLOCK_N = 512
+BLOCK_T = 256  # row tile cap (prefill); decode rows pad to 8 sublanes
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizedWeight:
+    """Per-output-channel symmetric int8 weight.
+
+    values [..., K_pad, N_pad] int8; scales [..., N_pad] f32. `in_dim`
+    and `out` are the LOGICAL contraction/output widths (the pads carry
+    zero values and unit scales). Layer-stacked leaves
+    carry a leading L axis on both fields and slice per layer under
+    `lax.scan` like any pytree.
+    """
+
+    values: Any
+    scales: Any
+    in_dim: int = dataclasses.field(metadata=dict(static=True))
+    out: int = dataclasses.field(metadata=dict(static=True))
+    impl: str = dataclasses.field(default="pallas", metadata=dict(static=True))
+
+    @property
+    def dtype(self):  # duck-type the jnp.ndarray surface models probe
+        return jnp.int8
+
+    @property
+    def shape(self):
+        return self.values.shape[:-1] + (self.out,)
+
+
+def quantize_weight(w: jax.Array, impl: str = "pallas") -> QuantizedWeight:
+    """Quantize a [..., K, N] weight to int8 with per-N absmax scales."""
+    assert impl in ("pallas", "xla"), impl
+    k, n = w.shape[-2], w.shape[-1]
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., N]
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(wf / scales[..., None, :]).astype(jnp.int8)
+    k_pad = _round_up(k, min(BLOCK_K, _round_up(k, LANES)))
+    n_pad = _round_up(n, min(BLOCK_N, _round_up(n, LANES)))
+    pad = [(0, 0)] * (w.ndim - 2) + [(0, k_pad - k), (0, n_pad - n)]
+    q = jnp.pad(q, pad)
+    scales = jnp.pad(
+        scales, pad[:-2] + [pad[-1]], constant_values=1.0
+    )
+    return QuantizedWeight(values=q, scales=scales, in_dim=k, out=n,
+                           impl=impl)
+
+
+def dequantize_weight(qw: QuantizedWeight, dtype=jnp.float32) -> jax.Array:
+    """The exact bf16/f32 weight the kernel's math is equivalent to
+    (padding stripped) — the parity oracle for tests."""
+    w = qw.values.astype(jnp.float32) * qw.scales[..., None, :]
+    return w[..., : qw.in_dim, : qw.out].astype(dtype)
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(x_ref.dtype)  # int8 -> activation dtype (VPU)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_k - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _qmm_pallas(x2: jax.Array, qw: QuantizedWeight,
+                interpret: bool) -> jax.Array:
+    t, k = x2.shape
+    k_pad, n_pad = qw.values.shape[-2], qw.values.shape[-1]
+    bt = min(BLOCK_T, _round_up(t, 8))
+    bk = min(BLOCK_K, k_pad)
+    bn = min(BLOCK_N, n_pad)
+    t_pad = _round_up(t, bt)
+    if (t_pad, k_pad) != (t, k):
+        x2 = jnp.pad(x2, ((0, t_pad - t), (0, k_pad - k)))
+    grid = (t_pad // bt, n_pad // bn, k_pad // bk)
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bk), lambda ti, ni, ki: (ti, ki)),
+            pl.BlockSpec((bk, bn), lambda ti, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, bn), lambda ti, ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda ti, ni, ki: (ti, ni)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, qw.values, qw.scales.reshape(1, n_pad))
+    return out[:t, : qw.out]
+
+
+def quantized_matmul(x: jax.Array, qw: QuantizedWeight) -> jax.Array:
+    """x [..., K] @ qw -> [..., out] in x.dtype (fp32 accumulation)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    if qw.impl == "xla":
+        # Padded K rows of `values` are zero, so slicing them off is
+        # exact and keeps x unpadded (GSPMD-friendly plain dot).
+        v = qw.values[..., :k, :].astype(x.dtype)
+        y = jnp.dot(x, v, preferred_element_type=jnp.float32) * qw.scales
+        return y[..., : qw.out].astype(x.dtype)
+    x2 = x.reshape((-1, k))
+    y = _qmm_pallas(x2, qw, interpret=not on_tpu())
+    return y.reshape(lead + (qw.out,))

@@ -31,8 +31,16 @@ from flash_attention_cute_tpu.models.cache import KVCache
 from flash_attention_cute_tpu.models.config import ModelConfig
 
 
-def param_pspecs(cfg: ModelConfig) -> dict:
-    """PartitionSpec pytree matching transformer.init_params."""
+def param_pspecs(cfg: ModelConfig, params: dict | None = None) -> dict:
+    """PartitionSpec pytree matching transformer.init_params.
+
+    Pass the actual `params` when any projection is an int8
+    QuantizedWeight (models/quantize.py): its `values` keep the dense
+    weight's spec and its `scales` drop the contraction axis (so
+    out-sharded projections shard their scales, in-sharded ones
+    replicate them). Quantized multi-chip params must be quantized with
+    impl="xla" — GSPMD partitions the plain dequant+dot; a Pallas call
+    it would silently replicate."""
     layers = {
         "input_ln": P(),
         "post_ln": P(),
@@ -55,6 +63,28 @@ def param_pspecs(cfg: ModelConfig) -> dict:
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "model")
+    if params is not None:
+        from flash_attention_cute_tpu.ops.quantized_matmul import (
+            QuantizedWeight,
+        )
+
+        def expand(spec, leaf):
+            if isinstance(leaf, QuantizedWeight):
+                assert leaf.impl == "xla", (
+                    "multi-chip quantized params need impl='xla' "
+                    "(GSPMD cannot partition the Pallas kernel)"
+                )
+                return QuantizedWeight(
+                    values=spec,
+                    scales=P(*(spec[:-2] + spec[-1:])),
+                    in_dim=leaf.in_dim, out=leaf.out, impl=leaf.impl,
+                )
+            return spec
+
+        specs = jax.tree.map(
+            expand, specs, params,
+            is_leaf=lambda x: isinstance(x, P),
+        )
     return specs
 
 
@@ -75,7 +105,7 @@ def _device_put_tree(tree, specs, mesh: Mesh):
 
 
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
-    return _device_put_tree(params, param_pspecs(cfg), mesh)
+    return _device_put_tree(params, param_pspecs(cfg, params), mesh)
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:

@@ -321,7 +321,10 @@ def forward_paged(
     lm_head = params.get("lm_head")
     if lm_head is None:
         lm_head = params["embed"].T
-    logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
+    if hasattr(lm_head, "values"):  # int8 QuantizedWeight
+        logits = L.dense(x, lm_head).astype(jnp.float32)
+    else:
+        logits = jnp.dot(x, lm_head.astype(x.dtype)).astype(jnp.float32)
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = jnp.tanh(logits / cap) * cap

@@ -54,6 +54,11 @@ def parse_args(argv=None):
                         "otherwise random token ids are used")
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--quantize-weights", action="store_true",
+                   help="int8 weight-only quantization of every "
+                        "projection (models/quantize.py); decode is "
+                        "weights-streaming-bound, so this is the ~2x "
+                        "decode-throughput lever")
     return p.parse_args(argv)
 
 
@@ -99,10 +104,15 @@ def main(argv=None):
         ids = jax.random.randint(
             jax.random.key(1), (a.batch, a.prompt_len), 0, cfg.vocab_size
         ).astype(jnp.int32)
+    if a.quantize_weights:
+        from flash_attention_cute_tpu.models.quantize import quantize_params
+        params = jax.block_until_ready(jax.jit(quantize_params)(params))
+
     b, s = ids.shape
     capacity = s + a.max_new_tokens
     print(f"model={a.model} layers={cfg.num_layers} batch={b} "
-          f"prompt={s} new={a.max_new_tokens} dtype={a.dtype}")
+          f"prompt={s} new={a.max_new_tokens} dtype={a.dtype}"
+          f"{' weights=int8' if a.quantize_weights else ''}")
 
     # Timing note: on a tunneled TPU, dispatch+sync overhead is tens of ms,
     # so both phases are measured as difference quotients between two

@@ -68,6 +68,9 @@ def parse_args(argv=None):
                         "request stream a common system prompt")
     p.add_argument("--shared-prefix", type=int, default=0,
                    help="tokens of system prompt shared by ALL requests")
+    p.add_argument("--quantize-weights", action="store_true",
+                   help="int8 weight-only quantization of every "
+                        "projection (models/quantize.py)")
     return p.parse_args(argv)
 
 
@@ -91,6 +94,9 @@ def main(argv=None):
     if a.num_layers:
         cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
     params = init_params(cfg, jax.random.key(0))
+    if a.quantize_weights:
+        from flash_attention_cute_tpu.models.quantize import quantize_params
+        params = jax.block_until_ready(jax.jit(quantize_params)(params))
 
     rng = np.random.default_rng(0)
     system = rng.integers(0, cfg.vocab_size, a.shared_prefix).tolist()
@@ -158,10 +164,17 @@ def main(argv=None):
 
     # Warmup wave: populate the compile cache for every prompt bucket and
     # the decode chunk, so the measured wave is steady-state serving.
-    for rid, p in prompts.items():
-        eng.submit(rid + 1_000_000, p, a.max_new_tokens)
+    # With the prefix cache on, wave 1 also populates the CACHE, which
+    # changes the admission buckets every later wave sees (near-full
+    # prefix hits -> short-suffix buckets wave 1 never compiled); a
+    # second warmup wave runs against exactly the cache state the
+    # measured wave will see and compiles those buckets.
+    warm_waves = 2 if a.prefix_cache else 1
     t0 = time.perf_counter()
-    eng.run()
+    for wave in range(warm_waves):
+        for rid, p in prompts.items():
+            eng.submit(rid + (wave + 1) * 1_000_000, p, a.max_new_tokens)
+        eng.run()
     print(f"warmup (cold, incl. compiles): {time.perf_counter() - t0:7.2f} s")
     eng.stats = {k: 0 for k in eng.stats}
     eng.metrics.clear()

@@ -1,0 +1,145 @@
+"""Hardware verification of int8 weight-only quantization.
+
+Runs on the real TPU (NOT interpret mode — block-geometry bugs only show
+on hardware):
+
+  1. quantized_matmul (Pallas) vs the dequantized-weight oracle at
+     aligned + ragged shapes, prefill- and decode-shaped rows.
+  2. hardware vs interpret on identical inputs (logic vs numerics split).
+  3. A tiny quantized model end-to-end: forward(quantize_params(p)) vs
+     forward(dequantize_params(quantize_params(p))) — must match to
+     matmul tolerance — and greedy generate parity vs the dense model on
+     int8 weights (same argmax stream on a short horizon).
+
+Usage: python scripts/verify_quantized_weights_hw.py
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_cute_tpu.ops.quantized_matmul import (
+    dequantize_weight,
+    quantize_weight,
+    quantized_matmul,
+)
+
+FAILED = []
+
+
+def check(name, err, tol):
+    ok = err <= tol
+    print(f"{'PASS' if ok else 'FAIL'} {name}: err={err:.3e} (tol {tol})")
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    dev = jax.devices()[0]
+    print("backend:", dev.platform, jax.devices())
+    if dev.platform != "tpu":
+        print("TPU tunnel down — BLOCKED, not a code failure")
+        sys.exit(2)
+
+    rng = np.random.default_rng(0)
+    # (T, K, N): aligned, ragged-K, ragged-N, decode-shaped (T=1, T=4)
+    shapes = [
+        (256, 1024, 1024),
+        (256, 1000, 1024),
+        (177, 1024, 940),
+        (1, 4096, 1024),
+        (4, 896, 1152),
+    ]
+    for t, k, n in shapes:
+        x = jnp.asarray(rng.standard_normal((t, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32)
+        qw = quantize_weight(w)
+        y = quantized_matmul(x, qw)
+        ref = jnp.dot(
+            x.astype(jnp.float32),
+            dequantize_weight(qw, jnp.bfloat16).astype(jnp.float32),
+        ).astype(jnp.bfloat16)
+        scale = float(jnp.abs(ref).max())
+        err = float(jnp.abs(y.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max())
+        check(f"qmm_{t}x{k}x{n}_vs_dequant_oracle", err / max(scale, 1e-6),
+              3e-2)
+        # hardware vs interpret (identical inputs) — logic must agree
+        from flash_attention_cute_tpu.ops import quantized_matmul as qm
+        y_int = qm._qmm_pallas(x, qw, interpret=True)
+        err_hi = float(jnp.abs(y.astype(jnp.float32)
+                               - y_int.astype(jnp.float32)).max())
+        check(f"qmm_{t}x{k}x{n}_hw_vs_interpret", err_hi / max(scale, 1e-6),
+              2e-3)
+
+    # xla impl must agree with pallas impl bit-for-tolerance
+    x = jnp.asarray(rng.standard_normal((64, 1024)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((1024, 1024)) * 0.02, jnp.float32)
+    yp = quantized_matmul(x, quantize_weight(w, impl="pallas"))
+    yx = quantized_matmul(x, quantize_weight(w, impl="xla"))
+    err = float(jnp.abs(yp.astype(jnp.float32) - yx.astype(jnp.float32)).max())
+    check("qmm_pallas_vs_xla_impl", err / max(float(jnp.abs(yx).max()), 1e-6),
+          3e-2)
+
+    # tiny model end-to-end on hardware
+    from flash_attention_cute_tpu.models import transformer as T
+    from flash_attention_cute_tpu.models.config import ModelConfig
+    from flash_attention_cute_tpu.models.quantize import (
+        dequantize_params,
+        quantize_params,
+    )
+    from flash_attention_cute_tpu.runtime.generate import generate
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=64,
+        max_position_embeddings=512,
+    )
+    params = T.init_params(cfg, jax.random.key(0))
+    qp = quantize_params(params)
+    dq = dequantize_params(qp, jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 33)), jnp.int32)
+    lq, _ = T.forward(qp, cfg, ids)
+    ld, _ = T.forward(dq, cfg, ids)
+    # Model-level parity is chaos-limited in bf16: a random-init model's
+    # RMS-norm/attention dynamics amplify per-weight rounding into
+    # localized logit flips (measured: even impl="pallas" vs impl="xla"
+    # — mathematically identical weights — differ 3e-2 max at 2 layers).
+    # So the MAX criterion lives at the matmul level above; here assert
+    # the distribution: mean relative error and argmax agreement.
+    lqn, ldn = np.asarray(lq), np.asarray(ld)
+    scale = float(np.abs(ldn).max())
+    check("model_fwd_quant_vs_dequant_mean", float(np.abs(lqn - ldn).mean())
+          / max(scale, 1e-6), 1e-2)
+    # Argmax flips are only acceptable on near-tie positions: any flip
+    # where the oracle's top-2 margin is decisive (> 5% of logit scale)
+    # would be a real numerics bug, not chaos.
+    flips = lqn.argmax(-1) != ldn.argmax(-1)
+    top2 = np.sort(ldn, axis=-1)[..., -2:]
+    margin = top2[..., 1] - top2[..., 0]
+    decisive_flips = int(np.sum(flips & (margin > 0.05 * scale)))
+    print(f"{'PASS' if decisive_flips == 0 else 'FAIL'} "
+          f"model_fwd_decisive_argmax_flips: {decisive_flips} "
+          f"(flips total {int(flips.sum())}/{flips.size}, all must be "
+          f"near-ties)")
+    if decisive_flips:
+        FAILED.append("model_fwd_decisive_argmax_flips")
+
+    out_q = generate(qp, cfg, ids, max_new_tokens=16)
+    out_d = generate(dq, cfg, ids, max_new_tokens=16)
+    same = int(np.sum(np.asarray(out_q) == np.asarray(out_d)))
+    total = int(np.asarray(out_q).size)
+    print(f"{'PASS' if same == total else 'WARN'} "
+          f"greedy_generate_quant_vs_dequant: {same}/{total} tokens equal")
+    # argmax ties under bf16 can differ; require near-total agreement
+    if same < total - 2:
+        FAILED.append("greedy_generate_quant_vs_dequant")
+
+    print("ALL PASS" if not FAILED else f"FAILED: {FAILED}")
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()
