@@ -25,6 +25,7 @@ expands the specs for quantized leaves.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from flash_attention_cute_tpu.ops.quantized_matmul import (
@@ -50,6 +51,26 @@ def quantize_params(params: dict, impl: str = "pallas") -> dict:
     if params.get("lm_head") is not None:
         out["lm_head"] = quantize_weight(params["lm_head"], impl=impl)
     return out
+
+
+def quantize_params_on_host(init_fn, impl: str = "pallas",
+                            device=None) -> dict:
+    """Init + quantize on the host CPU, then transfer int8 to `device`.
+
+    This is the only way onto the chip for models whose DENSE image
+    exceeds HBM: full-depth Llama-3-8B is ~16 GB bf16 (does not fit a
+    single v5e) but ~8.6 GB quantized (int8 projections + bf16
+    embedding), so the bf16 pytree must never materialize on the TPU.
+    `init_fn()` is called under the CPU default device (e.g.
+    `lambda: init_params(cfg, key)` or a checkpoint loader); `device`
+    defaults to the default backend's first device.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        qp = quantize_params(init_fn(), impl=impl)
+    if device is None:
+        device = jax.devices()[0]
+    return jax.device_put(qp, device)
 
 
 def dequantize_params(params: dict, dtype=jnp.bfloat16) -> dict:

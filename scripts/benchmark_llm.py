@@ -59,6 +59,17 @@ def parse_args(argv=None):
                         "projection (models/quantize.py); decode is "
                         "weights-streaming-bound, so this is the ~2x "
                         "decode-throughput lever")
+    p.add_argument("--cache-dtype", choices=["model", "int8", "fp8"],
+                   default="model",
+                   help="KV cache storage dtype; int8/fp8 halve the "
+                        "per-step KV stream (the other half of decode's "
+                        "byte budget next to weights)")
+    p.add_argument("--init-host", action="store_true",
+                   help="with --quantize-weights: init + quantize on the "
+                        "host CPU and ship only the int8 image to the "
+                        "chip — required for models whose DENSE image "
+                        "exceeds HBM (full-depth Llama-3-8B is ~16 GB "
+                        "bf16 on a 16 GB v5e; ~8.6 GB quantized)")
     return p.parse_args(argv)
 
 
@@ -94,7 +105,10 @@ def main(argv=None):
         cfg = PRESETS[a.model](dtype=dtype)
         if a.num_layers:
             cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
-        params = init_params(cfg, jax.random.key(0))
+        if a.quantize_weights and a.init_host:
+            params = None  # built below without a device-resident bf16 image
+        else:
+            params = init_params(cfg, jax.random.key(0))
 
     if a.prompt is not None and tokenizer is not None:
         ids = tokenizer(a.prompt, return_tensors="np")["input_ids"]
@@ -105,14 +119,24 @@ def main(argv=None):
             jax.random.key(1), (a.batch, a.prompt_len), 0, cfg.vocab_size
         ).astype(jnp.int32)
     if a.quantize_weights:
-        from flash_attention_cute_tpu.models.quantize import quantize_params
-        params = jax.block_until_ready(jax.jit(quantize_params)(params))
+        from flash_attention_cute_tpu.models.quantize import (
+            quantize_params, quantize_params_on_host,
+        )
+        if params is None:
+            t0 = time.perf_counter()
+            params = quantize_params_on_host(
+                lambda: init_params(cfg, jax.random.key(0)))
+            print(f"host init+quantize+upload: "
+                  f"{time.perf_counter() - t0:.1f} s")
+        else:
+            params = jax.block_until_ready(jax.jit(quantize_params)(params))
 
     b, s = ids.shape
     capacity = s + a.max_new_tokens
     print(f"model={a.model} layers={cfg.num_layers} batch={b} "
           f"prompt={s} new={a.max_new_tokens} dtype={a.dtype}"
-          f"{' weights=int8' if a.quantize_weights else ''}")
+          f"{' weights=int8' if a.quantize_weights else ''}"
+          f"{'' if a.cache_dtype == 'model' else ' kv=' + a.cache_dtype}")
 
     # Timing note: on a tunneled TPU, dispatch+sync overhead is tens of ms,
     # so both phases are measured as difference quotients between two
@@ -143,7 +167,10 @@ def main(argv=None):
           f"(p50 TTFT proxy {t_prefill * 1e3:.1f} ms)")
 
     # ---- decode phase (reference: scripts/benchmark_llm.py:65-92) ----
-    last_logits, cache0 = prefill(params, cfg, ids, cache_capacity=capacity)
+    cache_dtype = {"model": None, "int8": jnp.int8,
+                   "fp8": jnp.float8_e4m3fn}[a.cache_dtype]
+    last_logits, cache0 = prefill(params, cfg, ids, cache_capacity=capacity,
+                                  cache_dtype=cache_dtype)
     first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
     n2 = a.max_new_tokens
     n1 = max(1, n2 // 4)

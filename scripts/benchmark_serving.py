@@ -71,6 +71,15 @@ def parse_args(argv=None):
     p.add_argument("--quantize-weights", action="store_true",
                    help="int8 weight-only quantization of every "
                         "projection (models/quantize.py)")
+    p.add_argument("--init-host", action="store_true",
+                   help="with --quantize-weights: init + quantize on the "
+                        "host CPU and ship only the int8 image (for "
+                        "models whose dense image exceeds HBM, e.g. "
+                        "full-depth Llama-3-8B on one v5e)")
+    p.add_argument("--kv-dtype", choices=["model", "int8", "fp8"],
+                   default="model",
+                   help="KV page-pool dtype (int8/fp8: quantized pages, "
+                        "2x resident sequences per HBM byte)")
     return p.parse_args(argv)
 
 
@@ -93,10 +102,19 @@ def main(argv=None):
     cfg = PRESETS[a.model](dtype=dtype)
     if a.num_layers:
         cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
-    params = init_params(cfg, jax.random.key(0))
     if a.quantize_weights:
-        from flash_attention_cute_tpu.models.quantize import quantize_params
-        params = jax.block_until_ready(jax.jit(quantize_params)(params))
+        from flash_attention_cute_tpu.models.quantize import (
+            quantize_params, quantize_params_on_host,
+        )
+        if a.init_host:
+            params = quantize_params_on_host(
+                lambda: init_params(cfg, jax.random.key(0)))
+        else:
+            params = jax.block_until_ready(
+                jax.jit(quantize_params)(init_params(cfg, jax.random.key(0)))
+            )
+    else:
+        params = init_params(cfg, jax.random.key(0))
 
     rng = np.random.default_rng(0)
     system = rng.integers(0, cfg.vocab_size, a.shared_prefix).tolist()
@@ -110,6 +128,9 @@ def main(argv=None):
     # Off-TPU (CPU smoke runs of this CLI) the Pallas kernels need
     # interpret mode; on hardware leave the engine default.
     interp = True if jax.default_backend() != "tpu" else None
+
+    kv_dtype = {"model": None, "int8": jnp.int8,
+                "fp8": jnp.float8_e4m3fn}[a.kv_dtype]
 
     # Speculative scatters transiently touch up to gamma positions past
     # the accepted length (spec_engine pool-sizing rule).
@@ -128,7 +149,7 @@ def main(argv=None):
             slots=a.slots, num_pages=num_pages,
             page_size=a.page_size, pages_per_seq=pages_per_seq,
             prefill_group=a.prefill_group, interpret=interp,
-            enable_prefix_cache=a.prefix_cache,
+            enable_prefix_cache=a.prefix_cache, kv_dtype=kv_dtype,
         )
         if a.speculative == "ngram":
             eng = SpeculativeServingEngine(params, cfg, ngram=2, **spec_kw)
@@ -155,7 +176,7 @@ def main(argv=None):
             page_size=a.page_size, pages_per_seq=pages_per_seq,
             decode_chunk=a.decode_chunk, prefill_chunk=a.prefill_chunk,
             prefill_group=a.prefill_group, interpret=interp,
-            enable_prefix_cache=a.prefix_cache,
+            enable_prefix_cache=a.prefix_cache, kv_dtype=kv_dtype,
         )
 
     print(f"model={a.model} layers={cfg.num_layers} slots={a.slots} "

@@ -250,3 +250,30 @@ def test_pallas_impl_rejected_on_mesh():
     qp = quantize_params(params, impl="pallas")
     with pytest.raises(AssertionError, match="xla"):
         param_pspecs(cfg, qp)
+
+
+def test_quantize_params_on_host():
+    """Host-side init+quantize must produce the same int8 pytree as
+    quantizing a device-resident dense image (full-depth models whose
+    bf16 image exceeds HBM can ONLY take the host path)."""
+    from flash_attention_cute_tpu.models.quantize import (
+        quantize_params_on_host,
+    )
+
+    cfg = tiny_test_config(num_layers=2)
+    qp_host = quantize_params_on_host(
+        lambda: init_params(cfg, jax.random.key(0)))
+    qp_dev = quantize_params(init_params(cfg, jax.random.key(0)))
+    for k in ("q_proj", "down_proj"):
+        np.testing.assert_array_equal(
+            np.asarray(qp_host["layers"][k].values),
+            np.asarray(qp_dev["layers"][k].values),
+        )
+        np.testing.assert_allclose(
+            np.asarray(qp_host["layers"][k].scales),
+            np.asarray(qp_dev["layers"][k].scales), rtol=1e-6,
+        )
+    # The transferred pytree serves a forward pass on the default device.
+    logits, _ = forward(qp_host, cfg, jnp.zeros((1, 8), jnp.int32),
+                        mode="prefill", interpret=True)
+    assert logits.shape == (1, 8, cfg.vocab_size)
