@@ -39,7 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_attention_cute_tpu.models.config import ModelConfig
-from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
+from flash_attention_cute_tpu.runtime.paged_cache import (
+    copy_pool_page_prefix_batch,
+    create_paged_state,
+)
 from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 
 
@@ -162,24 +165,8 @@ def _write_pool_page(pools, blobs, page):
     )
 
 
-def _copy_pool_page_prefix(pools, src, dst, rows):
-    """Copy the first `rows` positions of page `src` into page `dst` in
-    every pool array (partial-page prefix sharing; donated in-place).
-    Position axis = dim 3 ([L, H, P, ps, D] values / [L, H, P, ps]
-    scales)."""
-    out = []
-    for a in pools:
-        ps = a.shape[3]
-        live = jnp.arange(ps) < rows
-        mask = live.reshape((1, 1, ps) + (1,) * (a.ndim - 4))
-        s = jax.lax.dynamic_index_in_dim(a, src, axis=2, keepdims=False)
-        d = jax.lax.dynamic_index_in_dim(a, dst, axis=2, keepdims=False)
-        out.append(
-            jax.lax.dynamic_update_index_in_dim(
-                a, jnp.where(mask, s, d), dst, axis=2
-            )
-        )
-    return tuple(out)
+# Partial-page clone helpers live in paged_cache (shared with
+# forward_paged's folded-in form); imported at engine init.
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -278,6 +265,12 @@ class ServingEngine:
         # mirrored pools (speculative draft) can replay them.
         self._granted_partial: dict[int, tuple] = {}
         self._last_partial: dict[int, tuple] = {}
+        # Clones deferred within one admission wave, keyed by slot:
+        # group-admitted slots fold theirs into the admission extend
+        # forward (forward_paged partial_copy=, zero extra dispatches);
+        # chunk-walk slots flush as one batched dispatch
+        # (_flush_partials).
+        self._pending_partials: dict[int, tuple[int, int, int]] = {}
         if kv_dtype is not None and jnp.dtype(kv_dtype).itemsize == 1:
             from flash_attention_cute_tpu.runtime.paged_cache import (
                 create_quantized_paged_state,
@@ -362,7 +355,7 @@ class ServingEngine:
             # Partial-page tail sharing: clone the shared rows into the
             # new request's first private page (donated in-place).
             self._partial_copy_fn = jax.jit(
-                _copy_pool_page_prefix, donate_argnums=0
+                copy_pool_page_prefix_batch, donate_argnums=0
             )
             swap = None
             if host_swap_tokens > 0:
@@ -709,18 +702,23 @@ class ServingEngine:
         self._grant_prefixes()
         n = self.sched.admit()
         # Page-starved admission with cached-but-idle pages: evict LRU
-        # entries and retry (only when a slot is actually free — a full
-        # batch is not a page problem).
-        free_slot = any(r == -1 for r in self._slot_req)
+        # entries and retry while ANY free slot remains unfilled (not
+        # just when nothing was admitted) — a partially-admitted wave
+        # staggers the rest into later engine rounds, and on tunneled
+        # links each straggler wave costs an extend + decode-scan round
+        # trip that dwarfs the evicted prefix's recompute value
+        # (round-4 prefix_serve_partial: 24 dispatches from 2-slot
+        # sub-waves at a 4-slot config).
+        free = sum(1 for r in self._slot_req if r == -1)
         while (
-            n == 0 and free_slot and self.sched.num_waiting > 0
+            n < free and self.sched.num_waiting > 0
             and len(self.prefix_cache)
         ):
             self.prefix_cache.evict(1)
             self.stats["prefix_evictions"] += 1
             self.stats["swap_out_pages"] = self.prefix_cache.swap_out_pages
             self._grant_prefixes(restore=False)
-            n = self.sched.admit()
+            n += self.sched.admit()
         return n
 
     def _step_slot_evicting(self, s: int) -> int:
@@ -744,7 +742,12 @@ class ServingEngine:
         after the granted full blocks), extending `shared` mid-page. The
         clone is bit-identical to recomputing those rows (KV at position
         p is a pure function of tokens 0..p), so the suffix forward that
-        follows sees exactly the state a full prefill would have built."""
+        follows sees exactly the state a full prefill would have built.
+
+        The device copy is DEFERRED: entries accumulate per admission
+        wave and `_flush_partials` issues them as one batched dispatch
+        (per-slot dispatches dominated prefix-hit admission cost on
+        tunneled links)."""
         partial = self._granted_partial.pop(rid, None)
         if partial is None:
             return shared
@@ -754,16 +757,36 @@ class ServingEngine:
         dst = int(row[full])
         if dst <= 0 or dst == src:
             return shared
+        self._pending_partials[s] = (src, dst, rows)
+        self._last_partial[s] = (src, dst, rows)
+        return shared + rows
+
+    def _flush_partials(self):
+        """Issue the still-pending partial-page clones (chunk-walk slots;
+        group-admitted slots fold theirs into their extend forward) as
+        ONE batched device call, padded to a power of two (one compile
+        per pow2 wave size). Must run before any forward that reads the
+        cloned rows — _admit calls it ahead of _advance_prefills'
+        chunk walk."""
+        if not self._pending_partials:
+            return
+        entries = list(self._pending_partials.values())
+        self._pending_partials = {}
+        g = len(entries)
+        g_pad = 1 << (g - 1).bit_length()
+        srcs = np.zeros((g_pad,), np.int32)
+        dsts = np.zeros((g_pad,), np.int32)
+        rows = np.zeros((g_pad,), np.int32)
+        for i, (src, dst, r) in enumerate(entries):
+            srcs[i], dsts[i], rows[i] = src, dst, r
         pools = tuple(getattr(self.state, f) for f in self._pool_fields)
         new = self._partial_copy_fn(
-            pools, jnp.int32(src), jnp.int32(dst), jnp.int32(rows)
+            pools, jnp.asarray(srcs), jnp.asarray(dsts), jnp.asarray(rows)
         )
         self.state = dataclasses.replace(
             self.state, **dict(zip(self._pool_fields, new))
         )
         self.stats["device_calls"] += 1
-        self._last_partial[s] = (src, dst, rows)
-        return shared + rows
 
     def _admit(self):
         before = {s: self.sched.slot_id(s) for s in range(self.slots)}
@@ -815,6 +838,9 @@ class ServingEngine:
         for i in range(0, len(flat), step):
             chunk = flat[i : i + step]
             self._prefill_group(chunk[0][0], [s for _, s in chunk])
+        # Chunk-walk slots' tail-page clones (group-admitted slots folded
+        # theirs into their extend forward above): one batched dispatch.
+        self._flush_partials()
 
     def _prefill_group(self, bucket: int, slots: list[int]):
         # Recompute semantics after preemption: greedy decoding replays the
@@ -886,10 +912,27 @@ class ServingEngine:
                 page_table=table,
                 lengths=jnp.asarray(sub_lens),
             )
+            # Fold this group's partial-page tail clones into the SAME
+            # compiled program (a pre-attention pool clone inside
+            # forward_paged) — a separate copy dispatch per wave costs a
+            # tunnel round trip that outweighs recomputing the tail.
+            partial_copy = None
+            pending = [self._pending_partials.pop(s, None) for s in slots]
+            if any(p is not None for p in pending):
+                srcs = np.zeros((g_pad,), np.int32)
+                dsts = np.zeros((g_pad,), np.int32)
+                rows_ = np.zeros((g_pad,), np.int32)
+                for i, p in enumerate(pending):
+                    if p is not None:
+                        srcs[i], dsts[i], rows_[i] = p
+                partial_copy = (
+                    jnp.asarray(srcs), jnp.asarray(dsts), jnp.asarray(rows_)
+                )
             logits, sub = forward_paged(
                 self.params, self.cfg, jnp.asarray(ids), sub, mode="extend",
                 interpret=self.interpret, mesh=self.mesh,
                 lora=self.lora, adapter_ids=sub_ids,
+                partial_copy=partial_copy,
             )
         else:
             sub = dataclasses.replace(

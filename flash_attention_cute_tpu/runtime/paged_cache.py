@@ -182,6 +182,45 @@ def paged_append_layer_quantized(
     return (vals, scl)
 
 
+def copy_pool_page_prefix(pools, src, dst, rows):
+    """Copy the first `rows` positions of page `src` into page `dst` in
+    every pool array (partial-page prefix sharing). The clone is
+    bit-identical to recomputing those rows — KV at position p is a pure
+    function of tokens 0..p. Position axis = dim 3 ([L, H, P, ps, D]
+    values / [L, H, P, ps] scales)."""
+    out = []
+    for a in pools:
+        ps = a.shape[3]
+        live = jnp.arange(ps) < rows
+        mask = live.reshape((1, 1, ps) + (1,) * (a.ndim - 4))
+        s = jax.lax.dynamic_index_in_dim(a, src, axis=2, keepdims=False)
+        d = jax.lax.dynamic_index_in_dim(a, dst, axis=2, keepdims=False)
+        out.append(
+            jax.lax.dynamic_update_index_in_dim(
+                a, jnp.where(mask, s, d), dst, axis=2
+            )
+        )
+    return tuple(out)
+
+
+def copy_pool_page_prefix_batch(pools, srcs, dsts, rows):
+    """A whole admission wave's partial-page clones in one traced block.
+
+    On a tunneled link each device call costs a host round trip
+    (~100-300 ms), which dwarfs the copy itself — per-slot dispatches
+    made prefix-cached admission SLOWER than recomputing the prefix
+    (measured round 4: 19 dispatches / 254 tok/s vs 6 / 602 without the
+    cache). Callers either jit this directly (one dispatch per wave) or
+    fold it into the admission extend forward (forward_paged
+    partial_copy= — zero extra dispatches). Entries padded with
+    rows == 0 mask to a dst self-write (no-op); real entries' dst pages
+    are distinct private pages, so the unrolled loop has no write
+    conflicts."""
+    for i in range(srcs.shape[0]):
+        pools = copy_pool_page_prefix(pools, srcs[i], dsts[i], rows[i])
+    return pools
+
+
 class PageAllocator:
     """Host-side free-list page allocator (scheduler component).
 

@@ -32,6 +32,7 @@ from flash_attention_cute_tpu.ops.paged_attention import paged_attention_decode
 from flash_attention_cute_tpu.runtime.paged_cache import (
     PagedKVState,
     QuantizedPagedKVState,
+    copy_pool_page_prefix_batch,
     paged_append_layer,
     paged_append_layer_quantized,
 )
@@ -56,6 +57,10 @@ def forward_paged(
     # see ops/flash_fwd.py return_clamps)
     lora: dict | None = None,  # stacked multi-LoRA adapters (models/lora.py)
     adapter_ids: jax.Array | None = None,  # [B] int32 adapter per row
+    partial_copy: tuple | None = None,  # (srcs, dsts, rows) int32 [G]:
+    # partial-page prefix clones applied to the pool BEFORE the forward,
+    # inside this same compiled program — a separate copy dispatch per
+    # admission wave costs a tunnel round trip (engine._prefill_group)
 ) -> tuple[jax.Array, PagedKVState]:
     """Returns (logits [B, S, V] fp32, updated state); with return_clamps
     in extend mode, (logits, state, clamps).
@@ -67,6 +72,17 @@ def forward_paged(
     mask inactive slots by passing length 0 and ignoring their logits).
     """
     assert mode in ("prefill", "decode", "extend"), mode
+    if partial_copy is not None:
+        import dataclasses as _dc
+
+        fields = tuple(
+            f.name for f in _dc.fields(state)
+            if f.name not in ("page_table", "lengths")
+        )
+        pools = copy_pool_page_prefix_batch(
+            tuple(getattr(state, f) for f in fields), *partial_copy
+        )
+        state = _dc.replace(state, **dict(zip(fields, pools)))
     b, s = input_ids.shape
     if mode == "decode":
         assert s == 1, s

@@ -549,6 +549,9 @@ class SpeculativeServingEngine(ServingEngine):
         # emitted length — rejected drafts leave covered positions to be
         # rewritten by later rounds.
         self._covered: dict[int, int] = {}
+        # Draft-pool mirrors of the wave's partial-page clones (see
+        # _apply_partial).
+        self._pending_draft_partials: dict[int, tuple[int, int, int]] = {}
 
         if ngram > 0:
             self.d_state = None
@@ -606,29 +609,46 @@ class SpeculativeServingEngine(ServingEngine):
     # ---- draft-state mirroring (called from the base-class internals) ----
 
     def _apply_partial(self, s: int, rid: int, shared: int) -> int:
-        """Partial-page prefix sharing x speculative: replay the target's
-        tail-row clone into the draft pool (same page ids — the draft pool
-        rides the target's page table). Safe coverage: a stored partial
-        ends at source position src_plen-2 (the plen-1 sharing cap), and
-        the draft cache always holds KV through its owner's plen-2 (the
-        one-token-behind invariant), so every cloned draft row is real."""
+        """Partial-page prefix sharing x speculative: queue the target's
+        tail-row clone for the DRAFT pool too (same page ids — the draft
+        pool rides the target's page table). Safe coverage: a stored
+        partial ends at source position src_plen-2 (the plen-1 sharing
+        cap), and the draft cache always holds KV through its owner's
+        plen-2 (the one-token-behind invariant), so every cloned draft
+        row is real. Group-admitted slots fold the clone into their
+        draft-mirror extend (_prefill_group); chunk-walk slots flush in
+        _admit before the chunk walk starts."""
         out = super()._apply_partial(s, rid, shared)
-        info = self._last_partial.get(s)
+        info = self._pending_partials.get(s)
         if info is not None and self.d_state is not None:
-            src, dst, rows = info
-            fields = tuple(
-                f.name for f in dataclasses.fields(self.d_state)
-                if f.name not in ("page_table", "lengths")
-            )
-            pools = tuple(getattr(self.d_state, f) for f in fields)
-            new = self._partial_copy_fn(
-                pools, jnp.int32(src), jnp.int32(dst), jnp.int32(rows)
-            )
-            self.d_state = dataclasses.replace(
-                self.d_state, **dict(zip(fields, new))
-            )
-            self.stats["device_calls"] += 1
+            self._pending_draft_partials[s] = info
         return out
+
+    def _admit(self):
+        super()._admit()
+        entries = list(self._pending_draft_partials.values())
+        self._pending_draft_partials = {}
+        if not entries or self.d_state is None:
+            return
+        g = len(entries)
+        g_pad = 1 << (g - 1).bit_length()
+        srcs = np.zeros((g_pad,), np.int32)
+        dsts = np.zeros((g_pad,), np.int32)
+        rows = np.zeros((g_pad,), np.int32)
+        for i, (src, dst, r) in enumerate(entries):
+            srcs[i], dsts[i], rows[i] = src, dst, r
+        fields = tuple(
+            f.name for f in dataclasses.fields(self.d_state)
+            if f.name not in ("page_table", "lengths")
+        )
+        pools = tuple(getattr(self.d_state, f) for f in fields)
+        new = self._partial_copy_fn(
+            pools, jnp.asarray(srcs), jnp.asarray(dsts), jnp.asarray(rows)
+        )
+        self.d_state = dataclasses.replace(
+            self.d_state, **dict(zip(fields, new))
+        )
+        self.stats["device_calls"] += 1
 
     def _sync_table(self, slot: int):
         super()._sync_table(slot)
@@ -709,9 +729,29 @@ class SpeculativeServingEngine(ServingEngine):
                 page_table=table,
                 lengths=jnp.asarray(sub_lens),
             )
+            # Fold this group's draft-pool tail clones into the same
+            # draft extend program (mirrors the target-side fold in the
+            # base _prefill_group — the extend below READS the cloned
+            # rows, so they must land first and a separate dispatch
+            # costs a tunnel round trip).
+            partial_copy = None
+            pending = [
+                self._pending_draft_partials.pop(s, None) for s in slots
+            ]
+            if any(p is not None for p in pending):
+                srcs = np.zeros((g_pad,), np.int32)
+                dsts = np.zeros((g_pad,), np.int32)
+                rows_ = np.zeros((g_pad,), np.int32)
+                for i, p in enumerate(pending):
+                    if p is not None:
+                        srcs[i], dsts[i], rows_[i] = p
+                partial_copy = (
+                    jnp.asarray(srcs), jnp.asarray(dsts), jnp.asarray(rows_)
+                )
             _, sub = forward_paged(
                 self.draft_params, self.draft_cfg, jnp.asarray(ids), sub,
                 mode="extend", interpret=self.interpret, mesh=self.mesh,
+                partial_copy=partial_copy,
             )
         else:
             sub = dataclasses.replace(

@@ -123,9 +123,12 @@ def main(argv=None):
             quantize_params, quantize_params_on_host,
         )
         if params is None:
+            from flash_attention_cute_tpu.models.transformer import (
+                init_params_host,
+            )
             t0 = time.perf_counter()
             params = quantize_params_on_host(
-                lambda: init_params(cfg, jax.random.key(0)))
+                lambda: init_params_host(cfg, seed=0))
             print(f"host init+quantize+upload: "
                   f"{time.perf_counter() - t0:.1f} s")
         else:

@@ -107,8 +107,11 @@ def main(argv=None):
             quantize_params, quantize_params_on_host,
         )
         if a.init_host:
+            from flash_attention_cute_tpu.models.transformer import (
+                init_params_host,
+            )
             params = quantize_params_on_host(
-                lambda: init_params(cfg, jax.random.key(0)))
+                lambda: init_params_host(cfg, seed=0))
         else:
             params = jax.block_until_ready(
                 jax.jit(quantize_params)(init_params(cfg, jax.random.key(0)))
