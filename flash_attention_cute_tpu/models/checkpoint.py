@@ -41,15 +41,70 @@ def _cfg_from_json(s: str) -> ModelConfig:
     return ModelConfig(**d)
 
 
+def _pack_quant(tree):
+    """Replace quantized-weight dataclass nodes with plain array dicts,
+    returning (packed_tree, meta). Orbax restores RAW pytrees — a
+    registered dataclass and its static fields (in_dim/out/impl) do not
+    survive an untyped restore — so the arrays are stored as plain
+    leaves and the statics in `quant.json`, keyed by tree path. This is
+    what makes "quantize once, save, restore in seconds" work: the
+    full-depth host init+quantize costs ~18 min, the restore one read."""
+    from flash_attention_cute_tpu.ops.quantized_matmul import (
+        QuantizedWeight,
+        QuantizedWeight4,
+    )
+
+    meta = {}
+
+    def walk(node, path):
+        if isinstance(node, (QuantizedWeight, QuantizedWeight4)):
+            meta[path] = {
+                "bits": 4 if isinstance(node, QuantizedWeight4) else 8,
+                "in_dim": node.in_dim, "out": node.out, "impl": node.impl,
+            }
+            return {"values": node.values, "scales": node.scales}
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}/{k}" if path else k)
+                    for k, v in node.items()}
+        return node
+
+    return walk(tree, ""), meta
+
+
+def _unpack_quant(tree, meta):
+    from flash_attention_cute_tpu.ops.quantized_matmul import (
+        QuantizedWeight,
+        QuantizedWeight4,
+    )
+
+    def walk(node, path):
+        if path in meta:
+            m = meta[path]
+            cls = QuantizedWeight4 if m["bits"] == 4 else QuantizedWeight
+            return cls(values=node["values"], scales=node["scales"],
+                       in_dim=m["in_dim"], out=m["out"], impl=m["impl"])
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}/{k}" if path else k)
+                    for k, v in node.items()}
+        return node
+
+    return walk(tree, "")
+
+
 def save_checkpoint(path, params: dict, cfg: ModelConfig) -> None:
     """Write params + config; safe to call from every host (orbax
-    coordinates multi-host writes of sharded arrays)."""
+    coordinates multi-host writes of sharded arrays). Quantized
+    parameter pytrees (models/quantize.py, int8 or int4) are supported:
+    their static fields persist in `quant.json`."""
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).absolute()
     path.mkdir(parents=True, exist_ok=True)
+    packed, quant_meta = _pack_quant(params)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path / "params", params, force=True)
+        ckptr.save(path / "params", packed, force=True)
+    if quant_meta:
+        (path / "quant.json").write_text(json.dumps(quant_meta, indent=1))
     (path / "config.json").write_text(_cfg_to_json(cfg))
 
 
@@ -67,8 +122,12 @@ def load_checkpoint(
     cfg = _cfg_from_json((path / "config.json").read_text())
     with ocp.PyTreeCheckpointer() as ckptr:
         if shardings is not None:
+            # Shardings for quantized leaves arrive as QuantizedWeight
+            # nodes of Sharding fields (parallel.sharding.param_pspecs
+            # expands them that way); pack to match the stored layout.
             restore_args = jax.tree.map(
-                lambda s: ocp.ArrayRestoreArgs(sharding=s), shardings
+                lambda s: ocp.ArrayRestoreArgs(sharding=s),
+                _pack_quant(shardings)[0],
             )
             params = ckptr.restore(
                 path / "params",
@@ -78,6 +137,9 @@ def load_checkpoint(
             )
         else:
             params = ckptr.restore(path / "params")
+    quant_file = path / "quant.json"
+    if quant_file.exists():
+        params = _unpack_quant(params, json.loads(quant_file.read_text()))
     return cfg, params
 
 

@@ -94,10 +94,11 @@ def dense(x: jax.Array, w) -> jax.Array:
     scales; decode streams half the bytes)."""
     from flash_attention_cute_tpu.ops.quantized_matmul import (
         QuantizedWeight,
+        QuantizedWeight4,
         quantized_matmul,
     )
 
-    if isinstance(w, QuantizedWeight):
+    if isinstance(w, (QuantizedWeight, QuantizedWeight4)):
         return quantized_matmul(x, w)
     return jnp.dot(x, w)
 
@@ -115,10 +116,18 @@ def mlp(x: jax.Array, p: dict, activation: str = "silu",
     """Gated MLP: down(act(gate(x)) * up(x)) — SwiGLU for Llama/Qwen2,
     GeGLU (tanh-approximated gelu) for Gemma2. Optional per-row LoRA
     deltas on any of the three projections."""
-    gate = _maybe_lora(x, dense(x, p["gate_proj"]), "gate_proj",
-                       lora_l, lora_ids, lora_scaling)
-    up = _maybe_lora(x, dense(x, p["up_proj"]), "up_proj",
-                     lora_l, lora_ids, lora_scaling)
+    if "gate_up_proj" in p:  # fused pytree (models/fuse.py)
+        gu = dense(x, p["gate_up_proj"])
+        f = gu.shape[-1] // 2
+        gate = _maybe_lora(x, gu[..., :f], "gate_proj",
+                           lora_l, lora_ids, lora_scaling)
+        up = _maybe_lora(x, gu[..., f:], "up_proj",
+                         lora_l, lora_ids, lora_scaling)
+    else:
+        gate = _maybe_lora(x, dense(x, p["gate_proj"]), "gate_proj",
+                           lora_l, lora_ids, lora_scaling)
+        up = _maybe_lora(x, dense(x, p["up_proj"]), "up_proj",
+                         lora_l, lora_ids, lora_scaling)
     if activation == "silu":
         act = jax.nn.silu(gate)
     elif activation == "gelu_tanh":
@@ -153,18 +162,34 @@ def qkv_project(
     x: jax.Array, p: dict, cfg: ModelConfig,
     lora_l=None, lora_ids=None, lora_scaling=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """x [B, S, E] -> q [B, Hq, S, D], k/v [B, Hkv, S, D]."""
+    """x [B, S, E] -> q [B, Hq, S, D], k/v [B, Hkv, S, D].
+
+    Fused pytrees (models/fuse.py) run ONE qkv matmul and split — same
+    math per output column, one weight stream instead of three."""
     b, s, _ = x.shape
-    q = _maybe_lora(x, dense(x, p["q_proj"]), "q_proj",
-                    lora_l, lora_ids, lora_scaling)
-    k = _maybe_lora(x, dense(x, p["k_proj"]), "k_proj",
-                    lora_l, lora_ids, lora_scaling)
-    v = _maybe_lora(x, dense(x, p["v_proj"]), "v_proj",
-                    lora_l, lora_ids, lora_scaling)
-    if cfg.attention_bias:
-        q = q + p["q_bias"]
-        k = k + p["k_bias"]
-        v = v + p["v_bias"]
+    if "qkv_proj" in p:
+        hq = cfg.num_q_heads * cfg.head_dim
+        hkv = cfg.num_kv_heads * cfg.head_dim
+        qkv = dense(x, p["qkv_proj"])
+        if cfg.attention_bias:
+            qkv = qkv + p["qkv_bias"]
+        q = qkv[..., :hq]
+        k = qkv[..., hq:hq + hkv]
+        v = qkv[..., hq + hkv:]
+        q = _maybe_lora(x, q, "q_proj", lora_l, lora_ids, lora_scaling)
+        k = _maybe_lora(x, k, "k_proj", lora_l, lora_ids, lora_scaling)
+        v = _maybe_lora(x, v, "v_proj", lora_l, lora_ids, lora_scaling)
+    else:
+        q = _maybe_lora(x, dense(x, p["q_proj"]), "q_proj",
+                        lora_l, lora_ids, lora_scaling)
+        k = _maybe_lora(x, dense(x, p["k_proj"]), "k_proj",
+                        lora_l, lora_ids, lora_scaling)
+        v = _maybe_lora(x, dense(x, p["v_proj"]), "v_proj",
+                        lora_l, lora_ids, lora_scaling)
+        if cfg.attention_bias:
+            q = q + p["q_bias"]
+            k = k + p["k_bias"]
+            v = v + p["v_bias"]
     q = q.reshape(b, s, cfg.num_q_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)

@@ -30,31 +30,47 @@ import jax.numpy as jnp
 
 from flash_attention_cute_tpu.ops.quantized_matmul import (
     QuantizedWeight,
+    QuantizedWeight4,
     dequantize_weight,
+    dequantize_weight4,
     quantize_weight,
+    quantize_weight_int4,
 )
 
 PROJ_KEYS = (
     "q_proj", "k_proj", "v_proj", "o_proj",
     "gate_proj", "up_proj", "down_proj",
+    # fused layout (models/fuse.py) — per-channel/per-group scales are
+    # invariant under the output-axis concat, so fuse-then-quantize
+    # equals quantize-then-fuse columnwise
+    "qkv_proj", "gate_up_proj",
 )
 
 
-def quantize_params(params: dict, impl: str = "pallas") -> dict:
-    """New params pytree with projection weights int8-quantized."""
+def quantize_params(params: dict, impl: str = "pallas",
+                    bits: int = 8) -> dict:
+    """New params pytree with projection weights quantized.
+
+    bits=8: per-output-channel int8 (near-lossless, the decode-bandwidth
+    choice). bits=4: 128-row-group int4 (half the bytes again — the
+    CAPACITY choice for fitting full-depth models + a large KV pool on
+    one chip; expect visible quantization error, use evals not logits
+    parity)."""
+    assert bits in (8, 4), bits
+    qf = quantize_weight if bits == 8 else quantize_weight_int4
     out = dict(params)
     layers = dict(params["layers"])
     for k in PROJ_KEYS:
         if k in layers:
-            layers[k] = quantize_weight(layers[k], impl=impl)
+            layers[k] = qf(layers[k], impl=impl)
     out["layers"] = layers
     if params.get("lm_head") is not None:
-        out["lm_head"] = quantize_weight(params["lm_head"], impl=impl)
+        out["lm_head"] = qf(params["lm_head"], impl=impl)
     return out
 
 
 def quantize_params_on_host(init_fn, impl: str = "pallas",
-                            device=None) -> dict:
+                            device=None, bits: int = 8) -> dict:
     """Init + quantize on the host CPU, then transfer int8 to `device`.
 
     This is the only way onto the chip for models whose DENSE image
@@ -67,7 +83,7 @@ def quantize_params_on_host(init_fn, impl: str = "pallas",
     """
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        qp = quantize_params(init_fn(), impl=impl)
+        qp = quantize_params(init_fn(), impl=impl, bits=bits)
     if device is None:
         device = jax.devices()[0]
     return jax.device_put(qp, device)
@@ -77,12 +93,16 @@ def dequantize_params(params: dict, dtype=jnp.bfloat16) -> dict:
     """Exact dense-weight image of a quantized pytree (the parity oracle:
     forward(quantized) must match forward(dequantized) to matmul
     tolerance — this isolates kernel bugs from quantization error)."""
-    out = dict(params)
-    layers = dict(params["layers"])
-    for k, v in layers.items():
+    def dq(v):
+        if isinstance(v, QuantizedWeight4):
+            return dequantize_weight4(v, dtype)
         if isinstance(v, QuantizedWeight):
-            layers[k] = dequantize_weight(v, dtype)
-    out["layers"] = layers
-    if isinstance(params.get("lm_head"), QuantizedWeight):
-        out["lm_head"] = dequantize_weight(params["lm_head"], dtype)
+            return dequantize_weight(v, dtype)
+        return v
+
+    out = dict(params)
+    out["layers"] = {k: dq(v) for k, v in params["layers"].items()}
+    if isinstance(params.get("lm_head"), (QuantizedWeight,
+                                          QuantizedWeight4)):
+        out["lm_head"] = dq(params["lm_head"])
     return out

@@ -163,10 +163,24 @@ def _qmm_pallas(x2: jax.Array, qw: QuantizedWeight,
     return out[:t, : qw.out]
 
 
-def quantized_matmul(x: jax.Array, qw: QuantizedWeight) -> jax.Array:
-    """x [..., K] @ qw -> [..., out] in x.dtype (fp32 accumulation)."""
+def quantized_matmul(x: jax.Array, qw) -> jax.Array:
+    """x [..., K] @ qw -> [..., out] in x.dtype (fp32 accumulation).
+
+    Accepts either an int8 `QuantizedWeight` or an int4
+    `QuantizedWeight4` (dispatch on the leaf type, mirroring
+    models/layers.dense)."""
     lead = x.shape[:-1]
     k = x.shape[-1]
+    if isinstance(qw, QuantizedWeight4):
+        if qw.impl == "xla":
+            # Materialize the dequantized (padded) weight; padded K rows
+            # are exact zeros so slicing back to the logical K is exact.
+            w = _dequant4_padded(qw).astype(x.dtype)[..., :k, :]
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            return y[..., : qw.out].astype(x.dtype)
+        x2 = x.reshape((-1, k))
+        y = _qmm4_pallas(x2, qw, interpret=not on_tpu())
+        return y.reshape(lead + (qw.out,))
     if qw.impl == "xla":
         # Padded K rows of `values` are zero, so slicing them off is
         # exact and keeps x unpadded (GSPMD-friendly plain dot).
@@ -176,3 +190,172 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight) -> jax.Array:
     x2 = x.reshape((-1, k))
     y = _qmm_pallas(x2, qw, interpret=not on_tpu())
     return y.reshape(lead + (qw.out,))
+
+
+# ---------------------------------------------------------------------------
+# Int4 grouped quantization (two weights per byte, 128-row K-group scales).
+#
+# Pure CAPACITY feature: int8 already saturates most of the decode
+# bandwidth win at BASELINE depth (weights are only ~half the per-step
+# byte budget, BASELINE.md round-4 table); int4's value is fitting the
+# FULL-depth model plus a large KV pool on one 16 GB v5e (~4.3 GB of
+# projection weights instead of ~8.6 int8 / ~15.5 bf16). Per-group
+# scales (GROUP4=128 K rows) bound the absmax blast radius that makes
+# per-channel int4 lossy. Single-chip only, like impl="pallas" int8.
+# ---------------------------------------------------------------------------
+
+GROUP4 = 128  # K rows per int4 scale group (= one MXU contraction pass)
+
+
+def _pack_block(k_pad: int) -> int:
+    """Nibble packing is block-local so a streamed K tile unpacks with
+    two shifts + one concatenate (no interleave); the pack block must
+    therefore equal the kernel's K tile. Both sides derive it from
+    k_pad with this helper."""
+    return min(BLOCK_K, k_pad)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizedWeight4:
+    """Group-wise symmetric int4 weight, nibble-packed.
+
+    values [..., K_pad//2, N_pad] int8: within each pack block of
+    `_pack_block(K_pad)` rows, the low nibbles hold the block's first
+    half of rows and the high nibbles the second half. scales
+    [..., K_pad//GROUP4, N_pad] f32: absmax/7 per (K group, output
+    channel); padded groups/channels carry unit scales and zero values
+    so padding is exact. Layer-stacked leaves slice under `lax.scan`
+    like the int8 class."""
+
+    values: Any
+    scales: Any
+    in_dim: int = dataclasses.field(metadata=dict(static=True))
+    out: int = dataclasses.field(metadata=dict(static=True))
+    impl: str = dataclasses.field(default="pallas", metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return jnp.int4
+
+    @property
+    def shape(self):
+        return self.values.shape[:-2] + (
+            2 * self.values.shape[-2], self.out)
+
+
+def quantize_weight_int4(w: jax.Array, impl: str = "pallas") -> QuantizedWeight4:
+    """Quantize a [..., K, N] weight to packed int4 with per-(128-row
+    K group, N channel) absmax scales."""
+    assert impl in ("pallas", "xla"), impl
+    k, n = w.shape[-2], w.shape[-1]
+    k_pad = _round_up(k, min(BLOCK_K, _round_up(k, 2 * GROUP4)))
+    n_pad = _round_up(n, min(BLOCK_N, _round_up(n, LANES)))
+    pad = [(0, 0)] * (w.ndim - 2) + [(0, k_pad - k), (0, n_pad - n)]
+    wf = jnp.pad(w.astype(jnp.float32), pad)
+    lead = wf.shape[:-2]
+    grouped = wf.reshape(lead + (k_pad // GROUP4, GROUP4, n_pad))
+    amax = jnp.max(jnp.abs(grouped), axis=-2)  # [..., G, N_pad]
+    scales = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(grouped / scales[..., None, :]), -8, 7)
+    q = q.astype(jnp.int32).reshape(lead + (k_pad, n_pad))
+    bk = _pack_block(k_pad)
+    qb = q.reshape(lead + (k_pad // bk, 2, bk // 2, n_pad))
+    lo, hi = qb[..., 0, :, :], qb[..., 1, :, :]
+    packed = jax.lax.bitcast_convert_type(
+        ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8), jnp.int8
+    ).reshape(lead + (k_pad // 2, n_pad))
+    return QuantizedWeight4(values=packed, scales=scales, in_dim=k, out=n,
+                            impl=impl)
+
+
+def _unpack4(p: jax.Array):
+    """int32 packed bytes -> (low, high) signed nibbles, int32."""
+    lo_u = p & 0xF
+    lo = lo_u - ((lo_u >> 3) << 4)  # sign-extend bit 3
+    hi = p >> 4                      # arithmetic shift sign-extends
+    return lo, hi
+
+
+def _dequant4_padded(qw: QuantizedWeight4) -> jax.Array:
+    """f32 [..., K_pad, N_pad] dense image (padding kept: zero rows,
+    so downstream slicing is exact)."""
+    k2, n_pad = qw.values.shape[-2], qw.values.shape[-1]
+    k_pad = 2 * k2
+    bk = _pack_block(k_pad)
+    lead = qw.values.shape[:-2]
+    p = qw.values.astype(jnp.int32).reshape(
+        lead + (k_pad // bk, bk // 2, n_pad))
+    lo, hi = _unpack4(p)
+    q = jnp.concatenate([lo, hi], axis=-2).reshape(
+        lead + (k_pad // GROUP4, GROUP4, n_pad))
+    w = q.astype(jnp.float32) * qw.scales[..., None, :]
+    return w.reshape(lead + (k_pad, n_pad))
+
+
+def dequantize_weight4(qw: QuantizedWeight4, dtype=jnp.float32) -> jax.Array:
+    """The exact dense weight the kernel's math reproduces (padding
+    stripped) — the parity oracle for tests."""
+    return _dequant4_padded(qw)[..., : qw.in_dim, : qw.out].astype(dtype)
+
+
+def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                 groups: int):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    lo, hi = _unpack4(w_ref[...].astype(jnp.int32))  # [bk//2, bn]
+    w = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)  # [bk, bn]
+    x = x_ref[...]
+    s = s_ref[...]  # [groups, bn] f32
+    # Per-group matmul then f32 scale: exact vs the dequant oracle
+    # (`s` is constant along each 128-row contraction slice), and each
+    # slice is one full MXU pass so the split costs no MXU efficiency.
+    for g in range(groups):
+        pg = jax.lax.dot_general(
+            x[:, g * GROUP4:(g + 1) * GROUP4],
+            w[g * GROUP4:(g + 1) * GROUP4, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += pg * s[g:g + 1, :]
+
+    @pl.when(i == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _qmm4_pallas(x2: jax.Array, qw: QuantizedWeight4,
+                 interpret: bool) -> jax.Array:
+    t, k = x2.shape
+    k2, n_pad = qw.values.shape[-2], qw.values.shape[-1]
+    k_pad = 2 * k2
+    bt = min(BLOCK_T, _round_up(t, 8))
+    bk = _pack_block(k_pad)
+    bn = min(BLOCK_N, n_pad)
+    groups = bk // GROUP4
+    t_pad = _round_up(t, bt)
+    if (t_pad, k_pad) != (t, k):
+        # Padded weight rows are zero-valued, so zero-padding x is exact.
+        x2 = jnp.pad(x2, ((0, t_pad - t), (0, k_pad - k)))
+    grid = (t_pad // bt, n_pad // bn, k_pad // bk)
+    out = pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_k=grid[2], groups=groups),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bk), lambda ti, ni, ki: (ti, ki)),
+            pl.BlockSpec((bk // 2, bn), lambda ti, ni, ki: (ki, ni)),
+            pl.BlockSpec((groups, bn), lambda ti, ni, ki: (ki, ni)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda ti, ni, ki: (ti, ni)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, qw.values, qw.scales)
+    return out[:t, : qw.out]

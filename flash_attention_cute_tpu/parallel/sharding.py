@@ -66,9 +66,23 @@ def param_pspecs(cfg: ModelConfig, params: dict | None = None) -> dict:
     if params is not None:
         from flash_attention_cute_tpu.ops.quantized_matmul import (
             QuantizedWeight,
+            QuantizedWeight4,
         )
 
+        if "qkv_proj" in params["layers"]:
+            raise NotImplementedError(
+                "fused projections (models/fuse.py) are single-chip: the "
+                "q/k/v split boundaries don't align with N-sharded fused "
+                "matmul shards; keep TP meshes on the unfused layout"
+            )
+
         def expand(spec, leaf):
+            if isinstance(leaf, QuantizedWeight4):
+                raise NotImplementedError(
+                    "int4 weights are a single-chip capacity feature "
+                    "(nibble packing is kernel-tile-local); use bits=8 "
+                    "impl='xla' on multi-chip meshes"
+                )
             if isinstance(leaf, QuantizedWeight):
                 assert leaf.impl == "xla", (
                     "multi-chip quantized params need impl='xla' "

@@ -30,6 +30,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import argparse
 import dataclasses
+import functools
 import sys
 import time
 
@@ -59,11 +60,29 @@ def parse_args(argv=None):
                         "projection (models/quantize.py); decode is "
                         "weights-streaming-bound, so this is the ~2x "
                         "decode-throughput lever")
+    p.add_argument("--weight-bits", type=int, choices=[8, 4], default=8,
+                   help="with --quantize-weights: 8 = per-channel int8 "
+                        "(near-lossless), 4 = 128-group int4 (half the "
+                        "bytes again; capacity play — full-depth 8B "
+                        "weights in ~4.6 GB)")
     p.add_argument("--cache-dtype", choices=["model", "int8", "fp8"],
                    default="model",
                    help="KV cache storage dtype; int8/fp8 halve the "
                         "per-step KV stream (the other half of decode's "
                         "byte budget next to weights)")
+    p.add_argument("--fuse-projections", action="store_true",
+                   help="fold q/k/v and gate/up into single wide matmuls "
+                        "(models/fuse.py): 7 -> 4 weight streams per "
+                        "layer; composes with --quantize-weights")
+    p.add_argument("--save-params", default=None, metavar="DIR",
+                   help="after building (and optionally quantizing) the "
+                        "params, persist them as an orbax checkpoint — "
+                        "pairs with --load-params so repeated full-depth "
+                        "runs skip the ~18 min host init+quantize")
+    p.add_argument("--load-params", default=None, metavar="DIR",
+                   help="restore params (and the self-describing config) "
+                        "from a checkpoint written by --save-params; "
+                        "quantized pytrees restore as quantized")
     p.add_argument("--init-host", action="store_true",
                    help="with --quantize-weights: init + quantize on the "
                         "host CPU and ship only the int8 image to the "
@@ -88,7 +107,21 @@ def main(argv=None):
     )
 
     tokenizer = None
-    if a.hf:
+    if a.load_params:
+        from flash_attention_cute_tpu.models.checkpoint import (
+            load_checkpoint,
+        )
+        t0 = time.perf_counter()
+        cfg, params = load_checkpoint(a.load_params)
+        # Orbax restores host arrays; pin them to the chip once so jit
+        # calls don't re-transfer per dispatch.
+        params = jax.device_put(params, jax.devices()[0])
+        jax.block_until_ready(jax.tree.leaves(params)[0])
+        print(f"checkpoint restore+upload: {time.perf_counter() - t0:.1f} s")
+        if a.num_layers:
+            sys.exit("--load-params is self-describing; drop --num-layers")
+        a.quantize_weights = False  # already applied if the ckpt was quantized
+    elif a.hf:
         from flash_attention_cute_tpu.models.convert import load_hf_model
         cfg, params = load_hf_model(a.model, dtype=dtype)
         try:
@@ -118,6 +151,10 @@ def main(argv=None):
         ids = jax.random.randint(
             jax.random.key(1), (a.batch, a.prompt_len), 0, cfg.vocab_size
         ).astype(jnp.int32)
+    maybe_fuse = (lambda p: p)
+    if a.fuse_projections and not a.load_params:
+        from flash_attention_cute_tpu.models.fuse import fuse_projections
+        maybe_fuse = fuse_projections
     if a.quantize_weights:
         from flash_attention_cute_tpu.models.quantize import (
             quantize_params, quantize_params_on_host,
@@ -128,17 +165,36 @@ def main(argv=None):
             )
             t0 = time.perf_counter()
             params = quantize_params_on_host(
-                lambda: init_params_host(cfg, seed=0))
+                lambda: maybe_fuse(init_params_host(cfg, seed=0)),
+                bits=a.weight_bits)
             print(f"host init+quantize+upload: "
                   f"{time.perf_counter() - t0:.1f} s")
         else:
-            params = jax.block_until_ready(jax.jit(quantize_params)(params))
+            params = jax.block_until_ready(
+                jax.jit(functools.partial(
+                    quantize_params, bits=a.weight_bits))(
+                    maybe_fuse(params)))
+    elif not a.load_params:
+        params = maybe_fuse(params)
 
+    if a.save_params:
+        from flash_attention_cute_tpu.models.checkpoint import (
+            save_checkpoint,
+        )
+        save_checkpoint(a.save_params, params, cfg)
+        print(f"params saved -> {a.save_params}")
+
+    from flash_attention_cute_tpu.ops.quantized_matmul import (
+        QuantizedWeight, QuantizedWeight4,
+    )
+    qleaf = params["layers"].get("q_proj")
+    wtag = (" weights=int8" if isinstance(qleaf, QuantizedWeight)
+            else " weights=int4" if isinstance(qleaf, QuantizedWeight4)
+            else "")
     b, s = ids.shape
     capacity = s + a.max_new_tokens
     print(f"model={a.model} layers={cfg.num_layers} batch={b} "
-          f"prompt={s} new={a.max_new_tokens} dtype={a.dtype}"
-          f"{' weights=int8' if a.quantize_weights else ''}"
+          f"prompt={s} new={a.max_new_tokens} dtype={a.dtype}{wtag}"
           f"{'' if a.cache_dtype == 'model' else ' kv=' + a.cache_dtype}")
 
     # Timing note: on a tunneled TPU, dispatch+sync overhead is tens of ms,

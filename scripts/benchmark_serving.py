@@ -76,6 +76,13 @@ def parse_args(argv=None):
                         "host CPU and ship only the int8 image (for "
                         "models whose dense image exceeds HBM, e.g. "
                         "full-depth Llama-3-8B on one v5e)")
+    p.add_argument("--weight-bits", type=int, choices=[8, 4], default=8,
+                   help="with --quantize-weights: 8 = per-channel int8, "
+                        "4 = 128-group int4 (capacity play)")
+    p.add_argument("--fuse-projections", action="store_true",
+                   help="fold q/k/v and gate/up into single wide matmuls "
+                        "(models/fuse.py): 7 -> 4 weight streams per "
+                        "layer; composes with --quantize-weights")
     p.add_argument("--kv-dtype", choices=["model", "int8", "fp8"],
                    default="model",
                    help="KV page-pool dtype (int8/fp8: quantized pages, "
@@ -102,7 +109,12 @@ def main(argv=None):
     cfg = PRESETS[a.model](dtype=dtype)
     if a.num_layers:
         cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
+    maybe_fuse = (lambda p: p)
+    if a.fuse_projections:
+        from flash_attention_cute_tpu.models.fuse import fuse_projections
+        maybe_fuse = fuse_projections
     if a.quantize_weights:
+        import functools
         from flash_attention_cute_tpu.models.quantize import (
             quantize_params, quantize_params_on_host,
         )
@@ -111,13 +123,16 @@ def main(argv=None):
                 init_params_host,
             )
             params = quantize_params_on_host(
-                lambda: init_params_host(cfg, seed=0))
+                lambda: maybe_fuse(init_params_host(cfg, seed=0)),
+                bits=a.weight_bits)
         else:
             params = jax.block_until_ready(
-                jax.jit(quantize_params)(init_params(cfg, jax.random.key(0)))
+                jax.jit(functools.partial(quantize_params,
+                                          bits=a.weight_bits))(
+                    maybe_fuse(init_params(cfg, jax.random.key(0))))
             )
     else:
-        params = init_params(cfg, jax.random.key(0))
+        params = maybe_fuse(init_params(cfg, jax.random.key(0)))
 
     rng = np.random.default_rng(0)
     system = rng.integers(0, cfg.vocab_size, a.shared_prefix).tolist()

@@ -83,6 +83,41 @@ def main():
     check("qmm_pallas_vs_xla_impl", err / max(float(jnp.abs(yx).max()), 1e-6),
           3e-2)
 
+    # ---- int4 grouped quantization (ops/quantized_matmul.py W4) ----
+    from flash_attention_cute_tpu.ops import quantized_matmul as qm4
+    from flash_attention_cute_tpu.ops.quantized_matmul import (
+        dequantize_weight4,
+        quantize_weight_int4,
+    )
+
+    for t, k, n in shapes:
+        x = jnp.asarray(rng.standard_normal((t, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32)
+        qw = quantize_weight_int4(w)
+        y = quantized_matmul(x, qw)
+        ref = jnp.dot(
+            x.astype(jnp.float32),
+            dequantize_weight4(qw, jnp.bfloat16).astype(jnp.float32),
+        ).astype(jnp.bfloat16)
+        scale = float(jnp.abs(ref).max())
+        err = float(jnp.abs(y.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max())
+        check(f"qmm4_{t}x{k}x{n}_vs_dequant_oracle", err / max(scale, 1e-6),
+              3e-2)
+        y_int = qm4._qmm4_pallas(x, qw, interpret=True)
+        err_hi = float(jnp.abs(y.astype(jnp.float32)
+                               - y_int.astype(jnp.float32)).max())
+        check(f"qmm4_{t}x{k}x{n}_hw_vs_interpret",
+              err_hi / max(scale, 1e-6), 2e-3)
+
+    x = jnp.asarray(rng.standard_normal((64, 1024)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((1024, 1024)) * 0.02, jnp.float32)
+    yp = quantized_matmul(x, quantize_weight_int4(w, impl="pallas"))
+    yx = quantized_matmul(x, quantize_weight_int4(w, impl="xla"))
+    err = float(jnp.abs(yp.astype(jnp.float32) - yx.astype(jnp.float32)).max())
+    check("qmm4_pallas_vs_xla_impl",
+          err / max(float(jnp.abs(yx).max()), 1e-6), 3e-2)
+
     # tiny model end-to-end on hardware
     from flash_attention_cute_tpu.models import transformer as T
     from flash_attention_cute_tpu.models.config import ModelConfig
@@ -136,6 +171,25 @@ def main():
     # argmax ties under bf16 can differ; require near-total agreement
     if same < total - 2:
         FAILED.append("greedy_generate_quant_vs_dequant")
+
+    # int4 tiny model: same dequant-oracle protocol (the oracle carries
+    # the quantization error, so this isolates kernel/wiring bugs)
+    qp4 = quantize_params(params, bits=4)
+    dq4 = dequantize_params(qp4, jnp.bfloat16)
+    lq4, _ = T.forward(qp4, cfg, ids)
+    ld4, _ = T.forward(dq4, cfg, ids)
+    lqn, ldn = np.asarray(lq4), np.asarray(ld4)
+    scale = float(np.abs(ldn).max())
+    check("model_fwd_int4_vs_dequant_mean",
+          float(np.abs(lqn - ldn).mean()) / max(scale, 1e-6), 1e-2)
+    out_q4 = generate(qp4, cfg, ids, max_new_tokens=16)
+    out_d4 = generate(dq4, cfg, ids, max_new_tokens=16)
+    same = int(np.sum(np.asarray(out_q4) == np.asarray(out_d4)))
+    total = int(np.asarray(out_q4).size)
+    print(f"{'PASS' if same >= total - 2 else 'FAIL'} "
+          f"greedy_generate_int4_vs_dequant: {same}/{total} tokens equal")
+    if same < total - 2:
+        FAILED.append("greedy_generate_int4_vs_dequant")
 
     print("ALL PASS" if not FAILED else f"FAILED: {FAILED}")
     sys.exit(1 if FAILED else 0)

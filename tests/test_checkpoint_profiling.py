@@ -130,3 +130,55 @@ def test_checkpoint_lora_bank_round_trip(tmp_path):
     a, b = jax.tree_util.tree_leaves(lora), jax.tree_util.tree_leaves(lora2)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_checkpoint_quantized_round_trip(tmp_path, bits):
+    """Quantized pytrees must round-trip bit-exactly: the dataclass
+    statics (in_dim/out/impl) live in quant.json because orbax restores
+    raw pytrees. This is the 'quantize once, restore in seconds' path —
+    the full-depth host init+quantize costs ~18 min."""
+    from flash_attention_cute_tpu.models.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from flash_attention_cute_tpu.models.quantize import quantize_params
+    from flash_attention_cute_tpu.ops.quantized_matmul import (
+        QuantizedWeight,
+        QuantizedWeight4,
+    )
+
+    cfg = tiny_test_config(num_layers=2)
+    qp = quantize_params(init_params(cfg, jax.random.key(0)), bits=bits)
+    save_checkpoint(tmp_path / "qck", qp, cfg)
+    assert (tmp_path / "qck" / "quant.json").exists()
+    cfg2, qp2 = load_checkpoint(tmp_path / "qck")
+    cls = QuantizedWeight if bits == 8 else QuantizedWeight4
+    for key in ("q_proj", "down_proj"):
+        leaf, leaf2 = qp["layers"][key], qp2["layers"][key]
+        assert isinstance(leaf2, cls)
+        assert (leaf2.in_dim, leaf2.out, leaf2.impl) == (
+            leaf.in_dim, leaf.out, leaf.impl)
+        np.testing.assert_array_equal(np.asarray(leaf2.values),
+                                      np.asarray(leaf.values))
+        np.testing.assert_array_equal(np.asarray(leaf2.scales),
+                                      np.asarray(leaf.scales))
+    ids = jnp.zeros((1, 8), jnp.int32)
+    want, _ = forward(qp, cfg, ids, mode="prefill", interpret=True)
+    got, _ = forward(qp2, cfg2, ids, mode="prefill", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_checkpoint_dense_writes_no_quant_meta(tmp_path):
+    from flash_attention_cute_tpu.models.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = tiny_test_config(num_layers=1)
+    params = init_params(cfg, jax.random.key(0))
+    save_checkpoint(tmp_path / "ck", params, cfg)
+    assert not (tmp_path / "ck" / "quant.json").exists()
+    _, params2 = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(np.asarray(params2["layers"]["q_proj"]),
+                                  np.asarray(params["layers"]["q_proj"]))
