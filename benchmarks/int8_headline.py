@@ -32,7 +32,13 @@ PEAK = 197e12
 
 def main():
     print(f"backend: {jax.devices()[0].platform}", flush=True)
-    B, HQ, HKV, S, D = 16, 64, 8, 1024, 128
+    # Defaults = headline shape; round-3b measured int8 NEGATIVE there and
+    # queued a retest at S>=4k where the score matmul dominates:
+    #   python benchmarks/int8_headline.py [S] [B]   e.g.  4096 4
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    HQ, HKV, D = 64, 8, 128
+    print(f"shape: B{B} Hq{HQ} Hkv{HKV} S{S} D{D}", flush=True)
     ks = jax.random.split(jax.random.key(0), 3)
     q = jax.random.normal(ks[0], (B, HQ, S, D), jnp.float32).astype(jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, HKV, S, D), jnp.float32).astype(jnp.bfloat16)

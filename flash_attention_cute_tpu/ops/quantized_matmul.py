@@ -310,7 +310,7 @@ def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
     lo, hi = _unpack4(w_ref[...].astype(jnp.int32))  # [bk//2, bn]
     w = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)  # [bk, bn]
     x = x_ref[...]
-    s = s_ref[...]  # [groups, bn] f32
+    s = s_ref[...]  # [SUBLANES4, bn] f32; rows >= groups are dead padding
     # Per-group matmul then f32 scale: exact vs the dequant oracle
     # (`s` is constant along each 128-row contraction slice), and each
     # slice is one full MXU pass so the split costs no MXU efficiency.
@@ -328,6 +328,9 @@ def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+SUBLANES4 = 8  # Mosaic floor for an f32 block's second-to-last dim
+
+
 def _qmm4_pallas(x2: jax.Array, qw: QuantizedWeight4,
                  interpret: bool) -> jax.Array:
     t, k = x2.shape
@@ -342,13 +345,24 @@ def _qmm4_pallas(x2: jax.Array, qw: QuantizedWeight4,
         # Padded weight rows are zero-valued, so zero-padding x is exact.
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, k_pad - k)))
     grid = (t_pad // bt, n_pad // bn, k_pad // bk)
+    # The logical scale plane is [G, N_pad] with G = k_pad//GROUP4 rows —
+    # `groups` (<= 4) rows per streamed K block, which Mosaic rejects as a
+    # block's sublane dim (must be a multiple of 8 or the full axis). Pad
+    # each K block's group rows up to SUBLANES4 here (dead rows — the
+    # kernel loop only reads the first `groups`), so the streamed scale
+    # block is (8, bn). ~128 KB extra f32 per 8 MB weight; layout stays
+    # per-call, the stored checkpoint format is unchanged.
+    g_pad = _round_up(groups, SUBLANES4)
+    scales = qw.scales.reshape(grid[2], groups, n_pad)
+    scales = jnp.pad(scales, ((0, 0), (0, g_pad - groups), (0, 0)))
+    scales = scales.reshape(grid[2] * g_pad, n_pad)
     out = pl.pallas_call(
         functools.partial(_qmm4_kernel, n_k=grid[2], groups=groups),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, bk), lambda ti, ni, ki: (ti, ki)),
             pl.BlockSpec((bk // 2, bn), lambda ti, ni, ki: (ki, ni)),
-            pl.BlockSpec((groups, bn), lambda ti, ni, ki: (ki, ni)),
+            pl.BlockSpec((g_pad, bn), lambda ti, ni, ki: (ki, ni)),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda ti, ni, ki: (ti, ni)),
         out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), x2.dtype),
@@ -357,5 +371,5 @@ def _qmm4_pallas(x2: jax.Array, qw: QuantizedWeight4,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x2, qw.values, qw.scales)
+    )(x2, qw.values, scales)
     return out[:t, : qw.out]
