@@ -156,16 +156,24 @@ def _layer_forward_carry(
                 scales=jax.lax.dynamic_index_in_dim(scl, layer_idx, 0, keepdims=False),
             )
 
-        kq_l, vq_l = slab(ck), slab(cv)
         use_kernel = dispatch.on_tpu() or bool(interpret)
         if mode == "decode" and use_kernel and mesh is None:
+            # STACKED-cache decode, like the bf16 branch below: the kernel
+            # indexes the [L,B,Hkv,C,D] carry through a prefetched layer
+            # scalar. Slicing host-side (dynamic_index_in_dim) copies the
+            # whole layer slab (values + scales) every layer every step —
+            # depth-scaling copy traffic the full-depth int8-KV decode paid.
             attn = flash_attention_decode_quantized(
-                q, kq_l, vq_l, kv_length=new_len,
+                q,
+                QuantizedKV(values=ck[0], scales=ck[1]),
+                QuantizedKV(values=cv[0], scales=cv[1]),
+                kv_length=new_len, layer=layer_idx,
                 sm_scale=cfg.attention_scale, window=window,
                 logit_softcap=cfg.logit_softcap,
                 interpret=bool(interpret),
             )
         else:
+            kq_l, vq_l = slab(ck), slab(cv)
             # extend / off-TPU fallback: dequantize the layer slab and take
             # the dense path (exact w.r.t. the quantized representation).
             attn = attn_fn(

@@ -72,12 +72,13 @@ def dequantize_kv(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
 
 def _quant_decode_kernel(
     lengths_ref,  # [B] int32 scalar prefetch
+    layer_ref,  # [1] int32 scalar prefetch: layer index into the stacked cache
     q_ref,  # [1, 1, g_pad, d]
-    k_ref,  # [1, 1, block_kv, d] int8/fp8
-    ks_ref,  # [1, Hkv, block_kv] f32 scales (all heads: TPU block tiling
+    k_ref,  # [1, 1, 1, block_kv, d] int8/fp8 (leading dim: cache layer)
+    ks_ref,  # [1, 1, Hkv, block_kv] f32 scales (all heads: TPU block tiling
              # requires the sublane dim be a full axis; the slice is tiny)
-    v_ref,  # [1, 1, block_kv, d]
-    vs_ref,  # [1, Hkv, block_kv]
+    v_ref,  # [1, 1, 1, block_kv, d]
+    vs_ref,  # [1, 1, Hkv, block_kv]
     o_ref,  # [1, 1, 1, g_pad, d] partial acc
     m_ref,  # [1, 1, 1, g_pad, LANES]
     l_ref,
@@ -121,8 +122,8 @@ def _quant_decode_kernel(
         q = q_ref[0, 0]
         # MXU needs matching operand dtypes: cast the quantized block to the
         # compute dtype WITHOUT applying scales (the scale folds into s).
-        k = k_ref[0, 0].astype(compute_dtype)
-        kscale = ks_ref[0, h].astype(jnp.float32)  # [block_kv]
+        k = k_ref[0, 0, 0].astype(compute_dtype)
+        kscale = ks_ref[0, 0, h].astype(jnp.float32)  # [block_kv]
 
         s = jax.lax.dot_general(
             q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
@@ -152,8 +153,8 @@ def _quant_decode_kernel(
         m_scratch[...] = m_next
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        v = v_ref[0, 0].astype(compute_dtype)
-        vscale = vs_ref[0, h].astype(jnp.float32)  # [block_kv]
+        v = v_ref[0, 0, 0].astype(compute_dtype)
+        vscale = vs_ref[0, 0, h].astype(jnp.float32)  # [block_kv]
         # Fold V's dequant scale into P before the PV matmul.
         pv_in = p * vscale[None, :]
         if kv_cap % block_kv:
@@ -194,6 +195,7 @@ def flash_attention_decode_quantized(
     logit_softcap: float | None = None,
     num_splits: int = 0,
     block_kv: int = 2048,
+    layer: jax.Array | None = None,
     interpret: bool = False,
     debug: bool = False,
 ) -> jax.Array:
@@ -202,15 +204,29 @@ def flash_attention_decode_quantized(
     Args:
       q: [B, Hq, 1, D] bf16/f16/f32
       k, v: QuantizedKV with values [B, Hkv, Skv, D] (int8 or fp8) and
-        scales [B, Hkv, Skv] f32.
+        scales [B, Hkv, Skv] f32 — or, with `layer`, the FULL stacked cache
+        (values [L, B, Hkv, Skv, D], scales [L, B, Hkv, Skv]). As in
+        ops/flash_decode.py, the stacked form lets a scan-over-layers decode
+        hand the kernel the whole carry plus a traced layer index: slicing
+        the layer out host-side (dynamic_index_in_dim) copies the entire
+        layer slab every step, which scales with depth (~1.2 GB/step of
+        pure copy traffic at full 32-layer 8B shapes).
+      layer: traced scalar int32 selecting the cache layer (requires the
+        5-D stacked values layout).
 
     Returns: [B, Hq, 1, D] in q's dtype.
     """
     b, hq, sq, d = q.shape
-    _, hkv, skv, _ = k.values.shape
+    if k.values.ndim == 4:
+        assert layer is None
+        k = QuantizedKV(values=k.values[None], scales=k.scales[None])
+        v = QuantizedKV(values=v.values[None], scales=v.scales[None])
+        layer = jnp.zeros((), jnp.int32)
+    assert k.values.ndim == 5 and layer is not None
+    nl, _, hkv, skv, _ = k.values.shape
     assert sq == 1
     assert hq % hkv == 0
-    assert k.scales.shape == (b, hkv, skv), k.scales.shape
+    assert k.scales.shape == (nl, b, hkv, skv), k.scales.shape
     if sm_scale is None:
         sm_scale = d ** -0.5
 
@@ -236,7 +252,9 @@ def flash_attention_decode_quantized(
     kv_scales = [k.scales, v.scales]
     if d_pad != d:
         qp = jnp.pad(qp, [(0, 0)] * 3 + [(0, d_pad - d)])
-        kv_vals = [jnp.pad(x, [(0, 0)] * 3 + [(0, d_pad - d)]) for x in kv_vals]
+        # NB: padding a STACKED cache copies all layers — d < 128 models
+        # should prefer the per-layer (4-D) form on the hot path.
+        kv_vals = [jnp.pad(x, [(0, 0)] * 4 + [(0, d_pad - d)]) for x in kv_vals]
     # KV seq axis NOT padded: a jnp.pad here copies the whole cache every
     # step (see ops/flash_decode.py); Pallas handles the ragged trailing
     # block and `cols < length` masks its garbage.
@@ -255,7 +273,7 @@ def flash_attention_decode_quantized(
     grid = (b, hkv, num_splits, num_t)
     ns = num_splits
 
-    def q_map(b_, h, s_, t, lens):
+    def q_map(b_, h, s_, t, lens, lay):
         return (b_, h, 0, 0)
 
     def kv_blk(b_, s_, t, lens):
@@ -270,13 +288,13 @@ def flash_attention_decode_quantized(
             blk = jnp.maximum(blk, jnp.minimum(first, last))
         return blk
 
-    def kv_map(b_, h, s_, t, lens):
-        return (b_, h, kv_blk(b_, s_, t, lens), 0)
+    def kv_map(b_, h, s_, t, lens, lay):
+        return (lay[0], b_, h, kv_blk(b_, s_, t, lens), 0)
 
-    def sc_map(b_, h, s_, t, lens):
-        return (b_, 0, kv_blk(b_, s_, t, lens))
+    def sc_map(b_, h, s_, t, lens, lay):
+        return (lay[0], b_, 0, kv_blk(b_, s_, t, lens))
 
-    def part_map(b_, h, s_, t, lens):
+    def part_map(b_, h, s_, t, lens, lay):
         return (b_, h, s_, 0, 0)
 
     kernel = functools.partial(
@@ -294,14 +312,14 @@ def flash_attention_decode_quantized(
     acc, m_part, l_part = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
-                pl.BlockSpec((1, hkv, block_kv), sc_map),
-                pl.BlockSpec((1, 1, block_kv, d_pad), kv_map),
-                pl.BlockSpec((1, hkv, block_kv), sc_map),
+                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, hkv, block_kv), sc_map),
+                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, hkv, block_kv), sc_map),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, 1, g_pad, d_pad), part_map),
@@ -325,7 +343,7 @@ def flash_attention_decode_quantized(
         interpret=interpret,
         debug=debug,
         name="flash_attention_decode_quantized",
-    )(lengths, qp, kq, ks, vq, vs)
+    )(lengths, jnp.asarray(layer, jnp.int32).reshape(1), qp, kq, ks, vq, vs)
 
     m_s = m_part[..., 0]
     l_s = l_part[..., 0]

@@ -118,6 +118,7 @@ def generate(
     input_ids: jax.Array,
     max_new_tokens: int,
     cache_capacity: int | None = None,
+    cache_dtype=None,
     sampling: SamplingParams = SamplingParams(),
     eos_token_id: int | None = None,
     key: jax.Array | None = None,
@@ -129,8 +130,8 @@ def generate(
     if cache_capacity is None:
         cache_capacity = s + max_new_tokens
     last_logits, cache = prefill(
-        params, cfg, input_ids, cache_capacity, interpret=interpret,
-        mesh=mesh,
+        params, cfg, input_ids, cache_capacity, cache_dtype=cache_dtype,
+        interpret=interpret, mesh=mesh,
     )
     if key is None:
         key = jax.random.key(0)

@@ -31,6 +31,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 run smoke 1200 python scripts_tpu_smoke.py
+run verify_r5 2400 python scripts/verify_r5_hw.py
 run verify_qw 3600 python scripts/verify_quantized_weights_hw.py
 run bench 1800 python bench.py
 run qmm_sweep 5400 python benchmarks/qmm_sweep.py

@@ -90,6 +90,33 @@ def test_split_invariance():
                                rtol=1e-5)
 
 
+def test_stacked_layer_matches_sliced():
+    """The stacked-cache form (layer scalar-prefetch) must equal slicing the
+    layer out host-side — the form the scan-over-layers decode hot path uses
+    to avoid a per-layer slab copy (models/transformer.py decode branch)."""
+    nl, b, hq, hkv, skv, d = 3, 2, 8, 2, 384, 64
+    ks = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(ks[0], (b, hq, 1, d), jnp.float32)
+    kk = jax.random.normal(ks[1], (nl, b, hkv, skv, d), jnp.float32)
+    vv = jax.random.normal(ks[2], (nl, b, hkv, skv, d), jnp.float32)
+    kq, vq = quantize_kv(kk), quantize_kv(vv)
+    lens = jnp.array([200, 384], jnp.int32)
+    for layer in range(nl):
+        got = flash_attention_decode_quantized(
+            q, kq, vq, kv_length=lens, layer=jnp.int32(layer),
+            block_kv=128, interpret=True,
+        )
+        want = flash_attention_decode_quantized(
+            q,
+            QuantizedKV(values=kq.values[layer], scales=kq.scales[layer]),
+            QuantizedKV(values=vq.values[layer], scales=vq.scales[layer]),
+            kv_length=lens, block_kv=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6
+        )
+
+
 def test_bf16_query():
     q, kk, vv = make(jax.random.key(4), 2, 8, 2, 256, 64, dtype=jnp.bfloat16)
     kq, vq = quantize_kv(kk), quantize_kv(vv)

@@ -95,3 +95,26 @@ def test_flash_decode_lowers_for_tpu():
         functools.partial(flash_attention_decode, interpret=False),
         q, k, v, lengths,
     )
+
+
+def test_quant_decode_stacked_lowers_for_tpu():
+    """The stacked (layer scalar-prefetch) quantized decode — the full-depth
+    int8-KV hot path — must pass Mosaic block-geometry checks: its scale
+    blocks are (1, 1, hkv, block_kv) with hkv(=8) as the sublane dim."""
+    from flash_attention_cute_tpu.ops.quantized import (
+        QuantizedKV, flash_attention_decode_quantized,
+    )
+
+    nl, b, hkv, skv, d = 4, 8, 8, 1152, 128
+    kv = QuantizedKV(
+        values=jnp.zeros((nl, b, hkv, skv, d), jnp.int8),
+        scales=jnp.ones((nl, b, hkv, skv), jnp.float32),
+    )
+    q = _rand((b, 32, 1, d), jnp.bfloat16)
+    lengths = jnp.full((b,), 1030, jnp.int32)
+    lower_for_tpu(
+        lambda q, kv, lens, lay: flash_attention_decode_quantized(
+            q, kv, kv, kv_length=lens, layer=lay, interpret=False,
+        ),
+        q, kv, lengths, jnp.int32(2),
+    )
