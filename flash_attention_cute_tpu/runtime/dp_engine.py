@@ -63,14 +63,19 @@ class DataParallelServingEngine:
     def num_replicas(self) -> int:
         return len(self.replicas)
 
-    def submit(self, req_id: int, prompt: list[int], max_new_tokens: int):
+    def submit(self, req_id: int, prompt: list[int], max_new_tokens: int,
+               **request_kwargs):
+        """Route to the least-loaded replica. Per-request options
+        (logit_bias, penalties, adapter, priority, ...) forward verbatim
+        to the chosen replica's submit."""
         assert req_id not in self._route
         i = int(np.argmin(self._load))
         charge = len(prompt) + max_new_tokens
         self._route[req_id] = i
         self._charge[req_id] = charge
         self._load[i] += charge
-        self.replicas[i].submit(req_id, prompt, max_new_tokens)
+        self.replicas[i].submit(req_id, prompt, max_new_tokens,
+                                **request_kwargs)
 
     def step(self) -> bool:
         """One round: every replica advances one scheduling step."""
@@ -110,6 +115,15 @@ class DataParallelServingEngine:
         out: list[int] = []
         for eng in self.replicas:
             out.extend(eng.failed)
+        return out
+
+    @property
+    def logprobs(self) -> dict[int, list[float]]:
+        """Finished requests' per-token logprobs (replicas built with
+        return_logprobs=True), merged across replicas."""
+        out: dict[int, list[float]] = {}
+        for eng in self.replicas:
+            out.update(eng.logprobs)
         return out
 
     @property

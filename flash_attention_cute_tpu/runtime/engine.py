@@ -49,14 +49,14 @@ from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "chunk", "sampling", "interpret", "mesh",
-                     "eos_token_id"),
+                     "eos_token_id", "want_logprobs"),
     donate_argnames=("state",),
 )
 def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
                   seeds=None, positions=None, mesh=None, bias=None,
                   min_tokens=None, eos_token_id=None, lora=None,
                   adapter_ids=None, dfa=None, dfa_state=None,
-                  constrain=None):
+                  constrain=None, pen=None, want_logprobs=False):
     """Decode `chunk` tokens for every slot in one compiled scan.
 
     Returns (tokens [chunk, slots], state). Inactive slots (length 0)
@@ -74,16 +74,32 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
     ({"bias": [n_states, V] f32 (0 / -inf), "transitions": [n_states, V]
     int32}) constrains `constrain`-flagged rows to the automaton,
     advancing `dfa_state` per emitted token (structured output).
+
+    Penalties: `pen` = {"prompt"/"out" [slots, V] f32 counts, "rep"/
+    "pres"/"freq" [slots]} applies repetition/presence/frequency
+    penalties to RAW logits each step; the output counts advance in-scan
+    per emitted token. Entry counts derive from host request streams
+    every call (the `_dfa_arrays` pattern), so chunk boundaries and
+    preemption recompute stay exact; rows without penalties carry
+    neutral (rep=1, pres=freq=0) values.
     """
-    from flash_attention_cute_tpu.runtime.sampling import sample_token
+    from flash_attention_cute_tpu.runtime.sampling import (
+        apply_penalties,
+        sample_token,
+    )
 
     def body(carry, i):
-        state, tok, dstate = carry
+        state, tok, dstate, outc = carry
         logits, state = forward_paged(
             params, cfg, tok[:, None], state, mode="decode",
             interpret=interpret, mesh=mesh, lora=lora,
             adapter_ids=adapter_ids,
         )
+        if pen is not None:
+            logits = apply_penalties(
+                logits[:, 0], pen["prompt"], outc,
+                pen["rep"], pen["pres"], pen["freq"],
+            )[:, None, :]
         if bias is not None:
             logits = logits + bias[:, None, :]
         if dfa is not None:
@@ -97,32 +113,53 @@ def _decode_chunk(params, cfg, last, state, chunk, sampling, interpret,
                 jnp.where(early, -jnp.inf, 0.0)[:, None]
             )
         if sampling is None or sampling.temperature <= 0.0:
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            dist = logits[:, 0]  # greedy: log-softmax of the shaped logits
+            nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
         else:
             per_slot = jax.vmap(
                 lambda s, p: jax.random.fold_in(
                     jax.random.fold_in(jax.random.key(0), s), p
                 )
             )(seeds, positions + i)
+            # filter_logits IS the distribution sample_token draws from;
+            # sampling from it directly keeps the logprob definition (the
+            # actual sampling distribution) aligned with the draw.
+            from flash_attention_cute_tpu.runtime.sampling import (
+                filter_logits,
+            )
+
+            dist = filter_logits(logits[:, 0], sampling)
             nxt = jax.vmap(
-                lambda lg, k_: sample_token(lg[None], k_, sampling)[0]
-            )(logits[:, 0], per_slot)
+                lambda lg, k_: jax.random.categorical(k_, lg)
+            )(dist, per_slot).astype(jnp.int32)
+        if want_logprobs:
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(dist, axis=-1), nxt[:, None], axis=1
+            )[:, 0].astype(jnp.float32)
+        else:
+            lp = jnp.zeros_like(nxt, jnp.float32)
         if dfa is not None:
             dstate = jnp.where(
                 constrain,
                 dfa["transitions"][dstate, nxt],
                 dstate,
             )
-        return (state, nxt, dstate), nxt
+        if pen is not None:
+            # Inactive slots' garbage tokens pollute only their own rows,
+            # whose penalty params are neutral; entry counts rebuild from
+            # host truth next call either way.
+            outc = outc.at[jnp.arange(outc.shape[0]), nxt].add(1.0)
+        return (state, nxt, dstate, outc), (nxt, lp)
 
     dstate0 = (
         dfa_state if dfa_state is not None
         else jnp.zeros_like(last)
     )
-    (state, _, _), toks = jax.lax.scan(
-        body, (state, last, dstate0), jnp.arange(chunk)
+    outc0 = pen["out"] if pen is not None else jnp.int32(0)
+    (state, _, _, _), (toks, lps) = jax.lax.scan(
+        body, (state, last, dstate0, outc0), jnp.arange(chunk)
     )
-    return toks, state
+    return toks, lps, state
 
 
 @dataclasses.dataclass
@@ -139,6 +176,26 @@ class _Request:
     stop_sequences: list | None = None
     adapter: int = 0  # LoRA adapter id (0 = base model)
     constrain: bool = False  # decode through the engine's shared DFA
+    # Sampling penalties (neutral defaults; see sampling.apply_penalties):
+    # repetition over prompt+output (HF semantics), presence/frequency
+    # over output tokens (OpenAI semantics).
+    rep_penalty: float = 1.0
+    pres_penalty: float = 0.0
+    freq_penalty: float = 0.0
+    # Per-emitted-token log-probabilities (engine return_logprobs=True):
+    # log-softmax of the shaped logits under greedy, of the actual
+    # filtered sampling distribution under temperature > 0. Kept in
+    # lockstep with `generated` through EOS/stop truncation and
+    # preemption recompute.
+    logprobs: list = dataclasses.field(default_factory=list)
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.rep_penalty != 1.0
+            or self.pres_penalty != 0.0
+            or self.freq_penalty != 0.0
+        )
     # Latency observability (BASELINE.json names p50 TTFT as a headline
     # metric): submit -> first token host-visible -> finished. Preemption
     # replay keeps the ORIGINAL first-token time (the user saw it once).
@@ -226,6 +283,11 @@ class ServingEngine:
         # jitted scan. On a high-RTT link (tunneled TPU) larger chunks
         # amortize host round trips at the cost of admission latency for
         # requests arriving mid-chunk and bounded EOS overshoot.
+        return_logprobs: bool = False,  # collect per-token logprobs of
+        # every emitted token (greedy: log-softmax of the shaped logits;
+        # sampled: of the actual filtered sampling distribution) into
+        # `engine.logprobs[req_id]`, in lockstep with the token streams
+        # through EOS/stop truncation and preemption recompute
         interpret: bool | None = None,
     ):
         self.params = params
@@ -239,6 +301,7 @@ class ServingEngine:
         self.prefill_group = max(1, prefill_group)
         self.prefill_chunk = max(0, prefill_chunk)
         self.decode_chunk = max(1, decode_chunk)
+        self.return_logprobs = return_logprobs
         self.collect_clamp_stats = collect_clamp_stats
         self.eos_token_id = eos_token_id
         self.interpret = interpret
@@ -379,6 +442,9 @@ class ServingEngine:
         self._requests: dict[int, _Request] = {}
         self._slot_req: list[int] = [-1] * slots
         self._done: dict[int, list[int]] = {}
+        # req_id -> per-token logprobs of finished requests (when
+        # return_logprobs; parallel to the _done token lists).
+        self.logprobs: dict[int, list[float]] = {}
         self._failed: list[int] = []
         # Observability counters (SURVEY.md §5 metrics; the reference's
         # equivalent is print statements in its benches).
@@ -430,9 +496,17 @@ class ServingEngine:
         priority: int = 0,  # higher admits sooner and preempts later
         # (FIFO within a priority class; 0 = default)
         constrain: bool = False,  # decode through the engine DFA
+        repetition_penalty: float = 1.0,  # HF semantics: seen (prompt or
+        # output) tokens' logits are divided by this when positive,
+        # multiplied when negative; 1.0 disables
+        presence_penalty: float = 0.0,  # OpenAI semantics: subtracted
+        # once from every token already emitted by this request
+        frequency_penalty: float = 0.0,  # OpenAI semantics: subtracted
+        # per occurrence in this request's output
     ):
         assert req_id >= 0 and req_id not in self._requests
         assert len(prompt) >= 1
+        assert repetition_penalty > 0.0, repetition_penalty
         if constrain:
             assert self.dfa is not None, "engine built without a dfa"
         if adapter != 0:
@@ -448,6 +522,9 @@ class ServingEngine:
             ),
             adapter=adapter,
             constrain=constrain,
+            rep_penalty=float(repetition_penalty),
+            pres_penalty=float(presence_penalty),
+            freq_penalty=float(frequency_penalty),
         )
         self.sched.submit(req_id, len(prompt), max_new_tokens, priority)
 
@@ -581,7 +658,8 @@ class ServingEngine:
             positions[s] = len(req.generated)
         bias, mins = self._guided_arrays(range(self.slots), by_slot=True)
         dfa_state, constrain = self._dfa_arrays()
-        tokens, self.state = _decode_chunk(
+        pen = self._penalty_arrays(range(self.slots), by_slot=True)
+        tokens, lps, self.state = _decode_chunk(
             self.params, self.cfg, jnp.asarray(last), self.state,
             chunk, self.sampling, self.interpret,
             seeds=jnp.asarray(seeds), positions=jnp.asarray(positions),
@@ -589,9 +667,11 @@ class ServingEngine:
             eos_token_id=self.eos_token_id if mins is not None else None,
             lora=self.lora, adapter_ids=self._adapter_ids(),
             dfa=self.dfa, dfa_state=dfa_state, constrain=constrain,
+            pen=pen, want_logprobs=self.return_logprobs,
         )
         self.stats["device_calls"] += 1
         tokens = np.asarray(tokens, np.int32)  # [chunk, slots]
+        lps = np.asarray(lps, np.float32) if self.return_logprobs else None
 
         for s in active:
             rid = self._slot_req[s]
@@ -603,6 +683,8 @@ class ServingEngine:
                 new = new[: new.index(self.eos_token_id) + 1]
                 req.max_new_tokens = len(req.generated) + len(new)
             req.generated.extend(new)
+            if lps is not None:
+                req.logprobs.extend(float(x) for x in lps[: len(new), s])
             self.stats["tokens_generated"] += len(new)
         self._finish_ready()
         return bool(self._requests) or self.sched.num_waiting > 0
@@ -620,6 +702,8 @@ class ServingEngine:
             if done:
                 self.sched.release_slot(s, requeue=False)
                 self._done[rid] = req.generated
+                if self.return_logprobs:
+                    self.logprobs[rid] = req.logprobs[: len(req.generated)]
                 self.stats["requests_finished"] += 1
                 req.finish_t = time.monotonic()
                 self.metrics.append({
@@ -813,6 +897,7 @@ class ServingEngine:
                     req = self._requests[rid]
                     self.stats["prefills"] += 1
                     req.generated = []
+                    req.logprobs = []
                     self._prefilling[s] = shared
                     self.stats["prefix_hit_tokens"] += shared
                     self._sync_table(s)
@@ -854,6 +939,7 @@ class ServingEngine:
         for i, (s, req) in enumerate(zip(slots, reqs)):
             self.stats["prefills"] += 1
             req.generated = []
+            req.logprobs = []
             plens[i] = len(req.prompt)
             shareds[i] = self._admit_shared.pop(s, 0)
             suffix = req.prompt[int(shareds[i]) :]
@@ -964,6 +1050,7 @@ class ServingEngine:
         last_logits = logits[jnp.arange(g), plens - 1 - shareds]  # [g, V]
         if any(
             r.logit_bias or r.min_new_tokens > 0 or r.constrain
+            or r.has_penalties
             for r in reqs
         ):
             rows = []
@@ -975,7 +1062,9 @@ class ServingEngine:
                 )
             last_logits = jnp.stack(rows)
         if self.sampling is not None and self.sampling.temperature > 0.0:
-            from flash_attention_cute_tpu.runtime.sampling import sample_token
+            from flash_attention_cute_tpu.runtime.sampling import (
+                filter_logits,
+            )
 
             keys = [
                 jax.random.fold_in(
@@ -986,19 +1075,24 @@ class ServingEngine:
                 )
                 for req in reqs
             ]
+            dist = filter_logits(last_logits[:g], self.sampling)
             firsts = np.asarray(
-                jax.vmap(
-                    lambda lg, k_: sample_token(lg[None], k_, self.sampling)[0]
-                )(last_logits[:g], jnp.stack(keys)),
+                jax.vmap(jax.random.categorical)(jnp.stack(keys), dist),
                 np.int32,
             )
         else:
-            firsts = np.asarray(
-                jnp.argmax(last_logits[:g], axis=-1), np.int32
-            )
+            dist = last_logits[:g]
+            firsts = np.asarray(jnp.argmax(dist, axis=-1), np.int32)
+        if self.return_logprobs:
+            first_lps = np.asarray(jnp.take_along_axis(
+                jax.nn.log_softmax(dist, axis=-1),
+                jnp.asarray(firsts)[:, None], axis=1,
+            )[:, 0], np.float32)
         now = time.monotonic()
         for i, (s, req) in enumerate(zip(slots, reqs)):
             req.generated.append(int(firsts[i]))
+            if self.return_logprobs:
+                req.logprobs.append(float(first_lps[i]))
             if req.first_token_t is None:
                 req.first_token_t = now
             self.stats["tokens_generated"] += 1
@@ -1103,13 +1197,14 @@ class ServingEngine:
             del self._prefilling[s]
             self._set_length(s, plen)
             last_logits = logits[j : j + 1, plen - 1 - (p - c)]
-            if req.logit_bias or req.min_new_tokens > 0 or req.constrain:
+            if (req.logit_bias or req.min_new_tokens > 0 or req.constrain
+                    or req.has_penalties):
                 last_logits = self._shape_logits(
                     last_logits, req, 0, self.eos_token_id
                 )
             if self.sampling is not None and self.sampling.temperature > 0.0:
                 from flash_attention_cute_tpu.runtime.sampling import (
-                    sample_token,
+                    filter_logits,
                 )
 
                 key = jax.random.fold_in(
@@ -1118,10 +1213,16 @@ class ServingEngine:
                     ),
                     0,
                 )
-                first = int(sample_token(last_logits, key, self.sampling)[0])
+                dist = filter_logits(last_logits, self.sampling)
+                first = int(jax.random.categorical(key, dist[0]))
             else:
-                first = int(jnp.argmax(last_logits[0]))
+                dist = last_logits
+                first = int(jnp.argmax(dist[0]))
             req.generated.append(first)
+            if self.return_logprobs:
+                req.logprobs.append(float(
+                    jax.nn.log_softmax(dist[0])[first]
+                ))
             if req.first_token_t is None:
                 req.first_token_t = time.monotonic()
             self.stats["tokens_generated"] += 1
@@ -1196,9 +1297,61 @@ class ServingEngine:
             )
         return bias, mins
 
+    def _penalty_arrays(self, slots_or_rids, by_slot: bool):
+        """Per-row penalty inputs for a decode/verify scan: {"prompt"/"out"
+        [n, V] f32 token-count planes, "rep"/"pres"/"freq" [n]} — or None
+        when no listed request uses penalties (keeps the penalty-free
+        compile signature). Counts derive from the host request streams,
+        so chunk boundaries and preemption recompute stay exact (the
+        `_dfa_arrays` pattern); penalty-free rows carry neutral values."""
+        rids = [
+            (self._slot_req[s] if by_slot else s) for s in slots_or_rids
+        ]
+        reqs = [self._requests.get(r) for r in rids]
+        if not any(r is not None and r.has_penalties for r in reqs):
+            return None
+        v = self.cfg.vocab_size
+        n = len(reqs)
+        prompt = np.zeros((n, v), np.float32)
+        out = np.zeros((n, v), np.float32)
+        rep = np.ones((n,), np.float32)
+        pres = np.zeros((n,), np.float32)
+        freq = np.zeros((n,), np.float32)
+        for i, r in enumerate(reqs):
+            if r is None or not r.has_penalties:
+                continue
+            np.add.at(prompt[i], np.asarray(r.prompt, np.int64), 1.0)
+            if r.generated:
+                np.add.at(out[i], np.asarray(r.generated, np.int64), 1.0)
+            rep[i], pres[i], freq[i] = (
+                r.rep_penalty, r.pres_penalty, r.freq_penalty
+            )
+        return {
+            "prompt": jnp.asarray(prompt), "out": jnp.asarray(out),
+            "rep": jnp.asarray(rep), "pres": jnp.asarray(pres),
+            "freq": jnp.asarray(freq),
+        }
+
     def _shape_logits(self, last_logits, req, position: int, eos_token_id):
         """Apply a single request's guided-decoding shaping to a [1, V]
         logits row (admission-time token sampling)."""
+        if req.has_penalties:
+            from flash_attention_cute_tpu.runtime.sampling import (
+                apply_penalties,
+            )
+
+            v = last_logits.shape[-1]
+            pc = np.zeros((v,), np.float32)
+            np.add.at(pc, np.asarray(req.prompt, np.int64), 1.0)
+            oc = np.zeros((v,), np.float32)
+            if req.generated:
+                np.add.at(oc, np.asarray(req.generated, np.int64), 1.0)
+            last_logits = apply_penalties(
+                last_logits, jnp.asarray(pc)[None], jnp.asarray(oc)[None],
+                jnp.asarray([req.rep_penalty], jnp.float32),
+                jnp.asarray([req.pres_penalty], jnp.float32),
+                jnp.asarray([req.freq_penalty], jnp.float32),
+            )
         if req.logit_bias:
             idx = jnp.asarray(
                 [int(t) for t in req.logit_bias], jnp.int32
@@ -1235,6 +1388,7 @@ class ServingEngine:
                     break
         if best is not None:
             del g[best:]
+            del req.logprobs[best:]
             req.max_new_tokens = len(g)
 
     def _req_seed(self, rid: int) -> int:

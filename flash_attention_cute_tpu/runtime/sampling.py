@@ -1,4 +1,4 @@
-"""Token sampling: greedy, temperature, top-k, top-p.
+"""Token sampling: greedy, temperature, top-k, top-p, min-p.
 
 The reference only implements greedy argmax decoding
 (reference: scripts/benchmark_llm.py:86, :109); sampling is part of making
@@ -18,6 +18,7 @@ class SamplingParams:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => disabled
     top_p: float = 1.0  # 1 => disabled
+    min_p: float = 0.0  # 0 => disabled; keep tokens with p >= min_p * p_max
 
 
 def filter_logits(
@@ -47,7 +48,53 @@ def filter_logits(
         )
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
 
+    if params.min_p > 0.0:
+        # p_i / p_max = exp(l_i - l_max) >= min_p  <=>  l_i >= l_max +
+        # ln(min_p). The ratio is renormalization-invariant, so applying
+        # it after the top-k/top-p masks (whose survivors include the
+        # argmax) matches the usual "min-p over the filtered
+        # distribution" definition without any sort or softmax.
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        cut = lmax + jnp.log(jnp.float32(params.min_p)).astype(logits.dtype)
+        logits = jnp.where(logits < cut, -jnp.inf, logits)
+
     return logits
+
+
+def apply_penalties(
+    logits: jax.Array,
+    prompt_counts: jax.Array,
+    out_counts: jax.Array,
+    rep: jax.Array,
+    pres: jax.Array,
+    freq: jax.Array,
+) -> jax.Array:
+    """Repetition / presence / frequency penalties on raw logits.
+
+    Semantics match the ecosystem conventions the serving engines expose:
+      * repetition `rep` (HF RepetitionPenaltyLogitsProcessor): tokens seen
+        in the PROMPT OR the output get `l/rep` when l > 0 else `l*rep`.
+      * presence `pres`, frequency `freq` (OpenAI API): subtract
+        `pres * 1[count>0] + freq * count` over OUTPUT tokens only.
+
+    Shapes: `logits` [..., V]; the count planes broadcast against it;
+    `rep`/`pres`/`freq` broadcast against `logits.shape[:-1]` (the caller
+    adds singleton axes for extra leading dims). Applied to RAW model
+    logits, before guided-decoding bias / DFA masks / temperature — so
+    -inf entries stay -inf and the penalized logits feed `filter_logits`
+    unchanged, which keeps speculative rejection sampling exact against
+    the penalized target distribution."""
+    rep = rep[..., None]
+    seen = (prompt_counts + out_counts) > 0
+    logits = jnp.where(
+        seen & (logits > 0), logits / rep,
+        jnp.where(seen, logits * rep, logits),
+    )
+    return (
+        logits
+        - freq[..., None] * out_counts
+        - pres[..., None] * (out_counts > 0)
+    )
 
 
 def sample_token(

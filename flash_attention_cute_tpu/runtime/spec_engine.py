@@ -46,6 +46,7 @@ from flash_attention_cute_tpu.runtime.paged_cache import create_paged_state
 from flash_attention_cute_tpu.runtime.paged_forward import forward_paged
 from flash_attention_cute_tpu.runtime.sampling import (
     SamplingParams,
+    apply_penalties,
     filter_logits,
 )
 from flash_attention_cute_tpu.runtime.prompt_lookup import ngram_propose
@@ -59,7 +60,7 @@ from flash_attention_cute_tpu.runtime.speculative import (
     jax.jit,
     static_argnames=(
         "cfg", "draft_cfg", "gamma", "rounds", "eos_token_id", "interpret",
-        "mesh", "sampling",
+        "mesh", "sampling", "want_logprobs",
     ),
     donate_argnames=("t_state", "d_state"),
 )
@@ -94,6 +95,18 @@ def _spec_rounds(
     # acceptance is exact vs the constrained plain engine
     dfa_state0: jax.Array | None = None,  # [slots] entry states
     constrain: jax.Array | None = None,  # [slots] bool opt-in
+    pen: dict | None = None,  # sampling penalties ({"prompt"/"out"
+    # [slots, V] counts, "rep"/"pres"/"freq" [slots]}): verify logits at
+    # position i are penalized with the entry counts advanced by draft
+    # tokens d_1..d_i (the DFA-walk pattern), so acceptance is exact vs
+    # the penalized plain engine; draft proposals are penalized the same
+    # way (any proposal stays correct — this just raises acceptance);
+    # accepted emissions advance the counts between rounds in-scan
+    want_logprobs: bool = False,  # also return per-emitted-token TARGET
+    # logprobs [slots, rounds*(gamma+1)] (greedy: log-softmax of the
+    # shaped verify logits; sampled: of the filtered target distribution
+    # — the residual-sampled bonus token reports its target logprob too,
+    # the vLLM convention)
 ):
     """Run `rounds` draft/verify rounds for every active slot.
 
@@ -108,6 +121,7 @@ def _spec_rounds(
     width = rounds * (gamma + 1)
     pad = eos_token_id if eos_token_id is not None else 0
     out = jnp.full((slots, width), pad, jnp.int32)
+    out_lp = jnp.zeros((slots, width), jnp.float32)
     out_pos = jnp.zeros((slots,), jnp.int32)
     iota = jnp.arange(gamma + 1, dtype=jnp.int32)
     done0 = ~active
@@ -125,9 +139,17 @@ def _spec_rounds(
         d_state, page_table=jnp.where(active[:, None], d_tbl, 0)
     )
 
+    V = None if pen is None else pen["prompt"].shape[-1]
+
+    def _pen1(lg, outc):
+        """Penalize one [slots, V] logits row with output counts `outc`."""
+        return apply_penalties(
+            lg, pen["prompt"], outc, pen["rep"], pen["pres"], pen["freq"]
+        )
+
     def body(carry, _):
-        (t_state, d_state, cur, prev, done, out, out_pos,
-         accepted_total, dstate) = carry
+        (t_state, d_state, cur, prev, done, out, out_lp, out_pos,
+         accepted_total, dstate, out_counts) = carry
         alive = ~done & (out_pos < budget)
         t_len = t_state.lengths
         d_len = d_state.lengths
@@ -142,31 +164,43 @@ def _spec_rounds(
             draft_params, draft_cfg, chunk2, d_state, mode="extend",
             interpret=interpret, mesh=mesh,
         )
+        dl1 = dlog[:, 1] if pen is None else _pen1(dlog[:, 1], out_counts)
         if sampling is None:
-            d1 = jnp.argmax(dlog[:, 1], axis=-1).astype(jnp.int32)
+            d1 = jnp.argmax(dl1, axis=-1).astype(jnp.int32)
         else:
-            f1 = filter_logits(dlog[:, 1], sampling)
+            f1 = filter_logits(dl1, sampling)
             d1 = jax.vmap(
                 lambda k_, lg: jax.random.categorical(k_, lg)
             )(_row_keys(seeds, abs_pos, 0), f1).astype(jnp.int32)
 
         def draft_step(carry, i):
-            d_state, tok = carry
+            d_state, tok, dcounts = carry
             lg, d_state = forward_paged(
                 draft_params, draft_cfg, tok[:, None], d_state,
                 mode="decode", interpret=interpret, mesh=mesh,
             )
+            lg0 = lg[:, 0] if pen is None else _pen1(lg[:, 0], dcounts)
             if sampling is None:
-                nxt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
-                return (d_state, nxt), nxt
-            fl = filter_logits(lg[:, 0], sampling)
-            nxt = jax.vmap(
-                lambda k_, lg_: jax.random.categorical(k_, lg_)
-            )(_row_keys(seeds, abs_pos + 1 + i, 0), fl).astype(jnp.int32)
-            return (d_state, nxt), (nxt, fl)
+                nxt = jnp.argmax(lg0, axis=-1).astype(jnp.int32)
+                res = nxt
+            else:
+                fl = filter_logits(lg0, sampling)
+                nxt = jax.vmap(
+                    lambda k_, lg_: jax.random.categorical(k_, lg_)
+                )(_row_keys(seeds, abs_pos + 1 + i, 0), fl).astype(jnp.int32)
+                res = (nxt, fl)
+            if pen is not None:
+                dcounts = dcounts.at[
+                    jnp.arange(dcounts.shape[0]), nxt
+                ].add(1.0)
+            return (d_state, nxt, dcounts), res
 
-        (d_state, _), rest = jax.lax.scan(
-            draft_step, (d_state, d1),
+        dcounts0 = (
+            jnp.int32(0) if pen is None
+            else out_counts.at[jnp.arange(slots), d1].add(1.0)
+        )
+        (d_state, _, _), rest = jax.lax.scan(
+            draft_step, (d_state, d1, dcounts0),
             jnp.arange(gamma - 1, dtype=jnp.int32),
         )
         if sampling is None:
@@ -192,6 +226,23 @@ def _spec_rounds(
             interpret=interpret, mesh=mesh, lora=lora,
             adapter_ids=adapter_ids,
         )
+        if pen is not None:
+            # Counts before verify position i = entry counts advanced by
+            # draft tokens d_1..d_i — exactly what the penalized plain
+            # engine sees while the drafts keep matching (the DFA-walk
+            # argument), so greedy spec stays bit-exact and sampled spec
+            # targets the penalized distributions.
+            cum = jnp.cumsum(
+                jax.nn.one_hot(drafts, V, dtype=jnp.float32), axis=1
+            )  # [slots, gamma, V]
+            vcounts = out_counts[:, None, :] + jnp.concatenate(
+                [jnp.zeros_like(cum[:, :1]), cum], axis=1
+            )  # [slots, gamma+1, V]
+            vlog = apply_penalties(
+                vlog, pen["prompt"][:, None, :], vcounts,
+                pen["rep"][:, None], pen["pres"][:, None],
+                pen["freq"][:, None],
+            )
         if bias is not None:
             vlog = vlog + bias[:, None, :]
         if min_tokens is not None and eos_token_id is not None:
@@ -261,6 +312,15 @@ def _spec_rounds(
             return row.at[idx].set(vals)
 
         out = jax.vmap(write_row)(out, out_pos, e, mask)
+        if want_logprobs:
+            vlp = jax.nn.log_softmax(
+                vlog if sampling is None else filter_logits(vlog, sampling),
+                axis=-1,
+            )
+            lp_e = jnp.take_along_axis(vlp, e[..., None], axis=2)[..., 0]
+            out_lp = jax.vmap(write_row)(
+                out_lp, out_pos, lp_e.astype(jnp.float32), mask
+            )
 
         count = n_eff + 1
         out_pos = jnp.where(alive, out_pos + count, out_pos)
@@ -295,27 +355,34 @@ def _spec_rounds(
             dstate, _ = jax.lax.scan(
                 adv, dstate, jnp.arange(gamma + 1)
             )
-        return (t_state, d_state, cur, prev, done_new, out, out_pos,
-                accepted_total, dstate), None
+        if pen is not None:
+            out_counts = out_counts + jnp.sum(
+                jax.nn.one_hot(e, V, dtype=jnp.float32)
+                * mask[..., None],
+                axis=1,
+            )
+        return (t_state, d_state, cur, prev, done_new, out, out_lp,
+                out_pos, accepted_total, dstate, out_counts), None
 
     dstate0 = (
         dfa_state0 if dfa_state0 is not None else jnp.zeros_like(out_pos)
     )
-    init = (t_state, d_state, cur, prev, done0, out, out_pos, jnp.int32(0),
-            dstate0)
-    (t_state, d_state, _, _, _, out, out_pos, accepted, _), _ = jax.lax.scan(
-        body, init, None, length=rounds
+    outc0 = pen["out"] if pen is not None else jnp.int32(0)
+    init = (t_state, d_state, cur, prev, done0, out, out_lp, out_pos,
+            jnp.int32(0), dstate0, outc0)
+    (t_state, d_state, _, _, _, out, out_lp, out_pos, accepted, _, _), _ = (
+        jax.lax.scan(body, init, None, length=rounds)
     )
     t_state = dataclasses.replace(t_state, page_table=t_tbl)
     d_state = dataclasses.replace(d_state, page_table=d_tbl)
-    return out, out_pos, t_state, d_state, accepted
+    return out, out_lp, out_pos, t_state, d_state, accepted
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "gamma", "rounds", "ngram", "eos_token_id", "interpret",
-        "mesh", "sampling",
+        "mesh", "sampling", "want_logprobs",
     ),
     donate_argnames=("t_state",),
 )
@@ -346,6 +413,12 @@ def _spec_rounds_lookup(
     # acceptance is exact vs the constrained plain engine
     dfa_state0: jax.Array | None = None,  # [slots] entry states
     constrain: jax.Array | None = None,  # [slots] bool opt-in
+    pen: dict | None = None,  # sampling penalties — verify logits walk
+    # the proposal prefix exactly as in _spec_rounds (n-gram proposals
+    # themselves are history copies, not distributions: nothing to
+    # penalize on the proposal side)
+    want_logprobs: bool = False,  # also return per-emitted-token target
+    # logprobs [slots, rounds*(gamma+1)] (same definition as _spec_rounds)
 ):
     """Draft-free (prompt-lookup) variant of _spec_rounds: proposals come
     from the history buffer's most recent n-gram continuation; no draft
@@ -356,6 +429,7 @@ def _spec_rounds_lookup(
     width = rounds * (gamma + 1)
     pad = eos_token_id if eos_token_id is not None else 0
     out = jnp.full((slots, width), pad, jnp.int32)
+    out_lp = jnp.zeros((slots, width), jnp.float32)
     out_pos = jnp.zeros((slots,), jnp.int32)
     iota = jnp.arange(gamma + 1, dtype=jnp.int32)
     done0 = ~active
@@ -367,9 +441,11 @@ def _spec_rounds_lookup(
         t_state, page_table=jnp.where(active[:, None], t_tbl, 0)
     )
 
+    V = None if pen is None else pen["prompt"].shape[-1]
+
     def body(carry, _):
-        (t_state, hist, hlen, done, out, out_pos, accepted_total,
-         dstate) = carry
+        (t_state, hist, hlen, done, out, out_lp, out_pos, accepted_total,
+         dstate, out_counts) = carry
         alive = ~done & (out_pos < budget)
         t_len = t_state.lengths
         cur = jnp.take_along_axis(
@@ -384,6 +460,18 @@ def _spec_rounds_lookup(
             interpret=interpret, mesh=mesh, lora=lora,
             adapter_ids=adapter_ids,
         )
+        if pen is not None:
+            cum = jnp.cumsum(
+                jax.nn.one_hot(drafts, V, dtype=jnp.float32), axis=1
+            )
+            vcounts = out_counts[:, None, :] + jnp.concatenate(
+                [jnp.zeros_like(cum[:, :1]), cum], axis=1
+            )
+            vlog = apply_penalties(
+                vlog, pen["prompt"][:, None, :], vcounts,
+                pen["rep"][:, None], pen["pres"][:, None],
+                pen["freq"][:, None],
+            )
         if bias is not None:
             vlog = vlog + bias[:, None, :]
         if min_tokens is not None and eos_token_id is not None:
@@ -455,6 +543,15 @@ def _spec_rounds_lookup(
 
         out = jax.vmap(write_row)(out, out_pos, e, mask)
         hist = jax.vmap(write_row)(hist, hlen, e, mask)
+        if want_logprobs:
+            vlp = jax.nn.log_softmax(
+                vlog if sampling is None else filter_logits(vlog, sampling),
+                axis=-1,
+            )
+            lp_e = jnp.take_along_axis(vlp, e[..., None], axis=2)[..., 0]
+            out_lp = jax.vmap(write_row)(
+                out_lp, out_pos, lp_e.astype(jnp.float32), mask
+            )
 
         count = n_eff + 1
         out_pos = jnp.where(alive, out_pos + count, out_pos)
@@ -474,18 +571,26 @@ def _spec_rounds_lookup(
             dstate, _ = jax.lax.scan(
                 adv, dstate, jnp.arange(gamma + 1)
             )
-        return (t_state, hist, hlen, done_new, out, out_pos,
-                accepted_total, dstate), None
+        if pen is not None:
+            out_counts = out_counts + jnp.sum(
+                jax.nn.one_hot(e, V, dtype=jnp.float32)
+                * mask[..., None],
+                axis=1,
+            )
+        return (t_state, hist, hlen, done_new, out, out_lp, out_pos,
+                accepted_total, dstate, out_counts), None
 
     dstate0 = (
         dfa_state0 if dfa_state0 is not None else jnp.zeros_like(out_pos)
     )
-    init = (t_state, hist, hlen, done0, out, out_pos, jnp.int32(0), dstate0)
-    (t_state, _, _, _, out, out_pos, accepted, _), _ = jax.lax.scan(
-        body, init, None, length=rounds
+    outc0 = pen["out"] if pen is not None else jnp.int32(0)
+    init = (t_state, hist, hlen, done0, out, out_lp, out_pos, jnp.int32(0),
+            dstate0, outc0)
+    (t_state, _, _, _, out, out_lp, out_pos, accepted, _, _), _ = (
+        jax.lax.scan(body, init, None, length=rounds)
     )
     t_state = dataclasses.replace(t_state, page_table=t_tbl)
-    return out, out_pos, t_state, accepted
+    return out, out_lp, out_pos, t_state, accepted
 
 
 class SpeculativeServingEngine(ServingEngine):
@@ -952,7 +1057,8 @@ class SpeculativeServingEngine(ServingEngine):
                 range(self.slots), by_slot=True
             )
             gds, gcm = self._dfa_arrays()
-            out, out_pos, self.state, accepted = _spec_rounds_lookup(
+            gpen = self._penalty_arrays(range(self.slots), by_slot=True)
+            out, out_lp, out_pos, self.state, accepted = _spec_rounds_lookup(
                 self.params, self.cfg, self.state,
                 jnp.asarray(hist), jnp.asarray(hlen),
                 jnp.asarray(mask), jnp.asarray(budget),
@@ -961,14 +1067,17 @@ class SpeculativeServingEngine(ServingEngine):
                 sampling=sampling, seeds=jnp.asarray(seeds),
                 positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
                 lora=self.lora, adapter_ids=self._adapter_ids(),
-                dfa=self.dfa, dfa_state0=gds, constrain=gcm,
+                dfa=self.dfa, dfa_state0=gds, constrain=gcm, pen=gpen,
+                want_logprobs=self.return_logprobs,
             )
         else:
             gbias, gmins = self._guided_arrays(
                 range(self.slots), by_slot=True
             )
             gds, gcm = self._dfa_arrays()
-            out, out_pos, self.state, self.d_state, accepted = _spec_rounds(
+            gpen = self._penalty_arrays(range(self.slots), by_slot=True)
+            (out, out_lp, out_pos, self.state, self.d_state,
+             accepted) = _spec_rounds(
                 self.params, self.draft_params, self.cfg, self.draft_cfg,
                 self.state, self.d_state,
                 jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(mask),
@@ -977,12 +1086,16 @@ class SpeculativeServingEngine(ServingEngine):
                 sampling=sampling, seeds=jnp.asarray(seeds),
                 positions0=jnp.asarray(pos0), bias=gbias, min_tokens=gmins,
                 lora=self.lora, adapter_ids=self._adapter_ids(),
-                dfa=self.dfa, dfa_state0=gds, constrain=gcm,
+                dfa=self.dfa, dfa_state0=gds, constrain=gcm, pen=gpen,
+                want_logprobs=self.return_logprobs,
             )
         self.stats["device_calls"] += 1
         self.stats["spec_calls"] += 1
         self.stats["accepted_drafts"] += int(accepted)
         out = np.asarray(out, np.int32)
+        out_lp = (
+            np.asarray(out_lp, np.float32) if self.return_logprobs else None
+        )
         out_pos = np.asarray(out_pos, np.int32)
 
         for s in active:
@@ -993,6 +1106,10 @@ class SpeculativeServingEngine(ServingEngine):
                 new = new[: new.index(self.eos_token_id) + 1]
                 req.max_new_tokens = len(req.generated) + len(new)
             req.generated.extend(new)
+            if out_lp is not None:
+                req.logprobs.extend(
+                    float(x) for x in out_lp[s, : len(new)]
+                )
             self.stats["tokens_generated"] += len(new)
             # Acceptance-rate accounting: every alive round offered gamma
             # drafts; approximate offered = emitted rounds * gamma via the

@@ -89,6 +89,8 @@ def test_sampling_params_shapes():
         SamplingParams(temperature=0.7, top_k=8),
         SamplingParams(temperature=0.7, top_p=0.9),
         SamplingParams(temperature=1.3, top_k=16, top_p=0.95),
+        SamplingParams(temperature=0.8, min_p=0.1),
+        SamplingParams(temperature=1.1, top_k=16, top_p=0.95, min_p=0.05),
     ):
         tok = sample_token(logits, jax.random.key(1), sp)
         assert tok.shape == (4,) and tok.dtype == jnp.int32
@@ -109,6 +111,47 @@ def test_top_k_restricts_support():
             logits, jax.random.fold_in(key, i),
             SamplingParams(temperature=1.0, top_k=4),
         )
+        assert (np.asarray(tok) >= 28).all()
+
+
+def test_min_p_matches_probability_oracle():
+    """min_p keeps exactly the tokens whose softmax probability is
+    >= min_p * max probability (renormalization-invariant ratio), for
+    any temperature, without sorting."""
+    from flash_attention_cute_tpu.runtime.sampling import filter_logits
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal((5, 97)) * 3.0, jnp.float32)
+    for temp, min_p in ((1.0, 0.1), (0.7, 0.25), (1.5, 0.02)):
+        got = np.asarray(
+            filter_logits(logits, SamplingParams(temperature=temp, min_p=min_p))
+        )
+        scaled = np.asarray(logits, np.float64) / temp
+        p = np.exp(scaled - scaled.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        keep = p >= min_p * p.max(-1, keepdims=True)
+        assert (np.isfinite(got) == keep).all()
+        # Surviving logits pass through unchanged (just scaled).
+        np.testing.assert_allclose(got[keep], scaled[keep].astype(np.float32),
+                                   rtol=1e-6)
+
+
+def test_min_p_composes_with_top_k():
+    """After top-k masking, min_p measures ratios within the SURVIVING
+    support (the argmax always survives top-k), so the combined filter is
+    top-k-then-min-p — and sampling stays inside the intersection."""
+    key = jax.random.key(11)
+    logits = jnp.asarray([np.linspace(0.0, 8.0, 32)], jnp.float32)
+    sp = SamplingParams(temperature=1.0, top_k=8, min_p=np.exp(-3.0) + 1e-6)
+    # top_k=8 keeps ids 24..31; min_p then cuts ids whose logit is more
+    # than 3.0 below the max (8.0): linspace step ~0.258, 3.0/0.258 ~ 11.6
+    # -> ids 20.. survive the min_p cut alone; intersection = 24..31 minus
+    # none (all within 3.0 of max? ids 24 has logit 6.19, gap 1.8 < 3) =>
+    # support stays 24..31. Tighten min_p to cut inside the top-k set:
+    sp = SamplingParams(temperature=1.0, top_k=8, min_p=float(np.exp(-1.0)))
+    for i in range(30):
+        tok = sample_token(logits, jax.random.fold_in(key, i), sp)
+        # gap <= 1.0 nat from the max logit 8.0 => logit >= 7.0 => ids 28+
         assert (np.asarray(tok) >= 28).all()
 
 

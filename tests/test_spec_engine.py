@@ -206,7 +206,9 @@ def test_spec_engine_sampled_deterministic_and_replay_stable(target, draft):
     cfg, _ = target
     prompts = _requests(cfg, seed=31, n=2)
     n_new = {rid: 8 for rid in prompts}
-    sp = SamplingParams(temperature=0.9, top_k=50)
+    # min_p rides filter_logits, so it must compose with the in-scan
+    # draft/verify rejection sampling and with preemption replay too.
+    sp = SamplingParams(temperature=0.9, top_k=50, min_p=0.02)
     a, ea = _run_spec(target, draft, prompts, n_new, sampling=sp)
     b, _ = _run_spec(target, draft, prompts, n_new, sampling=sp)
     assert a == b
