@@ -45,7 +45,11 @@ def main():
     v = jax.random.normal(ks[2], (B, HKV, S, D), jnp.float32).astype(jnp.bfloat16)
     fl = 4 * B * HQ * S * S * D / 2  # causal-half pairs
 
-    r = attention_reference(q, k, v, causal=True)
+    # The fp32 oracle materializes the S x S score matrix, which at
+    # S=4096 B=4 H=64 is ~17 GB (the r4g retest OOMed on exactly this) —
+    # check accuracy on one batch row's first KV-head group instead.
+    gq = HQ // HKV
+    r = attention_reference(q[:1, :gq], k[:1, :1], v[:1, :1], causal=True)
 
     def make_fn(kw, drop_aux=False):
         if drop_aux:
@@ -77,7 +81,7 @@ def main():
         for name, fn in configs:
             try:
                 o = fn(q, k, v)
-                err = float(jnp.abs(o.astype(jnp.float32)
+                err = float(jnp.abs(o[:1, :gq].astype(jnp.float32)
                                     - r.astype(jnp.float32)).max())
                 t = time_chained(
                     functools.partial(chain_attention, fn, out_dtype=q.dtype),

@@ -51,10 +51,18 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attention_cute_tpu.dispatch import on_tpu
 
 LANES = 128
-# K/N tile caps. 512x512 int8 = 256 KB per streamed weight tile — two
-# weight buffers + x/acc/out blocks stay ~1.5 MB of VMEM.
+# K/N tile caps, swept on v5e hardware (benchmarks/qmm_sweep.py, round-5
+# logs): 512x512 tiles (256 KB) were the sweep's WORST decode config —
+# the per-grid-step DMA is too small to hide HBM latency at T=8
+# (int8 520-540 GB/s). 512x2048 (1 MB weight tiles, ~2 MB double-
+# buffered) streams 730-745 GB/s int8 / ~575 int4 at decode shape and is
+# also the fastest prefill-shape config. BLOCK_K stays 512 so the int4
+# nibble-pack block (and any saved int4 checkpoint) is unchanged.
+# Cost: N pads to the 2048 tile for N > 2048 (e.g. Qwen2's 3584-wide
+# projections pad 14%, its 18944 FFN 8%) — the measured rate win
+# outweighs the padded-column traffic at every shape in the sweep.
 BLOCK_K = 512
-BLOCK_N = 512
+BLOCK_N = 2048
 BLOCK_T = 256  # row tile cap (prefill); decode rows pad to 8 sublanes
 
 
