@@ -78,7 +78,7 @@ def main():
                 for bk, bn in grids:
                     if bk > K or bn > N:
                         continue
-                    qm.BLOCK_K, qm.BLOCK_N = bk, bn
+                    qm.BLOCK_K, qm.BLOCK_N, qm.BLOCK_N8 = bk, bn, bn
                     qw = quant(w)  # re-pad/pack under current blocks
                     try:
                         dt = time_config(x, qw, pallas_fn)

@@ -54,15 +54,20 @@ LANES = 128
 # K/N tile caps, swept on v5e hardware (benchmarks/qmm_sweep.py, round-5
 # logs): 512x512 tiles (256 KB) were the sweep's WORST decode config —
 # the per-grid-step DMA is too small to hide HBM latency at T=8
-# (int8 520-540 GB/s). 512x2048 (1 MB weight tiles, ~2 MB double-
-# buffered) streams 730-745 GB/s int8 / ~575 int4 at decode shape and is
-# also the fastest prefill-shape config. BLOCK_K stays 512 so the int4
-# nibble-pack block (and any saved int4 checkpoint) is unchanged.
-# Cost: N pads to the 2048 tile for N > 2048 (e.g. Qwen2's 3584-wide
-# projections pad 14%, its 18944 FFN 8%) — the measured rate win
-# outweighs the padded-column traffic at every shape in the sweep.
+# (int8 520-540 GB/s). Bigger N tiles fix it: int4 at 512x2048 streams
+# ~575 GB/s decode-shape (and ran the full 8-layer and 32-layer models
+# on chip). The int8 kernel at bn=2048 measured 730-745 GB/s in the
+# isolated sweep but REPRODUCIBLY WEDGED the axon compile service when
+# compiled again later the same day (benchmarks/qmm_bisect.py: even the
+# sweep's own 4096x4096 shape hung; two full-tunnel outages) — int8
+# ships bn=1024 instead: 692 GB/s in both sweep reps (+30% over the old
+# default), zero padded columns at every Llama width (14336 = 14*1024,
+# 129024 = 126*1024), and a compile the service handles. BLOCK_K stays
+# 512 so the int4 nibble-pack block (and any saved int4 checkpoint) is
+# unchanged.
 BLOCK_K = 512
-BLOCK_N = 2048
+BLOCK_N = 2048   # int4 kernel N tile
+BLOCK_N8 = 1024  # int8 kernel N tile
 BLOCK_T = 256  # row tile cap (prefill); decode rows pad to 8 sublanes
 
 
@@ -106,7 +111,7 @@ def quantize_weight(w: jax.Array, impl: str = "pallas") -> QuantizedWeight:
     scales = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.round(wf / scales[..., None, :]).astype(jnp.int8)
     k_pad = _round_up(k, min(BLOCK_K, _round_up(k, LANES)))
-    n_pad = _round_up(n, min(BLOCK_N, _round_up(n, LANES)))
+    n_pad = _round_up(n, min(BLOCK_N8, _round_up(n, LANES)))
     pad = [(0, 0)] * (w.ndim - 2) + [(0, k_pad - k), (0, n_pad - n)]
     q = jnp.pad(q, pad)
     scales = jnp.pad(
@@ -147,7 +152,7 @@ def _qmm_pallas(x2: jax.Array, qw: QuantizedWeight,
     k_pad, n_pad = qw.values.shape[-2], qw.values.shape[-1]
     bt = min(BLOCK_T, _round_up(t, 8))
     bk = min(BLOCK_K, k_pad)
-    bn = min(BLOCK_N, n_pad)
+    bn = min(BLOCK_N8, n_pad)
     t_pad = _round_up(t, bt)
     if (t_pad, k_pad) != (t, k):
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, k_pad - k)))

@@ -25,12 +25,29 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- $name exit=$? tail:"; tail -5 "$OUT/$name.log"
 }
 
+run verify_r5b 2400 python scripts/verify_r5b_hw.py
 run decode_int8w_retune 3600 python scripts/benchmark_llm.py \
     --model llama3-8b --num-layers 8 --batch 8 --prompt-len 1024 \
     --max-new-tokens 128 --quantize-weights
 run decode_int4w_retune 3600 python scripts/benchmark_llm.py \
     --model llama3-8b --num-layers 8 --batch 8 --prompt-len 1024 \
     --max-new-tokens 128 --quantize-weights --weight-bits 4
+# Projection fusion (models/fuse.py, 7 -> 4 weight streams/launches per
+# layer) was never hardware-measured; the full-depth attribution says
+# per-layer fixed cost is now the dominant decode overhead.
+run decode_int8w_fused 3600 python scripts/benchmark_llm.py \
+    --model llama3-8b --num-layers 8 --batch 8 --prompt-len 1024 \
+    --max-new-tokens 128 --quantize-weights --fuse-projections
+run decode_int4w_fused 3600 python scripts/benchmark_llm.py \
+    --model llama3-8b --num-layers 8 --batch 8 --prompt-len 1024 \
+    --max-new-tokens 128 --quantize-weights --weight-bits 4 \
+    --fuse-projections
+run decode_bf16_fused 3600 python scripts/benchmark_llm.py \
+    --model llama3-8b --num-layers 8 --batch 8 --prompt-len 1024 \
+    --max-new-tokens 128 --fuse-projections
 run int8_qk_s4096 3600 python benchmarks/int8_headline.py 4096 4
-run verify_r5b 2400 python scripts/verify_r5b_hw.py
+run fulldepth_int4_fused 7200 python scripts/benchmark_llm.py \
+    --model llama3-8b --batch 8 --prompt-len 1024 --max-new-tokens 128 \
+    --quantize-weights --weight-bits 4 --init-host --cache-dtype int8 \
+    --fuse-projections
 echo "ALL DONE -> $OUT"
