@@ -91,6 +91,34 @@ def _layer_forward(
     return x, k_cache_l, v_cache_l
 
 
+def _kv_write(buf, new, layer_idx, lengths):
+    """Append new tokens into a stacked cache buffer at per-row offsets.
+
+    buf:  [L, B, Hkv, C, D] values (or [L, B, Hkv, C] scales)
+    new:  [B, Hkv, S, D]    (or [B, Hkv, S])
+
+    Small batches unroll into per-row `dynamic_update_slice` windowed
+    stores; an advanced-index scatter (`buf.at[l, bidx, hidx, pos].set`)
+    lowers to a serialized scatter op — measured 3x slower per layer at
+    B=8 decode (benchmarks/layer_overhead.py: 22.7 vs 7.4 us/layer).
+    Caller contract (unchanged): lengths + S <= capacity — a dus CLAMPS
+    an out-of-range start where scatter would drop the rows, so overflow
+    writes must never be issued at all.
+    """
+    b = new.shape[0]
+    if b > 32:  # bound the unrolled-graph size; scatter amortizes there
+        bidx = jnp.arange(b)[:, None, None]
+        hidx = jnp.arange(new.shape[1])[None, :, None]
+        pos = lengths[:, None, None] + jnp.arange(new.shape[2])[None, None, :]
+        return buf.at[(layer_idx, bidx, hidx, pos)].set(new.astype(buf.dtype))
+    for bi in range(b):
+        idx = (layer_idx, bi, 0, lengths[bi]) + (0,) * (new.ndim - 3)
+        buf = jax.lax.dynamic_update_slice(
+            buf, new[bi][None, None].astype(buf.dtype), idx
+        )
+    return buf
+
+
 def _layer_forward_carry(
     x: jax.Array,
     lp: dict,
@@ -124,9 +152,6 @@ def _layer_forward_carry(
     k = L.apply_rope(k, cos, sin)
 
     b, hkv, s, _ = k.shape
-    bidx = jnp.arange(b)[:, None, None]
-    hidx = jnp.arange(hkv)[None, :, None]
-    pos = lengths[:, None, None] + jnp.arange(s)[None, None, :]  # [B,1,S]
     new_len = lengths + s
     quantized = isinstance(ck, tuple)
 
@@ -142,8 +167,8 @@ def _layer_forward_carry(
         def scatter_q(c, new):
             vals, scl = c
             nq = quantize_kv(new, dtype=vals.dtype)
-            vals = vals.at[layer_idx, bidx, hidx, pos].set(nq.values)
-            scl = scl.at[layer_idx, bidx, hidx, pos].set(nq.scales)
+            vals = _kv_write(vals, nq.values, layer_idx, lengths)
+            scl = _kv_write(scl, nq.scales, layer_idx, lengths)
             return (vals, scl)
 
         ck = scatter_q(ck, k)
@@ -194,8 +219,8 @@ def _layer_forward_carry(
             flash_attention_decode,
         )
 
-        ck = ck.at[layer_idx, bidx, hidx, pos].set(k.astype(ck.dtype))
-        cv = cv.at[layer_idx, bidx, hidx, pos].set(v.astype(cv.dtype))
+        ck = _kv_write(ck, k, layer_idx, lengths)
+        cv = _kv_write(cv, v, layer_idx, lengths)
 
         use_kernel = dispatch.on_tpu() or bool(interpret)
         if (

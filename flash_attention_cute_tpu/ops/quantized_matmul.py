@@ -103,8 +103,26 @@ class QuantizedWeight:
 
 
 def quantize_weight(w: jax.Array, impl: str = "pallas") -> QuantizedWeight:
-    """Quantize a [..., K, N] weight to int8 with per-N absmax scales."""
+    """Quantize a [..., K, N] weight to int8 with per-N absmax scales.
+
+    Layer-stacked weights ([L, K, N]) quantize one layer at a time via
+    `lax.map`: the fp32 working copy is the single largest transient of
+    device-side quantization, and at fused full-width shapes the stacked
+    transient alone (e.g. gate_up [8, 4096, 57344] fp32 = 7.5 GB) OOMs a
+    16 GB chip that holds the bf16 image — per-layer it is bounded at
+    one layer's fp32 slab."""
     assert impl in ("pallas", "xla"), impl
+    if w.ndim > 2:
+        lead = w.shape[:-2]
+        mapped = jax.lax.map(
+            lambda wl: quantize_weight(wl, impl=impl),
+            w.reshape((-1,) + w.shape[-2:]),
+        )
+        return QuantizedWeight(
+            values=mapped.values.reshape(lead + mapped.values.shape[1:]),
+            scales=mapped.scales.reshape(lead + mapped.scales.shape[1:]),
+            in_dim=mapped.in_dim, out=mapped.out, impl=impl,
+        )
     k, n = w.shape[-2], w.shape[-1]
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., N]
@@ -235,7 +253,11 @@ class QuantizedWeight4:
 
     values [..., K_pad//2, N_pad] int8: within each pack block of
     `_pack_block(K_pad)` rows, the low nibbles hold the block's first
-    half of rows and the high nibbles the second half. scales
+    half of rows and the high nibbles the second half. Nibbles are
+    stored BIASED (u = q + 8, u in [0, 15]) so the kernel unpack needs
+    no sign-extend (see _unpack4; round-5c format change — older saved
+    int4 checkpoints hold signed nibbles and must be re-quantized).
+    scales
     [..., K_pad//GROUP4, N_pad] f32: absmax/7 per (K group, output
     channel); padded groups/channels carry unit scales and zero values
     so padding is exact. Layer-stacked leaves slice under `lax.scan`
@@ -259,8 +281,23 @@ class QuantizedWeight4:
 
 def quantize_weight_int4(w: jax.Array, impl: str = "pallas") -> QuantizedWeight4:
     """Quantize a [..., K, N] weight to packed int4 with per-(128-row
-    K group, N channel) absmax scales."""
+    K group, N channel) absmax scales.
+
+    Layer-stacked weights map per layer for the same transient-memory
+    bound as `quantize_weight` (the int4 path's fp32 + int32 working
+    copies are even larger)."""
     assert impl in ("pallas", "xla"), impl
+    if w.ndim > 2:
+        lead = w.shape[:-2]
+        mapped = jax.lax.map(
+            lambda wl: quantize_weight_int4(wl, impl=impl),
+            w.reshape((-1,) + w.shape[-2:]),
+        )
+        return QuantizedWeight4(
+            values=mapped.values.reshape(lead + mapped.values.shape[1:]),
+            scales=mapped.scales.reshape(lead + mapped.scales.shape[1:]),
+            in_dim=mapped.in_dim, out=mapped.out, impl=impl,
+        )
     k, n = w.shape[-2], w.shape[-1]
     k_pad = _round_up(k, min(BLOCK_K, _round_up(k, 2 * GROUP4)))
     n_pad = _round_up(n, min(BLOCK_N, _round_up(n, LANES)))
@@ -274,19 +311,27 @@ def quantize_weight_int4(w: jax.Array, impl: str = "pallas") -> QuantizedWeight4
     q = q.astype(jnp.int32).reshape(lead + (k_pad, n_pad))
     bk = _pack_block(k_pad)
     qb = q.reshape(lead + (k_pad // bk, 2, bk // 2, n_pad))
-    lo, hi = qb[..., 0, :, :], qb[..., 1, :, :]
+    lo, hi = qb[..., 0, :, :] + 8, qb[..., 1, :, :] + 8  # biased u = q+8
     packed = jax.lax.bitcast_convert_type(
-        ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8), jnp.int8
+        (lo | (hi << 4)).astype(jnp.uint8), jnp.int8
     ).reshape(lead + (k_pad // 2, n_pad))
     return QuantizedWeight4(values=packed, scales=scales, in_dim=k, out=n,
                             impl=impl)
 
 
 def _unpack4(p: jax.Array):
-    """int32 packed bytes -> (low, high) signed nibbles, int32."""
-    lo_u = p & 0xF
-    lo = lo_u - ((lo_u >> 3) << 4)  # sign-extend bit 3
-    hi = p >> 4                      # arithmetic shift sign-extends
+    """int32 packed bytes -> (low, high) SIGNED nibble values, int32.
+
+    Storage is BIASED (u = q + 8, u in [0, 15]) as of round 5c: the
+    in-kernel unpack is then 3 VPU ops (two masks + one shift) instead
+    of 6 (no sign-extend), which moved the int4 matmul from VPU-bound
+    ~430 GB/s to ~500-580 GB/s of int4 bytes at decode shapes
+    (benchmarks/int4_native_probe.py). This host-side helper returns the
+    signed values for dequant/tests. Checkpoints saved before the switch
+    hold signed nibbles and do not restore correctly — re-quantize.
+    """
+    lo = (p & 0xF) - 8
+    hi = ((p >> 4) & 0xF) - 8
     return lo, hi
 
 
@@ -320,21 +365,33 @@ def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    lo, hi = _unpack4(w_ref[...].astype(jnp.int32))  # [bk//2, bn]
-    w = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)  # [bk, bn]
+    # BIASED unpack (u = q + 8, see _unpack4): two masks + one shift —
+    # no sign-extend and no lo/hi concat (each 128-row scale group sits
+    # entirely in one nibble plane, so groups slice straight off the
+    # planes). The signed form was VPU-bound at ~2x the per-block DMA
+    # time; this form measured +18-35% on decode shapes
+    # (benchmarks/int4_native_probe.py, bit-identical outputs for bf16
+    # activations: all f32 accumulations here are exact sums).
+    p = w_ref[...].astype(jnp.int32)  # [bk//2, bn] packed bytes
+    lo_u = p & 0xF
+    hi_u = (p >> 4) & 0xF
     x = x_ref[...]
-    s = s_ref[...]  # [SUBLANES4, bn] f32; rows >= groups are dead padding
+    half = groups // 2
     # Per-group matmul then f32 scale: exact vs the dequant oracle
     # (`s` is constant along each 128-row contraction slice), and each
     # slice is one full MXU pass so the split costs no MXU efficiency.
+    # q = u - 8 exactly: fold -8 * scale * rowsum(x_g) into the output.
     for g in range(groups):
+        plane = lo_u if g < half else hi_u
+        u = plane[(g % half) * GROUP4:((g % half) + 1) * GROUP4, :]
+        xg = x[:, g * GROUP4:(g + 1) * GROUP4]
         pg = jax.lax.dot_general(
-            x[:, g * GROUP4:(g + 1) * GROUP4],
-            w[g * GROUP4:(g + 1) * GROUP4, :],
+            xg, u.astype(x_ref.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[...] += pg * s[g:g + 1, :]
+        corr = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[...] += (pg - 8.0 * corr) * s_ref[g:g + 1, :]
 
     @pl.when(i == n_k - 1)
     def _done():

@@ -281,8 +281,10 @@ def test_int4_pack_roundtrip_exact():
     k_pad = vals.shape[0] * 2
     bk = min(512, k_pad)
     blocks = vals.reshape(k_pad // bk, bk // 2, -1)
-    lo = (blocks & 0xF) - (((blocks & 0xF) >> 3) << 4)
-    hi = blocks >> 4
+    # Biased storage (u = q + 8; round-5c format, ops/quantized_matmul
+    # _unpack4 docstring): decode independently with numpy.
+    lo = (blocks & 0xF) - 8
+    hi = ((blocks >> 4) & 0xF) - 8
     q = np.concatenate([lo, hi], axis=1).reshape(k_pad, -1)
     scales = np.repeat(np.asarray(qw.scales), GROUP4, axis=0)
     want = (q * scales)[: w.shape[0], : w.shape[1]]
