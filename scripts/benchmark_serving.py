@@ -87,6 +87,11 @@ def parse_args(argv=None):
                    default="model",
                    help="KV page-pool dtype (int8/fp8: quantized pages, "
                         "2x resident sequences per HBM byte)")
+    p.add_argument("--load-params", default=None, metavar="DIR",
+                   help="restore (cfg, params) from a checkpoint written "
+                        "by benchmark_llm.py --save-params (quantized "
+                        "pytrees restore as quantized); skips the "
+                        "~20 min full-depth host init+quantize")
     return p.parse_args(argv)
 
 
@@ -106,33 +111,46 @@ def main(argv=None):
     from flash_attention_cute_tpu.models.presets import PRESETS
     from flash_attention_cute_tpu.runtime.engine import ServingEngine
 
-    cfg = PRESETS[a.model](dtype=dtype)
-    if a.num_layers:
-        cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
-    maybe_fuse = (lambda p: p)
-    if a.fuse_projections:
-        from flash_attention_cute_tpu.models.fuse import fuse_projections
-        maybe_fuse = fuse_projections
-    if a.quantize_weights:
-        import functools
-        from flash_attention_cute_tpu.models.quantize import (
-            quantize_params, quantize_params_on_host,
+    if a.load_params:
+        import time as _time
+        from flash_attention_cute_tpu.models.checkpoint import (
+            load_checkpoint,
         )
-        if a.init_host:
-            from flash_attention_cute_tpu.models.transformer import (
-                init_params_host,
-            )
-            params = quantize_params_on_host(
-                lambda: maybe_fuse(init_params_host(cfg, seed=0)),
-                bits=a.weight_bits)
-        else:
-            params = jax.block_until_ready(
-                jax.jit(functools.partial(quantize_params,
-                                          bits=a.weight_bits))(
-                    maybe_fuse(init_params(cfg, jax.random.key(0))))
-            )
+        t0 = _time.perf_counter()
+        cfg, params = load_checkpoint(a.load_params)
+        params = jax.device_put(params, jax.devices()[0])
+        jax.block_until_ready(jax.tree.leaves(params)[0])
+        print(f"checkpoint restore+upload: {_time.perf_counter()-t0:.1f} s")
     else:
-        params = maybe_fuse(init_params(cfg, jax.random.key(0)))
+        cfg = PRESETS[a.model](dtype=dtype)
+        if a.num_layers:
+            cfg = dataclasses.replace(cfg, num_layers=a.num_layers)
+        maybe_fuse = (lambda p: p)
+        if a.fuse_projections:
+            from flash_attention_cute_tpu.models.fuse import (
+                fuse_projections,
+            )
+            maybe_fuse = fuse_projections
+        if a.quantize_weights:
+            import functools
+            from flash_attention_cute_tpu.models.quantize import (
+                quantize_params, quantize_params_on_host,
+            )
+            if a.init_host:
+                from flash_attention_cute_tpu.models.transformer import (
+                    init_params_host,
+                )
+                params = quantize_params_on_host(
+                    lambda: maybe_fuse(init_params_host(cfg, seed=0)),
+                    bits=a.weight_bits)
+            else:
+                params = jax.block_until_ready(
+                    jax.jit(functools.partial(quantize_params,
+                                              bits=a.weight_bits))(
+                        maybe_fuse(init_params(cfg, jax.random.key(0))))
+                )
+        else:
+            params = maybe_fuse(init_params(cfg, jax.random.key(0)))
 
     rng = np.random.default_rng(0)
     system = rng.integers(0, cfg.vocab_size, a.shared_prefix).tolist()
