@@ -90,6 +90,43 @@ def _scatter_indices(
     return jnp.where(drop, total, flat_idx).reshape(-1)  # [B*S]
 
 
+def _token_dus_targets(page_table, lengths, ps, active):
+    """Per-row (page, offset, drop) for a single-token decode append."""
+    n_slots = page_table.shape[1]
+    page_slot = lengths // ps
+    page = jnp.take_along_axis(
+        page_table, jnp.minimum(page_slot, n_slots - 1)[:, None], axis=1
+    )[:, 0]
+    drop = page_slot >= n_slots
+    if active is not None:
+        drop = jnp.logical_or(drop, jnp.logical_not(active))
+    return page, lengths % ps, drop
+
+
+def _append_token_dus(pages, new_b, page, off, drop):
+    """Decode (S=1) append via per-row dynamic_update_slice.
+
+    An advanced-index scatter lowers to a serialized scatter op —
+    measured 3x slower than windowed stores on the dense cache
+    (benchmarks/layer_overhead.py). Dropped rows (past-table positions,
+    inactive slots) read-modify-write their own target so ANY page
+    table stays uncorrupted (unit tests build tables where page 0 is
+    real, so redirecting drops to the null page is not safe here).
+
+    pages: [Hkv, P, ps, ...]; new_b: [B, Hkv, ...] (token axis squeezed).
+    """
+    b = new_b.shape[0]
+    hkv = pages.shape[0]
+    tail = pages.shape[3:]
+    for bi in range(b):
+        idx = (0, page[bi], off[bi]) + (0,) * len(tail)
+        val = new_b[bi].astype(pages.dtype).reshape((hkv, 1, 1) + tail)
+        cur = jax.lax.dynamic_slice(pages, idx, (hkv, 1, 1) + tail)
+        val = jnp.where(drop[bi], cur, val)
+        pages = jax.lax.dynamic_update_slice(pages, val, idx)
+    return pages
+
+
 def paged_append_layer(
     k_pages_l: jax.Array,  # [Hkv, P, ps, D]
     v_pages_l: jax.Array,
@@ -99,9 +136,20 @@ def paged_append_layer(
     lengths: jax.Array,  # [B] (lengths BEFORE the append)
     active: jax.Array | None = None,  # [B] bool; False => drop the row
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter S new tokens per sequence into the page pool (one layer)."""
+    """Scatter S new tokens per sequence into the page pool (one layer).
+
+    Decode (S == 1, small batch) takes the per-row dus fast path; chunk
+    appends (S > 1 spans page boundaries) keep the flat scatter."""
     hkv, p, ps, d = k_pages_l.shape
     b, _, s, _ = k_new.shape
+
+    if s == 1 and b <= 32:
+        page, off, drop = _token_dus_targets(page_table, lengths, ps,
+                                             active)
+        return (
+            _append_token_dus(k_pages_l, k_new[:, :, 0], page, off, drop),
+            _append_token_dus(v_pages_l, v_new[:, :, 0], page, off, drop),
+        )
 
     flat_idx = _scatter_indices(page_table, lengths, s, ps, p * ps, active)
 
@@ -170,6 +218,15 @@ def paged_append_layer_quantized(
     b, _, s, _ = new.shape
 
     nq = quantize_kv(new, dtype=vals.dtype)  # values [B,Hkv,S,D], scales [B,Hkv,S]
+
+    if s == 1 and b <= 32:  # decode fast path, as in paged_append_layer
+        page, off, drop = _token_dus_targets(page_table, lengths, ps,
+                                             active)
+        return (
+            _append_token_dus(vals, nq.values[:, :, 0], page, off, drop),
+            _append_token_dus(scl, nq.scales[:, :, 0], page, off, drop),
+        )
+
     flat_idx = _scatter_indices(page_table, lengths, s, ps, p * ps, active)
 
     vflat = vals.reshape(hkv, p * ps, d)
