@@ -42,15 +42,15 @@ from flash_attention_cute_tpu.ops.flash_fwd import (
 def _flash_decode_kernel(
     lengths_ref,  # [B] int32, scalar-prefetch (SMEM)
     layer_ref,  # [1] int32, scalar-prefetch: layer index into the stacked cache
-    q_ref,  # [1, 1, g_pad, d]
-    k_ref,  # [1, 1, 1, block_kv, d] (leading dim: cache layer)
-    v_ref,  # [1, 1, 1, block_kv, d]
-    o_ref,  # [1, 1, 1, g_pad, d]  unnormalized partial accumulator
-    m_ref,  # [1, 1, 1, g_pad, NUM_LANES]
-    l_ref,  # [1, 1, 1, g_pad, NUM_LANES]
-    m_scratch,  # [g_pad, NUM_LANES] f32
-    l_scratch,  # [g_pad, NUM_LANES] f32
-    acc_scratch,  # [g_pad, d] f32
+    q_ref,  # [1, nh, g_pad, d]
+    k_ref,  # [1, 1, nh, block_kv, d] (leading dim: cache layer)
+    v_ref,  # [1, 1, nh, block_kv, d]
+    o_ref,  # [1, nh, 1, g_pad, d]  unnormalized partial accumulator
+    m_ref,  # [1, nh, 1, g_pad, NUM_LANES]
+    l_ref,  # [1, nh, 1, g_pad, NUM_LANES]
+    m_scratch,  # [nh * g_pad, NUM_LANES] f32
+    l_scratch,  # [nh * g_pad, NUM_LANES] f32
+    acc_scratch,  # [nh * g_pad, d] f32
     *,
     sm_scale: float,
     window: int | None,
@@ -59,6 +59,11 @@ def _flash_decode_kernel(
     num_splits: int,
     mask_value: float,
     kv_cap: int,  # true (unpadded) cache capacity
+    nh: int,  # KV heads per grid cell — grid cells run sequentially on
+    # the TensorCore, so packing heads costs no parallelism and
+    # multiplies per-step DMA size (the short-fill decode-rate lever;
+    # see ops/quantized.py _quant_decode_kernel's nh note)
+    g_pad: int,
 ):
     b = pl.program_id(0)
     split = pl.program_id(2)
@@ -90,55 +95,61 @@ def _flash_decode_kernel(
 
     @pl.when(visible)
     def _run():
-        q = q_ref[0, 0]  # [g_pad, d]
-        k = k_ref[0, 0, 0]  # [block_kv, d]
-        v = v_ref[0, 0, 0]
-        if kv_cap % block_kv:
-            # The cache's ragged final block is NOT padded host-side (a
-            # jnp.pad would copy the whole cache per step); its tail rows
-            # are uninitialized memory. p is exactly 0 there, but
-            # 0 * garbage-NaN = NaN in the PV matmul — zero the V tail.
-            rows = (
-                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + blk_start
+        for hh in range(nh):
+            sl = slice(hh * g_pad, (hh + 1) * g_pad)
+            q = q_ref[0, hh]  # [g_pad, d]
+            k = k_ref[0, 0, hh]  # [block_kv, d]
+            v = v_ref[0, 0, hh]
+            if kv_cap % block_kv:
+                # The cache's ragged final block is NOT padded host-side
+                # (a jnp.pad would copy the whole cache per step); its
+                # tail rows are uninitialized memory. p is exactly 0
+                # there, but 0 * garbage-NaN = NaN in the PV matmul —
+                # zero the V tail.
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                    + blk_start
+                )
+                v = jnp.where(rows < kv_cap, v, 0.0)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [g_pad, block_kv]
+            s *= sm_scale
+            if logit_softcap is not None:
+                s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
+
+            # Mask the cache tail in the block straddling `length`.
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
+            ok = cols < length
+            if window is not None:
+                ok &= cols >= length - window
+            s = jnp.where(ok, s, mask_value)
+
+            m_prev = m_scratch[sl]
+            l_prev = l_scratch[sl]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1,
+                                                     keepdims=True)
+
+            m_scratch[sl] = m_next
+            l_scratch[sl] = jnp.broadcast_to(l_next, l_prev.shape)
+            acc_scratch[sl] *= alpha
+            acc_scratch[sl] += jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            v = jnp.where(rows < kv_cap, v, 0.0)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [g_pad, block_kv]
-        s *= sm_scale
-        if logit_softcap is not None:
-            s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
-
-        # Mask the cache tail in the block straddling `length`.
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
-        ok = cols < length
-        if window is not None:
-            ok &= cols >= length - window
-        s = jnp.where(ok, s, mask_value)
-
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-
-        m_scratch[...] = m_next
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-        acc_scratch[...] *= alpha
-        acc_scratch[...] += jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     @pl.when(t == pl.num_programs(3) - 1)
     def _store():
-        o_ref[0, 0, 0] = acc_scratch[...]
-        m_ref[0, 0, 0] = m_scratch[...]
-        l_ref[0, 0, 0] = l_scratch[...]
+        d_pad = acc_scratch.shape[-1]
+        o_ref[0, :, 0] = acc_scratch[...].reshape(nh, g_pad, d_pad)
+        m_ref[0, :, 0] = m_scratch[...].reshape(nh, g_pad, -1)
+        l_ref[0, :, 0] = l_scratch[...].reshape(nh, g_pad, -1)
 
 
 @functools.partial(
@@ -249,7 +260,15 @@ def flash_attention_decode(
     num_t = jnp.maximum(
         pl.cdiv(pl.cdiv(jnp.max(lengths), block_kv), num_splits), 1
     )
-    grid = (b, hkv, num_splits, num_t)
+
+    # KV heads per grid cell: as many as keep the per-step KV DMA under
+    # ~2 MB (sequential grid — costs no parallelism, multiplies DMA
+    # size; the short-fill decode-rate lever). Must divide hkv.
+    itemsize = jnp.dtype(k.dtype).itemsize
+    nh = max(1, min(hkv, (2 * 1024 * 1024) // (block_kv * d_pad * itemsize)))
+    while hkv % nh:
+        nh -= 1
+    grid = (b, hkv // nh, num_splits, num_t)
 
     kernel = functools.partial(
         _flash_decode_kernel,
@@ -260,6 +279,8 @@ def flash_attention_decode(
         num_splits=num_splits,
         mask_value=DEFAULT_MASK_VALUE,
         kv_cap=skv,
+        nh=nh,
+        g_pad=g_pad,
     )
 
     ns = num_splits
@@ -293,19 +314,19 @@ def flash_attention_decode(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
-                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, nh, g_pad, d_pad), q_map),
+                pl.BlockSpec((1, 1, nh, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, nh, block_kv, d_pad), kv_map),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, 1, g_pad, d_pad), part_map),
-                pl.BlockSpec((1, 1, 1, g_pad, NUM_LANES), part_map),
-                pl.BlockSpec((1, 1, 1, g_pad, NUM_LANES), part_map),
+                pl.BlockSpec((1, nh, 1, g_pad, d_pad), part_map),
+                pl.BlockSpec((1, nh, 1, g_pad, NUM_LANES), part_map),
+                pl.BlockSpec((1, nh, 1, g_pad, NUM_LANES), part_map),
             ],
             scratch_shapes=[
-                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
-                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
-                pltpu.VMEM((g_pad, d_pad), jnp.float32),
+                pltpu.VMEM((nh * g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((nh * g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((nh * g_pad, d_pad), jnp.float32),
             ],
         ),
         out_shape=[

@@ -73,18 +73,18 @@ def dequantize_kv(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
 def _quant_decode_kernel(
     lengths_ref,  # [B] int32 scalar prefetch
     layer_ref,  # [1] int32 scalar prefetch: layer index into the stacked cache
-    q_ref,  # [1, 1, g_pad, d]
-    k_ref,  # [1, 1, 1, block_kv, d] int8/fp8 (leading dim: cache layer)
+    q_ref,  # [1, nh, g_pad, d]
+    k_ref,  # [1, 1, nh, block_kv, d] int8/fp8 (leading dim: cache layer)
     ks_ref,  # [1, 1, Hkv, block_kv] f32 scales (all heads: TPU block tiling
              # requires the sublane dim be a full axis; the slice is tiny)
-    v_ref,  # [1, 1, 1, block_kv, d]
+    v_ref,  # [1, 1, nh, block_kv, d]
     vs_ref,  # [1, 1, Hkv, block_kv]
-    o_ref,  # [1, 1, 1, g_pad, d] partial acc
-    m_ref,  # [1, 1, 1, g_pad, LANES]
+    o_ref,  # [1, nh, 1, g_pad, d] partial acc
+    m_ref,  # [1, nh, 1, g_pad, LANES]
     l_ref,
-    m_scratch,
+    m_scratch,  # [nh * g_pad, LANES]
     l_scratch,
-    acc_scratch,
+    acc_scratch,  # [nh * g_pad, d]
     *,
     sm_scale: float,
     window: int | None,
@@ -94,6 +94,14 @@ def _quant_decode_kernel(
     mask_value: float,
     compute_dtype,
     kv_cap: int,  # true (unpadded) cache capacity
+    nh: int,  # KV heads per grid cell: TPU grids run SEQUENTIALLY with
+    # DMA pipelining, so packing heads into one cell costs no
+    # parallelism and multiplies the per-step DMA size — at serving
+    # fills (~1k tokens, 147 KB per single-head slab) the single-head
+    # form streamed only ~350 GB/s of the 740 GB/s peak
+    # (benchmarks/decode_block_sweep.py; same granularity cliff the
+    # qmm tile sweep hit at 256 KB steps).
+    g_pad: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -119,63 +127,69 @@ def _quant_decode_kernel(
 
     @pl.when(visible)
     def _run():
-        q = q_ref[0, 0]
-        # MXU needs matching operand dtypes: cast the quantized block to the
-        # compute dtype WITHOUT applying scales (the scale folds into s).
-        k = k_ref[0, 0, 0].astype(compute_dtype)
-        kscale = ks_ref[0, 0, h].astype(jnp.float32)  # [block_kv]
+        cols = None
+        for hh in range(nh):
+            sl = slice(hh * g_pad, (hh + 1) * g_pad)
+            q = q_ref[0, hh]
+            # MXU needs matching operand dtypes: cast the quantized block
+            # to the compute dtype WITHOUT applying scales (the scale
+            # folds into s).
+            k = k_ref[0, 0, hh].astype(compute_dtype)
+            kscale = ks_ref[0, 0, h * nh + hh].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [g_pad, block_kv]
-        s = s * (kscale[None, :] * sm_scale)
-        if logit_softcap is not None:
-            # Gemma-style tanh cap (dequant scale already folded into s,
-            # so the cap sees true score units) — round-3 feature-matrix
-            # completion: softcap x int8 KV composes.
-            s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
+            s = jax.lax.dot_general(
+                q.astype(compute_dtype), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [g_pad, block_kv]
+            s = s * (kscale[None, :] * sm_scale)
+            if logit_softcap is not None:
+                # Gemma-style tanh cap (dequant scale already folded into
+                # s, so the cap sees true score units) — round-3
+                # feature-matrix completion: softcap x int8 KV composes.
+                s = jnp.tanh(s * (1.0 / logit_softcap)) * logit_softcap
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
-        ok = cols < length
-        if window is not None:
-            ok &= cols >= length - window
-        s = jnp.where(ok, s, mask_value)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk_start
+            ok = cols < length
+            if window is not None:
+                ok &= cols >= length - window
+            s = jnp.where(ok, s, mask_value)
 
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+            m_prev = m_scratch[sl]
+            l_prev = l_scratch[sl]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1,
+                                                     keepdims=True)
 
-        m_scratch[...] = m_next
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+            m_scratch[sl] = m_next
+            l_scratch[sl] = jnp.broadcast_to(l_next, l_prev.shape)
 
-        v = v_ref[0, 0, 0].astype(compute_dtype)
-        vscale = vs_ref[0, 0, h].astype(jnp.float32)  # [block_kv]
-        # Fold V's dequant scale into P before the PV matmul.
-        pv_in = p * vscale[None, :]
-        if kv_cap % block_kv:
-            # Ragged final block: the unpadded tail is uninitialized —
-            # p is 0 there but 0 * NaN = NaN via a garbage f32 scale; kill
-            # the tail columns (int8 values are finite, the scale fold is
-            # the NaN path). `cols` is the 2-D position iota from above.
-            pv_in = jnp.where(cols < kv_cap, pv_in, 0.0)
-        pv_in = pv_in.astype(compute_dtype)
+            v = v_ref[0, 0, hh].astype(compute_dtype)
+            vscale = vs_ref[0, 0, h * nh + hh].astype(jnp.float32)
+            # Fold V's dequant scale into P before the PV matmul.
+            pv_in = p * vscale[None, :]
+            if kv_cap % block_kv:
+                # Ragged final block: the unpadded tail is uninitialized —
+                # p is 0 there but 0 * NaN = NaN via a garbage f32 scale;
+                # kill the tail columns (int8 values are finite, the scale
+                # fold is the NaN path).
+                pv_in = jnp.where(cols < kv_cap, pv_in, 0.0)
+            pv_in = pv_in.astype(compute_dtype)
 
-        acc_scratch[...] *= alpha
-        acc_scratch[...] += jax.lax.dot_general(
-            pv_in, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            acc_scratch[sl] *= alpha
+            acc_scratch[sl] += jax.lax.dot_general(
+                pv_in, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(t == pl.num_programs(3) - 1)
     def _store():
-        o_ref[0, 0, 0] = acc_scratch[...]
-        m_ref[0, 0, 0] = m_scratch[...]
-        l_ref[0, 0, 0] = l_scratch[...]
+        d_pad = acc_scratch.shape[-1]
+        o_ref[0, :, 0] = acc_scratch[...].reshape(nh, g_pad, d_pad)
+        m_ref[0, :, 0] = m_scratch[...].reshape(nh, g_pad, -1)
+        l_ref[0, :, 0] = l_scratch[...].reshape(nh, g_pad, -1)
 
 
 @functools.partial(
@@ -266,11 +280,20 @@ def flash_attention_decode_quantized(
     else:
         lengths = jnp.minimum(kv_length.astype(jnp.int32), skv)
 
+    # KV heads per grid cell: as many as keep the per-step KV DMA under
+    # ~2 MB (grid cells are sequential on a TensorCore, so this costs no
+    # parallelism and multiplies the DMA transfer size — the decode-rate
+    # lever at short fills; see _quant_decode_kernel's nh note). Must
+    # divide hkv so head blocks tile exactly.
+    nh = max(1, min(hkv, (2 * 1024 * 1024) // (block_kv * d_pad)))
+    while hkv % nh:
+        nh -= 1
+
     # Dynamic t bound: only live blocks get grid steps (ops/flash_decode.py).
     num_t = jnp.maximum(
         pl.cdiv(pl.cdiv(jnp.max(lengths), block_kv), num_splits), 1
     )
-    grid = (b, hkv, num_splits, num_t)
+    grid = (b, hkv // nh, num_splits, num_t)
     ns = num_splits
 
     def q_map(b_, h, s_, t, lens, lay):
@@ -307,6 +330,8 @@ def flash_attention_decode_quantized(
         mask_value=DEFAULT_MASK_VALUE,
         compute_dtype=q.dtype if q.dtype != jnp.float32 else jnp.float32,
         kv_cap=skv,
+        nh=nh,
+        g_pad=g_pad,
     )
 
     acc, m_part, l_part = pl.pallas_call(
@@ -315,21 +340,21 @@ def flash_attention_decode_quantized(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, nh, g_pad, d_pad), q_map),
+                pl.BlockSpec((1, 1, nh, block_kv, d_pad), kv_map),
                 pl.BlockSpec((1, 1, hkv, block_kv), sc_map),
-                pl.BlockSpec((1, 1, 1, block_kv, d_pad), kv_map),
+                pl.BlockSpec((1, 1, nh, block_kv, d_pad), kv_map),
                 pl.BlockSpec((1, 1, hkv, block_kv), sc_map),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, 1, g_pad, d_pad), part_map),
-                pl.BlockSpec((1, 1, 1, g_pad, NUM_LANES), part_map),
-                pl.BlockSpec((1, 1, 1, g_pad, NUM_LANES), part_map),
+                pl.BlockSpec((1, nh, 1, g_pad, d_pad), part_map),
+                pl.BlockSpec((1, nh, 1, g_pad, NUM_LANES), part_map),
+                pl.BlockSpec((1, nh, 1, g_pad, NUM_LANES), part_map),
             ],
             scratch_shapes=[
-                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
-                pltpu.VMEM((g_pad, NUM_LANES), jnp.float32),
-                pltpu.VMEM((g_pad, d_pad), jnp.float32),
+                pltpu.VMEM((nh * g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((nh * g_pad, NUM_LANES), jnp.float32),
+                pltpu.VMEM((nh * g_pad, d_pad), jnp.float32),
             ],
         ),
         out_shape=[
